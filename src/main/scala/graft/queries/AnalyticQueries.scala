@@ -1,0 +1,496 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Core relational query surface.
+  *
+  * The reference (sduzh/duckdb-mpp) delegates every non-leaf operator to its
+  * host engine (see SURVEY.md §2.2 — workers execute arbitrary SQL,
+  * `/root/reference/src/mpp_service.cpp:28-53`), so the capability bar for
+  * this engine is Spark SQL's own operator surface over distributed tables:
+  * aggregation, joins (broadcast/sort-merge, semi/anti/outer), windows,
+  * sorts/top-k, set ops, rollup/cube/grouping-sets, subqueries, CTEs, scalar
+  * functions. Each query here is one inventory line with a DuckDB oracle.
+  *
+  * Conventions shared with the oracles (driver hash-compares results):
+  *  - every floating-point aggregate is `round(x, 4)` on both sides;
+  *  - every output is totally ordered by its own columns;
+  *  - aggregates over INTEGER columns are avoided or cast (DuckDB SUM(INT)
+  *    yields HUGEINT which would not hash-match Spark's LongType);
+  *  - timestamps are truncated+cast to DATE or STRING on both sides.
+  *
+  * Scale notes (100 TB design intent): all queries below are
+  * shuffle-minimal — small dimensions are broadcast explicitly, aggregates
+  * are partial+final (Spark hash aggregate), windows partition by high-card
+  * keys, and nothing collects to the driver.
+  */
+object AnalyticQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** TPC-H Q1 style pricing summary: full-scan partial+final hash aggregate. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 style: 3-way join, agg, top-10. Customer dim is broadcast. */
+  def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 style: 6-table join through broadcast dims, agg per nation. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers with at least one urgent order. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    t(s, dir, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no open ('O') order. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    t(s, dir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-outer join + aggregate, preserving customers with zero orders. */
+  def qOuterJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** Window ranking: top-3 orders per customer by price (row_number). */
+  def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Window running aggregate: cumulative value per user ordered by time. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("running_value", round(sum(col("value")).over(w), 4))
+      .select(col("user_id"), col("event_id"), col("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Top-k by sort: global top-20 line items by extended price. */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** Set operations: UNION / INTERSECT / EXCEPT tagged into one relation. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val a = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val u = a.union(b).distinct().withColumn("tag", lit("union"))
+    val i = a.intersect(b).withColumn("tag", lit("intersect"))
+    val e = a.except(b).withColumn("tag", lit("except"))
+    u.union(i).union(e).select(col("tag"), col("k")).orderBy("tag", "k")
+  }
+
+  /** ROLLUP aggregate with grand total. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** CUBE aggregate over two dimensions. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("avg_price"))
+      .orderBy("status", "priority")
+
+  /** Distinct aggregates: exact distinct counts per group. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  /** GROUP BY ... HAVING. */
+  def qHaving(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"))
+      .filter(col("sum_qty") > 15000.0)
+      .orderBy("l_suppkey")
+
+  /** NULL-semantics filters (mirror of reference mpp.test:75-159): synthesize
+    * NULLs, then exercise IS NULL / IN / OR / modulo predicates. */
+  def qFiltersNull(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("k",
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")))
+      .filter(col("k").isNull || (col("k") % 100 === 3 && col("o_totalprice") > 100000.0))
+      .select(col("o_orderkey"), col("k"))
+      .orderBy("o_orderkey")
+
+  /** Scalar functions in projections (mirror of reference filter/update
+    * tests: abs, upper, modulo, date arithmetic). */
+  def qScalarFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 997 === 0)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("abs_disc"),
+        upper(col("l_returnflag")).as("flag_u"),
+        (col("l_linenumber") % 2).as("ln_mod2"),
+        (col("l_shipdate") + expr("INTERVAL 1 DAY")).cast("date").as("ship_plus1"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Time-bucketed aggregate: orders per month. */
+  def qDateAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
+      .orderBy("month")
+
+  /** Hourly tumbling-window aggregate over the events table. */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Scalar subquery through SQL (Catalyst subquery rewrite). */
+  def qSubqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("g_orders_sub")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        |FROM g_orders_sub
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM g_orders_sub)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS subquery (decorrelated to a semi join by Catalyst). */
+  def qCorrelatedExists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("g_cust_ce")
+    t(s, dir, "orders").createOrReplaceTempView("g_ord_ce")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM g_cust_ce
+        |WHERE EXISTS (
+        |  SELECT 1 FROM g_ord_ce
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        |    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** CTE (TPC-H Q15 style): supplier(s) with maximum revenue. */
+  def qCte(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("g_li_cte")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM g_li_cte GROUP BY l_suppkey)
+        |SELECT supplier_no, total_revenue
+        |FROM revenue
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY supplier_no""".stripMargin)
+  }
+
+  /** GROUPING SETS through SQL. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("g_ord_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(1) AS n
+        |FROM g_ord_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  /** Cross join (cartesian) of two small dims. */
+  def qCrossJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Approximate distinct (HLL) — no exact oracle; driver does a rows-only
+    * check. Kept because approx sketches are the 100 TB path for distinct. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .orderBy("event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_revenue" -> (q3TopRevenue _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_outer_join_agg" -> (qOuterJoinAgg _),
+    "q_window_topn" -> (qWindowTopN _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_topk" -> (qTopK _),
+    "q_setops" -> (qSetOps _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_having" -> (qHaving _),
+    "q_filters_null" -> (qFiltersNull _),
+    "q_scalar_fns" -> (qScalarFns _),
+    "q_date_agg" -> (qDateAgg _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_subquery_scalar" -> (qSubqueryScalar _),
+    "q_correlated_exists" -> (qCorrelatedExists _),
+    "q_cte" -> (qCte _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_cross_join" -> (qCrossJoin _),
+    "q_approx_distinct" -> (qApproxDistinct _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(l_quantity), 4) AS sum_qty,
+        | ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        | ROUND(AVG(l_quantity), 4) AS avg_qty,
+        | ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        | ROUND(AVG(l_discount), 4) AS avg_disc,
+        | COUNT(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_outer_join_agg" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+        | ROUND(COALESCE(SUM(o_totalprice), 0.0), 4) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) x
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        | ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 4) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'union' AS tag, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'intersect' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'except' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |ORDER BY tag, k""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(1) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(1) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_having" ->
+      """SELECT l_suppkey, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING ROUND(SUM(l_quantity), 4) > 15000.0
+        |ORDER BY l_suppkey""".stripMargin,
+    "q_filters_null" ->
+      """SELECT o_orderkey, k FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k
+        |  FROM orders) x
+        |WHERE k IS NULL OR (k % 100 = 3 AND o_totalprice > 100000.0)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(ABS(l_discount - 0.05), 4) AS abs_disc,
+        | UPPER(l_returnflag) AS flag_u,
+        | l_linenumber % 2 AS ln_mod2,
+        | CAST(l_shipdate + INTERVAL 1 DAY AS DATE) AS ship_plus1
+        |FROM lineitem
+        |WHERE l_orderkey % 997 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_date_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | COUNT(1) AS n, ROUND(SUM(o_totalprice), 4) AS total
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour,
+        | event_type, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_correlated_exists" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0
+        |    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cte" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS total_revenue
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT supplier_no, total_revenue
+        |FROM revenue
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY supplier_no""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+  )
+}
