@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators over the `documents` / `embeddings` tables:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine — the
+  * near-duplicate layer of a training-data pipeline (builder brief; not in
+  * the reference, whose bar is arbitrary SQL over distributed tables).
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup is a single hash aggregate on md5(text) — one shuffle of
+  *    (16-byte key, id), never the document bodies;
+  *  - exact Jaccard self-joins on shingles — correct but quadratic in
+  *    colliding docs; it is the *oracle baseline*. The scale path is
+  *    MinHash+LSH below: signatures are 128 longs/doc regardless of doc
+  *    size, the band join shuffles only (band#, 8-byte key), and exact
+  *    verification runs only on the candidate pairs;
+  *  - SimHash prunes with the pigeonhole trick (k 16-bit chunks → a pair
+  *    within hamming≤3 must share a chunk) so the join is equality-keyed,
+  *    never a cross product;
+  *  - embedding near-dup blocks on `label` (a stand-in for any coarse
+  *    clustering/IVF cell) so the pairwise cosine runs inside blocks only.
+  *  All computation is codegen'd built-ins (xxhash64 / higher-order array
+  *  functions); no UDFs, nothing collects to the driver.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Exact dedup: keep the minimum doc_id per distinct (md5 of) text. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  /** (doc_id, shingle) relation: distinct word 3-gram shingles per doc. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(0, size(w) - 3)," +
+          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("sh"))
+
+  /** Exact Jaccard similarity of all pairs above `thresh`, via a
+    * shingle-equality self-join (no cross product). */
+  private def jaccardPairs(sh: DataFrame, thresh: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val common = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
+      .withColumn("jac",
+        col("c") * lit(1.0) / (col("na.n") + col("nb.n") - col("c")))
+      .filter(col("jac") >= thresh)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (the correctness baseline). */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(s, dir), 0.5).orderBy("d1", "d2")
+
+  private val NumHashes = 128
+  private val BandRows = 2 // b=64 bands of r=2 → recall ≈ 1 at jaccard ≥ 0.5
+
+  /** MinHash + LSH near-dup pairs, exact-verified at jaccard ≥ 0.7.
+    *
+    * With r=2, b=64 the probability of missing a pair at j=0.7 is
+    * (1-0.49)^64 ≈ 1e-19, so after exact verification the output equals
+    * the exact-Jaccard query — which is exactly what the oracle asserts.
+    */
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir).cache()
+    // 128 independent hash functions via salted xxhash64; signature is the
+    // per-seed min — 128 longs per doc, constant regardless of doc length.
+    val minAggs = (0 until NumHashes).map { k =>
+      min(xxhash64(concat(col("sh"), lit(s"#$k")))).as(s"h$k")
+    }
+    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // Band the signature: band value = hash of its r rows.
+    val bandCols = (0 until NumHashes / BandRows).map { j =>
+      val rows = (0 until BandRows).map(r => col(s"h${j * BandRows + r}"))
+      xxhash64(rows: _*)
+    }
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // Exact verification restricted to candidate pairs.
+    val verified = cand
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("d2") === col("sb.doc_id") &&
+        col("sa.sh") === col("sb.sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    verified
+      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
+      .withColumn("jac",
+        col("c") * lit(1.0) / (col("na.n") + col("nb.n") - col("c")))
+      .filter(col("jac") >= 0.7)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  /** 64-bit SimHash near-dup pairs at hamming distance ≤ 3.
+    *
+    * Rows-only check (DuckDB has no xxhash64); the ScalaTest suite
+    * cross-checks against the exact-Jaccard planted duplicates.
+    */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    // Weighted bit votes → one 64-bit signature per doc.
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val voted = tf.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sigExpr = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val sig = voted.select(col("doc_id"), sigExpr.as("sig"))
+    // Pigeonhole blocking: hamming ≤ 3 with 4 chunks ⇒ ≥1 identical
+    // 16-bit chunk; join per chunk, union, then verify with bit_count.
+    val chunks = (0 until 4).map { c =>
+      sig.select(col("doc_id"), col("sig"), lit(c).as("chunk"),
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
+    }.reduce(_ union _)
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  /** cosine(a, b) over two array<double> columns, fully codegen'd. */
+  private[queries] def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for an
+    * IVF/cluster cell — at 100 TB the pairwise cosine only ever runs
+    * within a block, never across the full corpus). */
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("v1", "v2")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+  )
+
+  /** Shared DuckDB shingle CTE (word 3-grams, distinct, per doc). */
+  private val shingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, greatest(len(ws) - 1, 2)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+      |       FROM w WHERE len(ws) >= 3),
+      |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+      |common AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardOracle(thresh: Double): String =
+    s"""$shingleCte
+       |SELECT d1, d2, ROUND(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+       |FROM common
+       |JOIN sizes na ON d1 = na.doc_id
+       |JOIN sizes nb ON d2 = nb.doc_id
+       |WHERE c * 1.0 / (na.n + nb.n - c) >= $thresh
+       |ORDER BY d1, d2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    "q_dedup_minhash_lsh" -> jaccardOracle(0.7),
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS v1, b.vec_id AS v2,
+        | ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                              CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY v1, v2""".stripMargin,
+  )
+}

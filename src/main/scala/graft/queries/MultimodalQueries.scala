@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns
+  * with typed metadata, decoded/feature-extracted via a per-partition
+  * typed pipeline (builder brief — the pattern a 100 TB image/audio/video
+  * pipeline uses; the container has no media codecs, so the decode step is
+  * a clearly-marked deterministic stub while the Spark-side plumbing —
+  * schema, typed Dataset, mapPartitions batch shape, explode of frames —
+  * is real and oracle-checked).
+  *
+  * Scale design: `mapPartitions` keeps decode batched per executor task
+  * (one codec init per partition, not per row), payload bytes never
+  * shuffle (metadata only), and frame sampling explodes *after* the
+  * narrow decode so the generator runs distributed.
+  */
+object MultimodalQueries {
+
+  /** Raw media row: payload is an opaque binary column. */
+  final case class MediaBlob(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded metadata row produced by the (stubbed) decoder. */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, n_frames: Long)
+
+  /** STUB DECODER — deterministic fake standing in for a real image/video
+    * codec (none available in this container). Real implementation would
+    * parse the container header here; everything around it (typed Dataset,
+    * per-partition batching, downstream relational ops) is production
+    * shape. Kept a pure function of the payload so the DuckDB oracle can
+    * mirror it exactly. */
+  private def decodeStub(b: MediaBlob): MediaMeta = {
+    val n = b.payload.length.toLong
+    MediaMeta(b.doc_id, n, 64L + n % 577L, 64L + (n * 31L) % 577L,
+      1L + n % 16L)
+  }
+
+  /** Binary payload table derived from documents (utf-8 bytes stand in
+    * for media bytes; ascii text ⇒ n_bytes == n_chars, which the oracle
+    * uses). */
+  private def blobs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  /** Decode pass: binary column → typed metadata via mapPartitions. */
+  def qMmDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).as[MediaBlob]
+      .mapPartitions(_.map(decodeStub)) // one decoder per partition/task
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: every 4th frame of each decoded payload (generator
+    * runs after decode, fully distributed). */
+  def qMmFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir).as[MediaBlob]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_decode" -> (qMmDecode _),
+    "q_mm_frames" -> (qMmFrames _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mm_decode" ->
+      """SELECT doc_id, n_chars AS n_bytes,
+        | 64 + n_chars % 577 AS width,
+        | 64 + (n_chars * 31) % 577 AS height,
+        | 1 + n_chars % 16 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      """SELECT doc_id, unnest(range(0, 1 + n_chars % 16, 4)) AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

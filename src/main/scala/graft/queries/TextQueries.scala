@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a large-scale
+  * training-data pipeline needs (builder brief; the reference itself has no
+  * text surface, its capability bar is "arbitrary SQL over distributed
+  * tables", `/root/reference/src/mpp_service.cpp:28-53`).
+  *
+  * Scale design: every operator here is a narrow projection + hash
+  * aggregate over codegen'd built-ins (`split`/`filter`/`md5`…) — no UDFs,
+  * no driver-side collection, no shuffle except the final aggregate, so
+  * each scales linearly with input splits on a 1000-executor cluster.
+  * Oracles mirror the exact same arithmetic in DuckDB SQL.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private val toks = split(col("text"), " ")
+
+  /** Whitespace-token occurrence count of one exact word (codegen'd lambda,
+    * no UDF). */
+  private def wordCount(word: String) =
+    size(filter(toks, t => t === lit(word))).cast("long")
+
+  /** Per-document token counts + quality heuristics (length, type-token
+    * ratio, repetition) — the "quality scoring" pass of a data pipeline. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        round(size(array_distinct(toks)) / (size(toks) * lit(1.0)), 4).as("ttr"),
+        round(length(col("text")) / (size(toks) * lit(1.0)), 4).as("avg_tok_len"),
+        round(
+          lit(0.5) * (size(array_distinct(toks)) / (size(toks) * lit(1.0))) +
+            lit(0.5) * least(size(toks) / lit(200.0), lit(1.0)),
+          4).as("quality"))
+      .orderBy("doc_id")
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Arbitrary-but-deterministic marker sets; the oracle uses
+    * the identical scoring formula, so prediction parity is exact. */
+  private val langMarkers: Seq[(String, String, String)] = Seq(
+    ("de", "data", "table"),
+    ("en", "the", "a"),
+    ("es", "batch", "join"),
+    ("fr", "merge", "filter"),
+    ("zh", "spark", "query"))
+
+  /** Language identification via weighted marker-word counts; ties break
+    * alphabetically (first branch wins in both engines). */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(docs(s, dir)) { case (df, (l, m1, m2)) =>
+      df.withColumn(s"s_$l", lit(2L) * wordCount(m1) + wordCount(m2))
+    }
+    val best = greatest(langMarkers.map { case (l, _, _) => col(s"s_$l") }: _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((l, _, _), acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    // foldRight gives 'de' the first WHEN branch → alphabetical tiebreak.
+    scored
+      .select(Seq(col("doc_id"), col("lang").as("labeled_lang"),
+        pred.as("pred_lang")) ++
+        langMarkers.map { case (l, _, _) => col(s"s_$l") }: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Global token frequency: the classic explode → count pipeline
+    * (map-side partial aggregation keeps the shuffle tiny at 100 TB). */
+  def qTokenFreq(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+
+  /** Document fingerprinting: exact (md5 of text) + content fingerprint
+    * (md5 of sorted distinct tokens — order/duplication-insensitive). */
+  def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("fp"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")).as("content_fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_token_freq" -> (qTokenFreq _),
+    "q_doc_fingerprint" -> (qDocFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id, lang,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_types,
+        | ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+        |       / len(string_split(text, ' ')), 4) AS ttr,
+        | ROUND(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS avg_tok_len,
+        | ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |              / len(string_split(text, ' ')))
+        |       + 0.5 * LEAST(len(string_split(text, ' ')) / 200.0, 1.0), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    2 * len(list_filter(string_split(text,' '), t -> t = 'data'))
+        |      + len(list_filter(string_split(text,' '), t -> t = 'table')) AS s_de,
+        |    2 * len(list_filter(string_split(text,' '), t -> t = 'the'))
+        |      + len(list_filter(string_split(text,' '), t -> t = 'a')) AS s_en,
+        |    2 * len(list_filter(string_split(text,' '), t -> t = 'batch'))
+        |      + len(list_filter(string_split(text,' '), t -> t = 'join')) AS s_es,
+        |    2 * len(list_filter(string_split(text,' '), t -> t = 'merge'))
+        |      + len(list_filter(string_split(text,' '), t -> t = 'filter')) AS s_fr,
+        |    2 * len(list_filter(string_split(text,' '), t -> t = 'spark'))
+        |      + len(list_filter(string_split(text,' '), t -> t = 'query')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN s_de >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr >= GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  s_de, s_en, s_es, s_fr, s_zh
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_token_freq" ->
+      """SELECT token, COUNT(1) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+
+/** Specs for the training-data pipeline operators (text analysis, dedup,
+  * similarity search, multimodal plumbing). */
+class PipelineQueriesSpec extends SparkTestBase {
+
+  private val allModules = Seq(
+    TextQueries.queries, DedupQueries.queries,
+    SimilarityQueries.queries, MultimodalQueries.queries)
+
+  for (m <- allModules; (name, fn) <- m.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows on sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("lang-id predictions are deterministic and within the label set") {
+    val preds = TextQueries.qLangId(spark, sf)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("de", "en", "es", "fr", "zh")))
+  }
+
+  test("exact dedup keeps every distinct text exactly once") {
+    val docs = Tables(spark, sf, "documents")
+    val kept = DedupQueries.qDedupExact(spark, sf)
+    assert(kept.agg(sum("n_dups")).head().getLong(0) == docs.count())
+    assert(kept.count() == docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("minhash-LSH pairs equal exact-jaccard pairs at the 0.7 threshold") {
+    // LSH (b=64, r=2) + exact verification must recover exactly the pairs
+    // the exact shingle-join finds — this is the core dedup guarantee.
+    val lsh = DedupQueries.qDedupMinhashLsh(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.qDedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash near-dups cover the planted high-jaccard duplicates") {
+    val planted = DedupQueries.qDedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simhash = DedupQueries.qDedupSimhash(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty, "expected planted near-duplicates in testdata")
+    // SimHash@hamming≤3 is deliberately lossier than MinHash (one 64-bit
+    // signature per doc vs 128 minhashes); ~0.7 recall on jaccard≥0.9
+    // dups is its expected operating point — MinHash-LSH is the
+    // high-recall path, simhash the cheap prefilter.
+    val recall = (planted & simhash).size.toDouble / planted.size
+    assert(recall >= 0.6, s"simhash recall $recall over planted dups")
+  }
+
+  test("ANN-IVF attains reasonable recall vs brute force") {
+    val bf = SimilarityQueries.qAnnBruteforce(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityQueries.qAnnIvf(spark, sf)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.2, s"IVF recall@5 = $recall")
+  }
+
+  test("multimodal decode preserves row count and emits sane metadata") {
+    val docs = Tables(spark, sf, "documents")
+    val meta = MultimodalQueries.qMmDecode(spark, sf)
+    assert(meta.count() == docs.count())
+    assert(meta.filter(col("width") < 64 || col("n_frames") < 1).count() == 0)
+  }
+
+  test("frame sampling emits ceil(n_frames/4) frames per doc") {
+    val frames = MultimodalQueries.qMmFrames(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    val meta = MultimodalQueries.qMmDecode(spark, sf)
+    val bad = frames.join(meta, "doc_id")
+      .filter(col("nf") =!= ceil(col("n_frames") / lit(4.0))).count()
+    assert(bad == 0)
+  }
+
+  test("dedup/similarity plans broadcast the small side, not shuffle it") {
+    val plan = SimilarityQueries.qAnnBruteforce(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("Broadcast"), "ANN query set should broadcast")
+  }
+}
