@@ -1,0 +1,46 @@
+package graft.mpp
+
+/** Metadata model for distributed tables — the Spark-native re-expression
+  * of the reference's `__mpp_system` catalog
+  * (`/root/reference/src/storage/mpp_nodes.cpp:19-41`,
+  * `mpp_shards.cpp:18-41`, `mpp_tables.cpp:22-44`).
+  *
+  * Divergences by design:
+  *  - shard *placement* (`node`) is bookkeeping only — Spark schedules
+  *    tasks; kept for surface parity of `shards` queries
+  *    (`/root/reference/test/sql/mpp.test:52`);
+  *  - placement round-robin starts at 0, not a random node
+  *    (`/root/reference/src/function/create_distributed_table.cpp:134-140`)
+  *    — determinism beats bug-for-bug parity here;
+  *  - unsigned USMALLINT/UBIGINT system columns are Int/Long.
+  */
+final case class NodeInfo(host: String, port: Int)
+
+final case class ShardInfo(tableOid: Long, shardId: Int, node: String)
+
+final case class TableInfo(
+    tableOid: Long,
+    name: String,
+    partitionColumn: String,
+    partitionColumnIndex: Long,
+    buckets: Int,
+    /** Spark DDL string of the user schema (no bucket column). */
+    schemaDdl: String,
+    /** column name → default-value SQL expression (reference resolves
+      * defaults at insert: `mpp_physical_insert.cpp:150-181`). */
+    defaults: Map[String, String],
+    deleted: Boolean)
+
+/** Immutable catalog snapshot; commits replace the whole snapshot (the
+  * Spark analogue of the reference's coordinator-only transactional
+  * metadata, `/root/reference/src/storage/mpp_transaction.cpp:10-52`). */
+final case class CatalogState(
+    nodes: Vector[NodeInfo] = Vector.empty,
+    tables: Vector[TableInfo] = Vector.empty,
+    shards: Vector[ShardInfo] = Vector.empty) {
+
+  def liveTable(name: String): Option[TableInfo] =
+    tables.find(t => t.name == name && !t.deleted)
+
+  def nextOid: Long = tables.map(_.tableOid).maxOption.getOrElse(0L) + 1L
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.mpp.MppEngine
+
+/** Driver-gate queries exercising the distributed-table engine end to
+  * end: each routes TPC-H testdata THROUGH a distributed table (DDL →
+  * hash-shuffle insert → pruned scan / COW DML → SQL on the result) and
+  * must hash-match a plain-DuckDB oracle over the original parquet —
+  * proving the capability layer neither loses nor duplicates rows.
+  *
+  * The read-only environment (lineitem_d) is built once per (session,
+  * scale factor); stateful DML queries build their own throwaway
+  * warehouse per invocation so repeated runs stay idempotent.
+  */
+object MppQueries {
+
+  private val sharedEnvs = TrieMap.empty[String, MppEngine]
+
+  private def sharedEngine(s: SparkSession, dir: String): MppEngine =
+    sharedEnvs.getOrElseUpdate(dir, {
+      val e = new MppEngine(s,
+        Files.createTempDirectory("graft-mpp-shared").toString)
+      val li = Tables(s, dir, "lineitem")
+      e.createDistributedTable("lineitem_d", li.schema.toDDL, "l_orderkey", 8)
+      e.insertInto("lineitem_d", li)
+      e
+    })
+
+  private def freshEngine(s: SparkSession): MppEngine =
+    new MppEngine(s, Files.createTempDirectory("graft-mpp-q").toString)
+
+  /** Full distributed scan + aggregate: insert/scan round trip. */
+  def qMppScanAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    e.sql("""SELECT l_returnflag, count(1) AS n,
+             round(sum(l_quantity), 4) AS sum_qty
+             FROM lineitem_d GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** Pruned point lookup on the partition column (reference S5). */
+  def qMppPruneEq(s: SparkSession, dir: String): DataFrame =
+    sharedEngine(s, dir).table("lineitem_d")
+      .filter(col("l_orderkey") === 1L)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 4).as("l_quantity"))
+      .orderBy("l_linenumber")
+
+  /** Pruned IN-list scan (reference S6) + aggregation above the scan. */
+  def qMppPruneIn(s: SparkSession, dir: String): DataFrame =
+    sharedEngine(s, dir).table("lineitem_d")
+      .filter(col("l_orderkey").isin(1L, 7L, 32L, 33L))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 4).as("sum_price"))
+      .orderBy("l_orderkey")
+
+  /** COW UPDATE through the SQL dialect, then verify via aggregate. */
+  def qMppUpdate(s: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(s)
+    val ord = Tables(s, dir, "orders")
+    e.createDistributedTable("orders_u", ord.schema.toDDL, "o_orderkey", 8)
+    e.insertInto("orders_u", ord)
+    e.sql("UPDATE orders_u SET o_totalprice = round(o_totalprice * 1.1, 2) " +
+      "WHERE o_orderkey % 10 = 0")
+    // Sum scaled to millions before rounding: at ~1e9 magnitude the
+    // fp-accumulation-order divergence between engines (~1e-2) exceeds
+    // cent precision; in millions it is ~1e-8 and rounds away.
+    e.sql("""SELECT o_orderstatus, count(1) AS n,
+             round(sum(o_totalprice) / 1000000, 4) AS total_m
+             FROM orders_u GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  /** COW DELETE through the SQL dialect, then verify via aggregate. */
+  def qMppDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(s)
+    val ord = Tables(s, dir, "orders")
+    e.createDistributedTable("orders_del", ord.schema.toDDL, "o_orderkey", 8)
+    e.insertInto("orders_del", ord)
+    e.sql("DELETE FROM orders_del WHERE o_orderkey % 3 = 0")
+    e.sql("""SELECT o_orderstatus, count(1) AS n
+             FROM orders_del GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  /** DDL dialect with DEFAULT columns + partial-column INSERT…SELECT
+    * (reference default resolution, mpp_physical_insert.cpp:150-181). */
+  def qMppDefaults(s: SparkSession, dir: String): DataFrame = {
+    val e = freshEngine(s)
+    Tables(s, dir, "customer").createOrReplaceTempView("customer_src")
+    e.sql("CREATE TABLE cust_d(c_custkey BIGINT, c_name TEXT, " +
+      "c_tier INT DEFAULT 7, c_note TEXT DEFAULT 'none') " +
+      "PARTITION BY (c_custkey) WITH BUCKETS 4")
+    e.sql("INSERT INTO cust_d (c_custkey, c_name) " +
+      "SELECT c_custkey, c_name FROM customer_src")
+    e.table("cust_d").orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mpp_scan_agg" -> (qMppScanAgg _),
+    "q_mpp_prune_eq" -> (qMppPruneEq _),
+    "q_mpp_prune_in" -> (qMppPruneIn _),
+    "q_mpp_update" -> (qMppUpdate _),
+    "q_mpp_delete" -> (qMppDelete _),
+    "q_mpp_defaults" -> (qMppDefaults _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mpp_scan_agg" ->
+      """SELECT l_returnflag, COUNT(1) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_mpp_prune_eq" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 4) AS l_quantity
+        |FROM lineitem WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin,
+    "q_mpp_prune_in" ->
+      """SELECT l_orderkey, COUNT(1) AS n,
+        | ROUND(SUM(l_extendedprice), 4) AS sum_price
+        |FROM lineitem WHERE l_orderkey IN (1, 7, 32, 33)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_mpp_update" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        | ROUND(SUM(CASE WHEN o_orderkey % 10 = 0
+        |               THEN ROUND(o_totalprice * 1.1, 2)
+        |               ELSE o_totalprice END) / 1000000, 4) AS total_m
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mpp_delete" ->
+      """SELECT o_orderstatus, COUNT(1) AS n
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mpp_defaults" ->
+      """SELECT c_custkey, c_name, 7 AS c_tier, 'none' AS c_note
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}
