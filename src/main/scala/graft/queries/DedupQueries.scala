@@ -67,9 +67,11 @@ object DedupQueries {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (the correctness baseline). */
+  /** Exact n-gram Jaccard near-dup pairs (the correctness baseline).
+    * The shingle relation feeds three plan branches (sizes + both join
+    * sides) — cache it instead of re-exploding per branch. */
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingles(s, dir), 0.5).orderBy("d1", "d2")
+    jaccardPairs(shingles(s, dir).cache(), 0.5).orderBy("d1", "d2")
 
   private val NumHashes = 128
   private val BandRows = 2 // b=64 bands of r=2 → recall ≈ 1 at jaccard ≥ 0.5
@@ -82,10 +84,12 @@ object DedupQueries {
     */
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir).cache()
-    // 128 independent hash functions via salted xxhash64; signature is the
-    // per-seed min — 128 longs per doc, constant regardless of doc length.
+    // 128 independent hash functions via seed-salted xxhash64 (the seed
+    // is an extra hashed column — no per-seed string allocation);
+    // signature is the per-seed min — 128 longs per doc, constant
+    // regardless of doc length.
     val minAggs = (0 until NumHashes).map { k =>
-      min(xxhash64(concat(col("sh"), lit(s"#$k")))).as(s"h$k")
+      min(xxhash64(col("sh"), lit(k))).as(s"h$k")
     }
     val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     // Band the signature: band value = hash of its r rows.
@@ -123,20 +127,11 @@ object DedupQueries {
     * cross-checks against the exact-Jaccard planted duplicates.
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    // Weighted bit votes → one 64-bit signature per doc.
-    val bitAggs = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i")
-    }
-    val voted = tf.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sigExpr = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    val sig = voted.select(col("doc_id"), sigExpr.as("sig"))
+    // One codegen'd pass per document — no explode, no shuffle until the
+    // (tiny) signature table below; see [[graft.functions.SimHash64]].
+    val sig = docs(s, dir).select(col("doc_id"),
+      graft.functions.VectorFunctions.simhash(s, split(col("text"), " "))
+        .as("sig"))
     // Pigeonhole blocking: hamming ≤ 3 with 4 chunks ⇒ ≥1 identical
     // 16-bit chunk; join per chunk, union, then verify with bit_count.
     val chunks = (0 until 4).map { c =>
@@ -153,23 +148,29 @@ object DedupQueries {
       .orderBy("d1", "d2")
   }
 
-  /** cosine(a, b) over two array<double> columns, fully codegen'd. */
-  private[queries] def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** cosine(a, b) via the codegen'd [[graft.functions.DotProduct]]
+    * expression; prefer [[qDedupEmbedding]]'s precomputed-norm shape in
+    * pairwise hot paths. */
+  private[queries] def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    import graft.functions.VectorFunctions.dot
+    dot(s, a, b) / (sqrt(dot(s, a, a)) * sqrt(dot(s, b, b)))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by `label` (stand-in for an
     * IVF/cluster cell — at 100 TB the pairwise cosine only ever runs
-    * within a block, never across the full corpus). */
+    * within a block, never across the full corpus). Norms are computed
+    * once per row before the join, so each pair costs exactly one
+    * codegen'd dot product. */
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(s, col("v")))
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .withColumn("cos",
+        dot(s, col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cos") >= 0.4)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
         round(col("cos"), 4).as("cos_sim"))

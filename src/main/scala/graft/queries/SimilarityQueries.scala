@@ -18,10 +18,15 @@ import graft.Tables
   */
 object SimilarityQueries {
 
+  import graft.functions.VectorFunctions.{dot, norm}
+
+  /** Corpus with the L2 norm precomputed once per row — every downstream
+    * pair then costs a single codegen'd dot product. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(s, col("v")))
 
   private val TopK = 5
   private val NumQueries = 10
@@ -30,12 +35,14 @@ object SimilarityQueries {
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
     val queries = corpus.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", DedupQueries.cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        dot(s, col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TopK)
@@ -64,21 +71,23 @@ object SimilarityQueries {
       .select(col("label").as("cell"),
         expr("transform(pm, p -> p.m)").as("cv"))
     val queries = corpus.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     // Pick nprobe nearest cells per query (tiny: |queries| × |cells|).
     val wCell = Window.partitionBy("q_id")
       .orderBy(col("cdist").desc, col("cell"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", DedupQueries.cosine(col("qv"), col("cv")))
+      .withColumn("cdist", DedupQueries.cosine(s, col("qv"), col("cv")))
       .withColumn("crnk", row_number().over(wCell))
       .filter(col("crnk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("cell"))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cell"))
     // Scan only the probed cells.
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(probes), col("label") === col("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", DedupQueries.cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        dot(s, col("qv"), col("v")) / (col("qnrm") * col("nrm")))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TopK)
