@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events stream.
+  *
+  * The reference is purely batch (SURVEY.md §1.1: no streaming surface);
+  * this module is the forward-looking stream layer the builder brief
+  * requires, built on the engine's native streaming machinery:
+  * `readStream → transforms → writeStream`, event-time watermarks with
+  * windowed aggregation, and `flatMapGroupsWithState` sessionization.
+  *
+  * Scale design: all operators are keyed by high-cardinality columns
+  * (`user_id`, `event_id`) so state partitions evenly across a 1000-
+  * executor cluster; watermarks bound state size (expired windows /
+  * sessions / dedup keys are dropped by the state store, never grow
+  * unboundedly — the non-negotiable property for a 100 TB/day stream).
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal per-user session accumulator (public: the state encoder's
+    * generated code must be able to call its accessors). */
+  final case class SessionState(start: Long, end: Long, n: Long,
+      total: Double)
+
+  /** File-source entry point: tail a directory of event parquet files as
+    * a stream (schema fixed up front — streaming sources don't infer). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Tumbling-window aggregate with a watermark: counts + value sums per
+    * (hour, event_type); late events beyond 30min are dropped and window
+    * state is reclaimed. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Exactly-once-style streaming dedup on event_id, state bounded by
+    * the watermark (the streaming twin of DedupQueries.qDedupExact). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  private val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session per
+    * user closes after 30 minutes of event-time silence (state expiry
+    * driven by the event-time watermark, so output is deterministic
+    * w.r.t. the data, not wall-clock). */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSession)
+  }
+
+  private def updateSession(userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      // Watermark passed the session gap: close and emit.
+      val s = state.get
+      state.remove()
+      Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.end),
+        s.n, s.total))
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var cur = state.getOption
+      val closed = Vector.newBuilder[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= SessionGapMs =>
+            cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1,
+              s.total + e.value))
+          case Some(s) => // gap exceeded within the batch: close inline
+            closed += Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.end + SessionGapMs)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** End-to-end wiring: stream → sessionize → parquet sink. Returns the
+    * started query (caller stops it); checkpointing makes the pipeline
+    * restartable — the production shape of the operator. */
+  def sessionPipeline(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    sessionize(readEventStream(spark, inDir).as[Event])
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+  }
+}

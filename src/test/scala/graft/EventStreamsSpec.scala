@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured-Streaming specs driven by MemoryStream: watermark-windowed
+  * aggregation, stateful sessionization, streaming dedup. */
+class EventStreamsSpec extends SparkTestBase {
+
+  // Offset away from the epoch (an event at exactly the initial
+  // watermark t=0 would be filtered as late by stateful operators),
+  // hour-aligned so minute offsets map into the expected hour windows.
+  private val Base = 1020L
+  private def ts(minutes: Long): Timestamp =
+    new Timestamp((Base + minutes) * 60000L)
+
+  private def runBatches[T](q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = {
+    q.processAllAvailable()
+  }
+
+  test("hourly windowed aggregate emits finalized windows past watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(65), 2, "view", 5.0))
+      runBatches(q)
+      // Advance the watermark far enough to finalize hour 0 and hour 1.
+      mem.addData(Event(4, ts(200), 3, "click", 1.0))
+      runBatches(q)
+      val rows = spark.table("hourly")
+        .select("hour", "event_type", "n", "sum_value")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000L - Base,
+          r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)), rows.toString)
+      assert(rows.exists(r => r._2 == "view" && r._3 == 1L && r._4 == 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on watermark expiry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // User 1: two events 5min apart (one session), then a 40-min gap
+      // event — the gap closes session 1 inline.
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0))
+      runBatches(q)
+      mem.addData(Event(3, ts(45), 1, "click", 4.0))
+      runBatches(q)
+      val afterGap = spark.table("sessions").as[EventStreams.Session]
+        .collect()
+      assert(afterGap.exists(s => s.user_id == 1 && s.n_events == 2 &&
+        s.total_value == 3.0 &&
+        s.session_start == ts(0) && s.session_end == ts(5)))
+      // Push the watermark way past 45min + gap + watermark delay: the
+      // open session times out and is emitted.
+      mem.addData(Event(9, ts(300), 2, "view", 0.0))
+      runBatches(q)
+      mem.addData(Event(10, ts(400), 2, "view", 0.0))
+      runBatches(q)
+      val all = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(all.exists(s => s.user_id == 1 && s.n_events == 1 &&
+        s.total_value == 4.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0), // dup id
+        Event(2, ts(2), 1, "view", 2.0))
+      runBatches(q)
+      mem.addData(Event(1, ts(3), 1, "click", 9.0)) // dup again
+      runBatches(q)
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("file-source session pipeline runs end to end with checkpointing") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream")
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    // Two users; user 5 has two sessions separated by a >30min gap.
+    Seq(
+      Event(1, ts(0), 5, "click", 1.0), Event(2, ts(10), 5, "click", 1.0),
+      Event(3, ts(60), 5, "click", 2.0),
+      Event(4, ts(0), 6, "view", 3.0))
+      .toDS().write.parquet(in)
+    val q = EventStreams.sessionPipeline(spark, in, out, cp)
+    try q.processAllAvailable() finally q.stop()
+    // Only sessions closed by an in-batch gap are emitted (open sessions
+    // wait for more data — correct streaming semantics): user 5's first
+    // session closed when the 60min event arrived.
+    val sessions = spark.read.parquet(out).as[EventStreams.Session].collect()
+    assert(sessions.exists(s => s.user_id == 5 && s.n_events == 2 &&
+      s.session_end == ts(10)))
+  }
+}
