@@ -129,6 +129,160 @@ object SimHashKernel {
   }
 }
 
+/** Distinct word-3-gram shingles of a token array, hashed to 64-bit
+  * longs, in ONE codegen'd pass — replaces
+  * `array_distinct(transform(sequence(...), i -> xxhash64(concat(...))))`,
+  * whose higher-order-function lambdas are evaluated interpreted with
+  * per-element boxing. Triple-chained XXH64 over the three words is
+  * injective over word boundaries (split tokens contain no separator),
+  * so the distinct count equals the distinct count of the concatenated
+  * string shingles the DuckDB oracle uses. Output is sorted — a stable
+  * canonical form for downstream `array_intersect`. */
+case class ShingleHashes3(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle3_hashes expects array<string>, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "shingle3_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleKernel.hashes3(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.ShingleKernel.hashes3($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes3 = copy(child = newChild)
+}
+
+object ShingleKernel {
+  def hashes3(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val m = if (n < 3) 0 else n - 2
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < 3) {
+        val s = arr.getUTF8String(i + j)
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, h)
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted hashes
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/** LSH band keys of a MinHash signature in ONE codegen'd pass:
+  * 128 universal hashes `a_j * h + b_j` (odd multipliers derived by
+  * splitmix64 — one multiply-add per shingle per hash, no re-hash of
+  * the shingle bytes), per-hash minimum = the signature, then 64 bands
+  * of r=2 rows XXH64-combined into one 64-bit key per band. At
+  * jaccard ≥ 0.7 the miss probability is (1-0.49)^64 ≈ 1e-19.
+  * Replaces an explode + 128-column min-aggregate (a full shuffle of
+  * every shingle) with a per-row kernel — no shuffle until the
+  * (band, key) candidate join, whose payload is 64 rows/doc regardless
+  * of document size. */
+case class MinHashBands(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects array<long>, got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashKernel.bands(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.MinHashKernel.bands($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashBands = copy(child = newChild)
+}
+
+object MinHashKernel {
+  final val NumHashes = 128
+  final val BandRows = 2
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val A: Array[Long] =
+    Array.tabulate(NumHashes)(j => splitmix64(2L * j) | 1L)
+  private val B: Array[Long] =
+    Array.tabulate(NumHashes)(j => splitmix64(2L * j + 1))
+
+  def bands(sha: ArrayData): ArrayData = {
+    val sig = new Array[Long](NumHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = sha.numElements()
+    var i = 0
+    while (i < n) {
+      val h = sha.getLong(i)
+      var j = 0
+      while (j < NumHashes) {
+        val v = A(j) * h + B(j)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val nb = NumHashes / BandRows
+    val out = new Array[Long](nb)
+    var b = 0
+    while (b < nb) {
+      var h = 42L
+      var r = 0
+      while (r < BandRows) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig(b * BandRows + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
 object VectorFunctions {
 
   /** Register the custom expressions in the session's function registry
@@ -138,6 +292,22 @@ object VectorFunctions {
       "vec_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle3_hashes", exprs => ShingleHashes3(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs.head), "built-in")
+  }
+
+  /** Codegen'd distinct hashed word-3-gram shingles of array<string>. */
+  def shingle3(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    call_function("shingle3_hashes", tokens)
+  }
+
+  /** Codegen'd MinHash-LSH band keys (64 bands, r=2) of array<long>. */
+  def minhashBands(spark: SparkSession, sha: Column): Column = {
+    register(spark)
+    call_function("minhash_bands", sha)
   }
 
   /** Codegen'd one-pass 64-bit simhash of an array<string> column. */

@@ -39,83 +39,74 @@ object DedupQueries {
       .select("keep_id", "n_dups")
       .orderBy("keep_id")
 
-  /** (doc_id, shingle) relation: distinct word 3-gram shingles per doc. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, sha) where sha = the doc's distinct word-3-gram shingles
+    * hashed to 64-bit longs by the codegen'd
+    * [[graft.functions.ShingleHashes3]] kernel — ONE pass per document,
+    * no explode/shuffle, no interpreted lambdas. Long keys shrink every
+    * downstream join payload to 8 bytes/shingle; the 2^-64 collision
+    * rate is far below the oracle's 4-decimal jaccard resolution.
+    * Cached: it feeds both sides of the self-joins plus verification. */
+  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(0, size(w) - 3)," +
-          " i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.shingle3(s, col("w")).as("sha"))
+      .cache()
 
-  /** Exact Jaccard similarity of all pairs above `thresh`, via a
-    * shingle-equality self-join (no cross product). */
-  private def jaccardPairs(sh: DataFrame, thresh: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
+  /** Exact n-gram Jaccard near-dup pairs (the correctness baseline):
+    * inverted-index self-join on hashed shingles (never a cross
+    * product); per-doc sizes come from `size(sha)` — no extra
+    * aggregation — and broadcast into the final projection. */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val da = shingleArrays(s, dir)
+    val sh = da.select(col("doc_id"), explode(col("sha")).as("h"))
+    val sizes = da.select(col("doc_id"), size(col("sha")).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
     common
-      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
+      .join(broadcast(sizes).as("na"), col("d1") === col("na.doc_id"))
+      .join(broadcast(sizes).as("nb"), col("d2") === col("nb.doc_id"))
       .withColumn("jac",
         col("c") * lit(1.0) / (col("na.n") + col("nb.n") - col("c")))
-      .filter(col("jac") >= thresh)
+      .filter(col("jac") >= 0.5)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+      .orderBy("d1", "d2")
   }
-
-  /** Exact n-gram Jaccard near-dup pairs (the correctness baseline).
-    * The shingle relation feeds three plan branches (sizes + both join
-    * sides) — cache it instead of re-exploding per branch. */
-  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingles(s, dir).cache(), 0.5).orderBy("d1", "d2")
-
-  private val NumHashes = 128
-  private val BandRows = 2 // b=64 bands of r=2 → recall ≈ 1 at jaccard ≥ 0.5
 
   /** MinHash + LSH near-dup pairs, exact-verified at jaccard ≥ 0.7.
     *
     * With r=2, b=64 the probability of missing a pair at j=0.7 is
     * (1-0.49)^64 ≈ 1e-19, so after exact verification the output equals
     * the exact-Jaccard query — which is exactly what the oracle asserts.
-    */
+    *
+    * Scale shape: signature + band keys are computed per-row by the
+    * codegen'd [[graft.functions.MinHashBands]] kernel (one multiply-add
+    * per shingle per hash — NO explode + 128-column aggregate shuffle);
+    * the only shuffles are the (band, bv) candidate join — 8-byte keys,
+    * 64 rows/doc regardless of document size — and the tiny candidate
+    * set. Verification joins the broadcast (doc_id, sha) arrays and
+    * counts `array_intersect`, so exact jaccard costs one array pass
+    * per candidate pair. */
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir).cache()
-    // 128 independent hash functions via seed-salted xxhash64 (the seed
-    // is an extra hashed column — no per-seed string allocation);
-    // signature is the per-seed min — 128 longs per doc, constant
-    // regardless of doc length.
-    val minAggs = (0 until NumHashes).map { k =>
-      min(xxhash64(col("sh"), lit(k))).as(s"h$k")
-    }
-    val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    // Band the signature: band value = hash of its r rows.
-    val bandCols = (0 until NumHashes / BandRows).map { j =>
-      val rows = (0 until BandRows).map(r => col(s"h${j * BandRows + r}"))
-      xxhash64(rows: _*)
-    }
-    val bands = sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val da = shingleArrays(s, dir)
+    val bands = da.select(col("doc_id"),
+      posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
+        .as(Seq("band", "bv")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // Exact verification restricted to candidate pairs.
-    val verified = cand
-      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("d2") === col("sb.doc_id") &&
-        col("sa.sh") === col("sb.sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("c"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    verified
-      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
-      .withColumn("jac",
-        col("c") * lit(1.0) / (col("na.n") + col("nb.n") - col("c")))
+    cand
+      .join(broadcast(da).as("sa"), col("d1") === col("sa.doc_id"))
+      .join(broadcast(da).as("sb"), col("d2") === col("sb.doc_id"))
+      .withColumn("c",
+        size(array_intersect(col("sa.sha"), col("sb.sha"))))
+      .withColumn("jac", col("c") * lit(1.0) /
+        (size(col("sa.sha")) + size(col("sb.sha")) - col("c")))
       .filter(col("jac") >= 0.7)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
       .orderBy("d1", "d2")
@@ -133,11 +124,12 @@ object DedupQueries {
       graft.functions.VectorFunctions.simhash(s, split(col("text"), " "))
         .as("sig"))
     // Pigeonhole blocking: hamming ≤ 3 with 4 chunks ⇒ ≥1 identical
-    // 16-bit chunk; join per chunk, union, then verify with bit_count.
-    val chunks = (0 until 4).map { c =>
-      sig.select(col("doc_id"), col("sig"), lit(c).as("chunk"),
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck"))
-    }.reduce(_ union _)
+    // 16-bit chunk. posexplode (not a 4-way union) so the signature is
+    // computed once per document, then verify with bit_count.
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ck")))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
           col("x.doc_id") < col("y.doc_id"))
