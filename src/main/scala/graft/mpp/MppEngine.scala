@@ -212,18 +212,35 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** DELETE FROM … WHERE …: COW rewrite keeping non-matching rows.
-    * Returns the deleted row count. */
+    * Returns the deleted row count. An unconditional DELETE needs no
+    * rewrite at all — count, then drop every bucket directory. */
   def delete(name: String, where: Option[String]): Long = {
     val t = info(name)
-    val cond = where.map(expr).getOrElse(lit(true))
-    rewriteBuckets(t, where, cond, _.filter(!coalesce(cond, lit(false))))
+    where match {
+      case None =>
+        val n = readWithBucket(t).count()
+        val conf = spark.sessionState.newHadoopConf()
+        val dataRoot = new Path(dataPath(t.name))
+        val fs = dataRoot.getFileSystem(conf)
+        (0 until t.buckets).foreach { k =>
+          fs.delete(new Path(dataRoot, s"$BucketCol=$k"), true)
+        }
+        refreshView(t)
+        n
+      case _ =>
+        val cond = where.map(expr).getOrElse(lit(true))
+        rewriteBuckets(t, where, cond, _.filter(!coalesce(cond, lit(false))))
+    }
   }
 
-  /** Shared COW machinery: read pruned buckets, count the affected rows,
-    * transform, write to staging, atomically swap the affected bucket
-    * directories. Returns the affected-row count (counted in its own
-    * pass — an Observation would be optimized away whenever the rewrite
-    * collapses, e.g. unconditional DELETE → Filter(false) → empty plan). */
+  /** Shared COW machinery: read pruned buckets, transform, write to
+    * staging, atomically swap the affected bucket directories. Returns
+    * the affected-row count, observed during the write job itself (one
+    * scan, not two). Catalyst can erase the CollectMetrics node when the
+    * rewrite collapses (e.g. WHERE that folds to true under DELETE →
+    * `Filter(false)` → empty relation) and the Observation would then
+    * never fire — detected on the optimized plan, falling back to a
+    * separate count in that (rare) case. */
   private def rewriteBuckets(t: TableInfo, where: Option[String],
       cond: org.apache.spark.sql.Column,
       transform: DataFrame => DataFrame): Long = {
@@ -233,8 +250,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       if (affected.size == t.buckets) readWithBucket(t)
       else readWithBucket(t)
         .filter(col(BucketCol).isin(affected.toSeq: _*))
-    val affectedRows = work.filter(cond).count()
-    val out = transform(work)
+    val obs = Observation()
+    val observed = work.observe(obs,
+      coalesce(sum(when(cond, 1L)), lit(0L)).as("n"))
+    var out = transform(observed)
+    val obsSurvives = out.queryExecution.optimizedPlan.collectFirst {
+      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+    }.isDefined
+    val affectedRows = if (obsSurvives) -1L else work.filter(cond).count()
+    if (!obsSurvives) out = transform(work)
     val staging = s"$warehouse/.staging/${UUID.randomUUID()}"
     out.repartition(affected.size, col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(staging)
@@ -253,7 +277,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
     fs.delete(new Path(staging), true)
     refreshView(t)
-    affectedRows
+    if (affectedRows >= 0) affectedRows else observedLong(obs)
   }
 
   // --- transactions (metadata-only, reference T1 semantics) -------------

@@ -67,6 +67,16 @@ object MppQueries {
         round(sum("l_extendedprice"), 4).as("sum_price"))
       .orderBy("l_orderkey")
 
+  /** OR-of-equalities pruning (reference S8: prune each disjunct, union
+    * the shard sets — mpp_table_scan.cpp:110-123). */
+  def qMppPruneOr(s: SparkSession, dir: String): DataFrame =
+    sharedEngine(s, dir).table("lineitem_d")
+      .filter(col("l_orderkey") === 1L || col("l_orderkey") === 100L ||
+        col("l_orderkey").isNull)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** COW UPDATE through the SQL dialect, then verify via aggregate. */
   def qMppUpdate(s: SparkSession, dir: String): DataFrame = {
     val e = freshEngine(s)
@@ -111,6 +121,7 @@ object MppQueries {
     "q_mpp_scan_agg" -> (qMppScanAgg _),
     "q_mpp_prune_eq" -> (qMppPruneEq _),
     "q_mpp_prune_in" -> (qMppPruneIn _),
+    "q_mpp_prune_or" -> (qMppPruneOr _),
     "q_mpp_update" -> (qMppUpdate _),
     "q_mpp_delete" -> (qMppDelete _),
     "q_mpp_defaults" -> (qMppDefaults _),
@@ -128,6 +139,12 @@ object MppQueries {
         | ROUND(SUM(l_extendedprice), 4) AS sum_price
         |FROM lineitem WHERE l_orderkey IN (1, 7, 32, 33)
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_mpp_prune_or" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice, 4) AS l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey = 1 OR l_orderkey = 100 OR l_orderkey IS NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_mpp_update" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         | ROUND(SUM(CASE WHEN o_orderkey % 10 = 0
