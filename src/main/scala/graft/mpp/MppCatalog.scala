@@ -80,6 +80,8 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     s.nodes.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/nodes")
     s.tables.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/tables")
     s.shards.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/shards")
+    s.schemas.toDF("name").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/schemas")
     val tmp = Paths.get(s"$catalogDir/CURRENT.tmp")
     Files.createDirectories(tmp.getParent)
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
@@ -98,7 +100,10 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       CatalogState(
         spark.read.parquet(s"$dir/nodes").as[NodeInfo].collect().toVector,
         spark.read.parquet(s"$dir/tables").as[TableInfo].collect().toVector,
-        spark.read.parquet(s"$dir/shards").as[ShardInfo].collect().toVector)
+        spark.read.parquet(s"$dir/shards").as[ShardInfo].collect().toVector,
+        if (Files.exists(Paths.get(s"$dir/schemas")))
+          spark.read.parquet(s"$dir/schemas").as[String].collect().toVector
+        else Vector("main"))
     }
   }
 

@@ -299,6 +299,54 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // --- schema namespace + catalog scan (reference D4/D5) ----------------
+
+  /** CREATE SCHEMA (reference `MppCatalog::CreateSchema`,
+    * mpp_catalog.cpp:66-87). Idempotent with ifNotExists. */
+  def createSchema(name: String, ifNotExists: Boolean = false): Unit = {
+    val exists = catalog.state.schemas.contains(name)
+    if (exists) {
+      if (!ifNotExists)
+        throw new IllegalArgumentException(s"schema $name already exists")
+    } else catalog.mutate(s => s.copy(schemas = s.schemas :+ name))
+  }
+
+  /** DROP SCHEMA: unsupported, like the reference
+    * (mpp_catalog.cpp:130-132 throws NotImplemented). */
+  def dropSchema(name: String): Unit =
+    throw new UnsupportedOperationException(
+      "DROP SCHEMA is not implemented (reference parity: " +
+        "mpp_catalog.cpp:130-132)")
+
+  /** SHOW TABLES — catalog scan over live distributed tables (reference
+    * `MppSchemaEntry::Scan`, mpp_schema_entry.cpp:45-70). */
+  def listTables(): DataFrame = {
+    import spark.implicits._
+    catalog.state.tables.filterNot(_.deleted)
+      .map(t => (t.name, t.partitionColumn, t.buckets))
+      .toDF("name", "partition_column", "buckets")
+  }
+
+  /** Debug scan of ONE shard of a distributed table — the Spark-side
+    * analogue of the reference's `remote_query` ad-hoc TVF
+    * (remote_query.cpp:20-53): under Spark there is no per-node SQL, so
+    * the nearest meaningful surface is reading a single bucket
+    * directory. */
+  def readShard(name: String, shardId: Int): DataFrame = {
+    val t = info(name)
+    require(shardId >= 0 && shardId < t.buckets,
+      s"shard $shardId out of range [0, ${t.buckets})")
+    val dir = new Path(s"${dataPath(t.name)}/$BucketCol=$shardId")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // A bucket no row ever hashed into has no directory yet — that is an
+    // empty shard, not an error.
+    if (fs.exists(dir))
+      spark.read.schema(userSchema(t)).parquet(dir.toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        userSchema(t))
+  }
+
   // --- system tables + explain surface ----------------------------------
 
   def systemTable(which: String): DataFrame = which match {
@@ -354,6 +402,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       case DropRe(name) if catalog.state.liveTable(name).isDefined =>
         dropTable(name)
         Seq(s"DROP TABLE $name").toDF("result")
+      case CreateSchemaRe(ine, name) =>
+        createSchema(name, ifNotExists = ine != null)
+        Seq(s"CREATE SCHEMA $name").toDF("result")
+      case DropSchemaRe(name) =>
+        dropSchema(name)
+        Seq.empty[String].toDF("result") // unreachable
+      case ShowTablesRe() =>
+        listTables()
       case _ =>
         // Guard against mutual recursion with the injected parser: a
         // statement the parser would intercept but we cannot handle is a
@@ -381,6 +437,12 @@ object MppEngine {
     """(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$""".r
+  private val CreateSchemaRe =
+    """(?is)^CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)$""".r
+  private val DropSchemaRe =
+    """(?is)^DROP\s+SCHEMA\s+(\w+)$""".r
+  private val ShowTablesRe =
+    """(?is)^SHOW\s+TABLES$""".r
 
   /** Split on commas not nested in parens (DECIMAL(10,2), DEFAULT f(x)). */
   private[mpp] def splitTopLevel(s: String): Seq[String] = {

@@ -37,7 +37,10 @@ final case class TableInfo(
 final case class CatalogState(
     nodes: Vector[NodeInfo] = Vector.empty,
     tables: Vector[TableInfo] = Vector.empty,
-    shards: Vector[ShardInfo] = Vector.empty) {
+    shards: Vector[ShardInfo] = Vector.empty,
+    /** User schema namespaces (reference D4: `__mpp_<name>` entries,
+      * `mpp_catalog.cpp:66-87`); `main` always exists. */
+    schemas: Vector[String] = Vector("main")) {
 
   def liveTable(name: String): Option[TableInfo] =
     tables.find(t => t.name == name && !t.deleted)

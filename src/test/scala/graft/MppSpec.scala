@@ -157,6 +157,26 @@ class MppSpec extends SparkTestBase {
     assert(nodes == 2)
   }
 
+  // --- schema namespace + catalog scan + shard debug (D4/D5/M2) ---------
+
+  test("create schema / show tables / single-shard debug read") {
+    val e = freshEngine()
+    e.sql("CREATE SCHEMA analytics")
+    intercept[IllegalArgumentException] { e.createSchema("analytics") }
+    e.sql("CREATE SCHEMA IF NOT EXISTS analytics") // idempotent form
+    assert(e.catalog.state.schemas.contains("analytics"))
+    // DROP SCHEMA errors, like the reference (mpp_catalog.cpp:130-132).
+    intercept[UnsupportedOperationException] { e.sql("DROP SCHEMA analytics") }
+    e.sql("CREATE TABLE st(id INT, v TEXT) PARTITION BY (id) WITH BUCKETS 3")
+    e.sql("INSERT INTO st VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val shown = e.sql("SHOW TABLES").collect()
+    assert(shown.map(_.getString(0)).toSeq == Seq("st"))
+    // Shard reads partition the table: disjoint, complete.
+    val perShard = (0 until 3).map(k => e.readShard("st", k).count()).sum
+    assert(perShard == 4L)
+    intercept[IllegalArgumentException] { e.readShard("st", 9) }
+  }
+
   // --- parser-extension path (D2) ---------------------------------------
 
   test("SparkSessionExtensions parser intercepts the dialect end-to-end") {
