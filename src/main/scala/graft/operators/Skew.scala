@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for the 100 TB path.
+  *
+  * AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on
+  * by default) already handles sort-merge-join skew at runtime; these
+  * cover the two shapes AQE does not:
+  *
+  *  - [[Skew.saltedJoin]] — a shuffle join where ONE key holds so many
+  *    rows that even a split partition overwhelms a task: the big side is
+  *    salted into `salt` sub-keys with a deterministic per-row spread,
+  *    and the small side is replicated `salt`× so every (key, salt)
+  *    bucket finds its match. Result is row-identical to the unsalted
+  *    join.
+  *  - [[Skew.saltedAggregate]] — two-phase aggregation for
+  *    high-cardinality-value/low-cardinality-key aggregates where the
+  *    map-side partial aggregation cannot shrink the hot key (e.g.
+  *    `collect_list`, exact `count(distinct)` re-expressed as two
+  *    groupBys). Phase 1 aggregates (key, salt); phase 2 merges the
+  *    `salt` partials per key. For algebraic aggregates (sum/count/min/
+  *    max/avg) Spark's own partial aggregation already does this —
+  *    prefer plain `groupBy` there.
+  */
+object Skew {
+
+  /** Deterministic row spread in [0, salt): seeded `rand` is stable for
+    * a given partitioning, and independence from the join key is what
+    * breaks the hot key apart. */
+  private def spread(salt: Int): Column =
+    (rand(42) * salt).cast("int")
+
+  /** Inner equi-join `big ⋈ small` on `key`, with the hot keys of `big`
+    * spread over `salt` sub-partitions. `small` is replicated `salt`×
+    * via a literal-range explode (no extra shuffle of `big` beyond the
+    * join's own). Use when one key's row count ≫ a task's capacity and
+    * the small side is too big to broadcast outright. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int = 16): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val bigS = big.withColumn("__salt", spread(salt))
+    val smallS = small.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-phase grouped aggregation: phase 1 on (keys…, salt) with
+    * `partial`, phase 2 on keys with `merge` over the phase-1 column.
+    * The caller supplies both halves of the decomposition, e.g.
+    * partial = `collect_list(x)`, merge = `flatten(collect_list(xs))`. */
+  def saltedAggregate(df: DataFrame, keys: Seq[String],
+      partial: Column, partialName: String, merge: Column,
+      mergeName: String, salt: Int = 16): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    df.withColumn("__salt", spread(salt))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partial.as(partialName))
+      .groupBy(keys.map(col): _*)
+      .agg(merge.as(mergeName))
+  }
+}
