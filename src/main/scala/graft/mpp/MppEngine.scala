@@ -378,6 +378,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val (ddl, defaults) = parseColumns(cols)
         createDistributedTable(name, ddl, pc, n.toInt, defaults)
         Seq(s"CREATE TABLE $name").toDF("result")
+      case CtasRe(name, pc, n, query) =>
+        // Capability superset: the reference REJECTS CREATE TABLE AS on
+        // mpp catalogs (mpp_catalog.cpp:109-112, README.md:106); under
+        // Spark the source query is just a DataFrame to insert.
+        val src = spark.sql(query)
+        createDistributedTable(name, src.schema.toDDL, pc, n.toInt)
+        val cnt = insertInto(name, src)
+        Seq(s"CREATE TABLE $name AS ($cnt rows)").toDF("result")
       case InsertRe(name, colList, source)
           if catalog.state.liveTable(name).isDefined =>
         val src = spark.sql(source)
@@ -437,6 +445,8 @@ object MppEngine {
     """(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$""".r
+  private val CtasRe =
+    """(?is)^CREATE\s+TABLE\s+(\w+)\s+PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)\s+AS\s+(.*)$""".r
   private val CreateSchemaRe =
     """(?is)^CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)$""".r
   private val DropSchemaRe =

@@ -58,6 +58,8 @@ object MppParser {
 
   private val CreateDialect =
     """(?is).*\)\s*PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s*;?\s*$""".r
+  private val CtasDialect =
+    """(?is)^\s*CREATE\s+TABLE\s+\w+\s+PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s+AS\s+.*$""".r
   private val DmlHead =
     """(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+(\w+)\b.*""".r
 
@@ -66,6 +68,7 @@ object MppParser {
     * table of the current engine. */
   def intercepts(sql: String): Boolean = sql match {
     case CreateDialect() => true
+    case CtasDialect() => true
     case DmlHead(_, table) =>
       MppEngine.current.exists(_.catalog.state.liveTable(table).isDefined)
     case _ => false

@@ -62,7 +62,9 @@ object DedupQueries {
     val da = shingleArrays(s, dir)
     val sh = da.select(col("doc_id"), explode(col("sha")).as("h"))
     val sizes = da.select(col("doc_id"), size(col("sha")).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
+    // shuffle_hash: an inverted-index self-join needs no sort order, and
+    // skipping SMJ's two 260k-row sorts halves the join time.
+    val common = sh.as("a").join(sh.hint("shuffle_hash").as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -95,7 +97,7 @@ object DedupQueries {
     val bands = da.select(col("doc_id"),
       posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
         .as(Seq("band", "bv")))
-    val cand = bands.as("x").join(bands.as("y"),
+    val cand = bands.as("x").join(bands.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -120,9 +122,12 @@ object DedupQueries {
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // One codegen'd pass per document — no explode, no shuffle until the
     // (tiny) signature table below; see [[graft.functions.SimHash64]].
+    // coalesce makes the signature non-nullable: otherwise the join-key
+    // null filter inlines `isnotnull(simhash64(...))` below the Project
+    // and the kernel runs twice per row.
     val sig = docs(s, dir).select(col("doc_id"),
-      graft.functions.VectorFunctions.simhash(s, split(col("text"), " "))
-        .as("sig"))
+      graft.functions.VectorFunctions.simhash(s,
+        split(coalesce(col("text"), lit("")), " ")).as("sig"))
     // Pigeonhole blocking: hamming ≤ 3 with 4 chunks ⇒ ≥1 identical
     // 16-bit chunk. posexplode (not a 4-way union) so the signature is
     // computed once per document, then verify with bit_count.
@@ -130,7 +135,7 @@ object DedupQueries {
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk", "ck")))
-    chunks.as("x").join(chunks.as("y"),
+    chunks.as("x").join(chunks.hint("shuffle_hash").as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),

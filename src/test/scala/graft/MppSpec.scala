@@ -157,6 +157,23 @@ class MppSpec extends SparkTestBase {
     assert(nodes == 2)
   }
 
+  // --- CTAS (capability superset — reference throws, mpp_catalog.cpp:109)
+
+  test("CREATE TABLE ... AS SELECT creates and loads a distributed table") {
+    val e = freshEngine()
+    spark.range(0, 100).selectExpr("id", "id * 2 AS dbl")
+      .createOrReplaceTempView("ctas_src")
+    e.sql("CREATE TABLE ctas_t PARTITION BY (id) WITH BUCKETS 4 " +
+      "AS SELECT * FROM ctas_src")
+    assert(e.table("ctas_t").count() == 100L)
+    assert(e.systemTable("shards")
+      .join(e.systemTable("tables").filter("name = 'ctas_t'"), "table_oid")
+      .count() == 4)
+    val pruned = e.table("ctas_t").filter(col("id") === 7L)
+    assert(e.explainShards(pruned) == "Shards: 1/4")
+    assert(pruned.head().getLong(1) == 14L)
+  }
+
   // --- schema namespace + catalog scan + shard debug (D4/D5/M2) ---------
 
   test("create schema / show tables / single-shard debug read") {

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Plan-shape guards for the 100 TB path: these assertions pin the
+  * physical-plan properties that keep the engine scalable — filter
+  * pushdown reaching the parquet scan, column pruning shrinking
+  * ReadSchema, broadcast joins for dimensions, and whole-stage codegen
+  * over the hot expressions. A regression here doesn't change results
+  * (the oracle gate stays green) but silently costs orders of magnitude
+  * at scale — exactly the class of bug correctness tests can't catch. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters are pushed down to the parquet scan") {
+    val li = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val s = scans(li)
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_quantity"), pushed)
+  }
+
+  test("column pruning shrinks ReadSchema to the projected columns") {
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_tax")
+    val schema = scans(li).head.requiredSchema.fieldNames.toSet
+    assert(schema == Set("l_orderkey", "l_tax"), schema)
+  }
+
+  test("q5 joins every dimension via broadcast, never shuffling lineitem twice") {
+    val plan = planString(
+      graft.queries.AnalyticQueries.q5RegionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!plan.contains("SortMergeJoin"),
+      "a dimension join fell back to sort-merge")
+  }
+
+  test("dedup scoring runs inside whole-stage codegen, computed once") {
+    val df = graft.queries.DedupQueries.qDedupSimhash(spark, sf)
+    df.collect() // finalize THIS query execution's adaptive plan
+    // (count() would spawn a separate QueryExecution)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("simhash64"), plan.take(500))
+    // The signature computation sits under a WholeStageCodegen span
+    // (printed as a `*(n)` operator prefix in the finalized plan).
+    assert("""\*\(\d+\) Project \[[^\n]*simhash64""".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+    // Non-nullable input keeps the kernel out of inlined isnotnull
+    // filters — one evaluation per join side, never inside a Filter.
+    assert(!plan.contains("isnotnull(simhash64"), plan.take(2000))
+  }
+
+  test("distributed-table point lookup schedules only the pruned bucket") {
+    import java.nio.file.Files
+    val e = new graft.mpp.MppEngine(spark,
+      Files.createTempDirectory("graft-pq").toString)
+    e.sql("CREATE TABLE pq(id BIGINT, v DOUBLE) PARTITION BY (id) WITH BUCKETS 8")
+    e.insertInto("pq", spark.range(0, 1000).toDF("id")
+      .withColumn("v", col("id") * 0.5))
+    val q = e.table("pq").filter(col("id") === 123L)
+    // Partition-directory pruning: the scan's selected partitions == 1.
+    val scan = scans(q).head
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .size == 1)
+  }
+}
