@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, DedupQueries, MppQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticQueries, CorpusQueries, DedupQueries, MppQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,6 +19,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracles),
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (CorpusQueries.queries, CorpusQueries.oracles),
       (MppQueries.queries, MppQueries.oracles),
     )
 

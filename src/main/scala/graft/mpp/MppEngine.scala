@@ -418,6 +418,13 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         Seq.empty[String].toDF("result") // unreachable
       case ShowTablesRe() =>
         listTables()
+      case TxnRe(verb) =>
+        verb.toUpperCase match {
+          case "BEGIN" => begin()
+          case "COMMIT" => commit()
+          case _ => rollback()
+        }
+        Seq(verb.toUpperCase).toDF("result")
       case _ =>
         // Guard against mutual recursion with the injected parser: a
         // statement the parser would intercept but we cannot handle is a
@@ -453,6 +460,8 @@ object MppEngine {
     """(?is)^DROP\s+SCHEMA\s+(\w+)$""".r
   private val ShowTablesRe =
     """(?is)^SHOW\s+TABLES$""".r
+  private val TxnRe =
+    """(?is)^(BEGIN|COMMIT|ROLLBACK)(?:\s+TRANSACTION)?$""".r
 
   /** Split on commas not nested in parens (DECIMAL(10,2), DEFAULT f(x)). */
   private[mpp] def splitTopLevel(s: String): Seq[String] = {

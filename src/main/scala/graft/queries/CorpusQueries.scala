@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The composed corpus-cleaning pipeline — the flagship training-data
+  * shape: quality filter → exact dedup → near-dup removal, in one
+  * DataFrame program (builder brief; the reference has no text surface).
+  *
+  * Stages, each independently scalable and shuffle-minimal:
+  *  1. quality scoring (same formula as [[TextQueries.qTextStats]]):
+  *     a per-row codegen'd projection, no shuffle;
+  *  2. exact dedup: keep the min doc_id per md5(text) — one window
+  *     over the 16-byte fingerprint;
+  *  3. near-dup removal: MinHash-LSH pairs (jaccard ≥ 0.7) among the
+  *     survivors via [[DedupQueries.lshPairs]]; a doc is dropped when a
+  *     surviving near-duplicate with a smaller doc_id exists (one-hop
+  *     rule — deterministic and SQL-expressible, so the DuckDB oracle
+  *     can assert the exact kept set; full transitive closure would
+  *     need iterative connected components, which no single SQL oracle
+  *     could check).
+  */
+object CorpusQueries {
+
+  private val toks = split(col("text"), " ")
+
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(col("text")).as("fp"),
+      round(
+        lit(0.5) * (size(array_distinct(toks)) / (size(toks) * lit(1.0))) +
+          lit(0.5) * least(size(toks) / lit(200.0), lit(1.0)),
+        4).as("quality"))
+    val filtered = q.filter(col("quality") >= 0.35 && col("n_tokens") >= 10)
+    val surv = filtered
+      .withColumn("mn", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("mn"))
+      .select("doc_id", "lang", "n_tokens")
+    // Near-dup pairs restricted to survivors (both endpoints).
+    val da = DedupQueries.shingleArrays(s, dir)
+      .join(surv.select("doc_id"), "doc_id")
+    val drop = DedupQueries.lshPairs(s, da, 0.7)
+      .select(col("d2").as("doc_id")).distinct()
+    surv.join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_clean" -> (qCorpusClean _))
+
+  val oracles: Map[String, String] = Map(
+    "q_corpus_clean" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    md5(text) AS fp,
+        |    ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |                 / len(string_split(text, ' ')))
+        |          + 0.5 * LEAST(len(string_split(text, ' ')) / 200.0, 1.0),
+        |          4) AS quality
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id, lang, n_tokens, text FROM q
+        |  WHERE quality >= 0.35 AND n_tokens >= 10
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+        |w AS (SELECT doc_id, string_split(text, ' ') ws FROM surv),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(ws) - 1, 2)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sgl
+        |       FROM w WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+        |           FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT d2 FROM common
+        |       JOIN sizes na ON d1 = na.doc_id
+        |       JOIN sizes nb ON d2 = nb.doc_id
+        |       WHERE c * 1.0 / (na.n + nb.n - c) >= 0.7)
+        |SELECT doc_id, lang, n_tokens FROM surv
+        |WHERE doc_id NOT IN (SELECT d2 FROM nd)
+        |ORDER BY doc_id""".stripMargin)
+}

@@ -46,7 +46,7 @@ object DedupQueries {
     * downstream join payload to 8 bytes/shingle; the 2^-64 collision
     * rate is far below the oracle's 4-decimal jaccard resolution.
     * Cached: it feeds both sides of the self-joins plus verification. */
-  private def shingleArrays(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleArrays(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -92,8 +92,15 @@ object DedupQueries {
     * set. Verification joins the broadcast (doc_id, sha) arrays and
     * counts `array_intersect`, so exact jaccard costs one array pass
     * per candidate pair. */
-  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val da = shingleArrays(s, dir)
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, shingleArrays(s, dir), 0.7).orderBy("d1", "d2")
+
+  /** MinHash-LSH candidate generation + exact `array_intersect`
+    * verification over an arbitrary (doc_id, sha) relation — the
+    * reusable core of [[qDedupMinhashLsh]] and the corpus-clean
+    * pipeline. Returns exact-verified (d1 < d2, jaccard ≥ thresh). */
+  private[queries] def lshPairs(s: SparkSession, da: DataFrame,
+      thresh: Double): DataFrame = {
     val bands = da.select(col("doc_id"),
       posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
         .as(Seq("band", "bv")))
@@ -109,9 +116,8 @@ object DedupQueries {
         size(array_intersect(col("sa.sha"), col("sb.sha"))))
       .withColumn("jac", col("c") * lit(1.0) /
         (size(col("sa.sha")) + size(col("sb.sha")) - col("c")))
-      .filter(col("jac") >= 0.7)
+      .filter(col("jac") >= thresh)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
-      .orderBy("d1", "d2")
   }
 
   /** 64-bit SimHash near-dup pairs at hamming distance ≤ 3.

@@ -138,6 +138,17 @@ class MppSpec extends SparkTestBase {
     e.commit()
     val e2 = new MppEngine(spark, e.warehouse)
     assert(e2.catalog.state.liveTable("tx2").isDefined)
+    // Same semantics through the SQL script surface (the literal shape
+    // of mpp_transaction.test:15-26).
+    e2.sql("BEGIN")
+    e2.sql("CREATE TABLE tx3(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    assert(e2.catalog.state.liveTable("tx3").isDefined)
+    e2.sql("ROLLBACK")
+    assert(e2.catalog.state.liveTable("tx3").isEmpty)
+    e2.sql("BEGIN TRANSACTION")
+    e2.sql("CREATE TABLE tx4(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    e2.sql("COMMIT")
+    assert(e2.catalog.state.liveTable("tx4").isDefined)
   }
 
   // --- mpp.test:30-36 — cluster metadata --------------------------------

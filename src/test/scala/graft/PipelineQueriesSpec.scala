@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
 
 /** Specs for the training-data pipeline operators (text analysis, dedup,
   * similarity search, multimodal plumbing). */
@@ -10,12 +10,22 @@ class PipelineQueriesSpec extends SparkTestBase {
 
   private val allModules = Seq(
     TextQueries.queries, DedupQueries.queries,
-    SimilarityQueries.queries, MultimodalQueries.queries)
+    SimilarityQueries.queries, MultimodalQueries.queries,
+    CorpusQueries.queries)
 
   for (m <- allModules; (name, fn) <- m.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
       assert(fn(spark, sf).count() > 0, s"$name returned no rows")
     }
+  }
+
+  test("corpus clean removes exact and near duplicates, keeps the rest") {
+    val docs = Tables(spark, sf, "documents")
+    val kept = CorpusQueries.qCorpusClean(spark, sf)
+    assert(kept.count() > 0 && kept.count() < docs.count())
+    // No two kept docs share an exact fingerprint.
+    val fps = kept.join(docs, "doc_id").select(md5(col("text")).as("fp"))
+    assert(fps.count() == fps.distinct().count())
   }
 
   test("lang-id predictions are deterministic and within the label set") {
