@@ -10,20 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Spark-native port of the reference's system-table layer + transaction
   * manager (`/root/reference/src/storage/mpp_system_table.cpp:18-92`,
   * `mpp_transaction_manager.cpp:18-50`): metadata commits are atomic on
-  * the coordinator (here: snapshot dir + CURRENT pointer rename), data
+  * the coordinator (here: snapshot file + CURRENT pointer rename), data
   * writes are not transactional — exactly the reference's guarantee
   * (README.md:115, no 2PC).
   *
   * Persistence layout under `<warehouse>/_mpp_catalog/`:
   * {{{
-  *   v00001/{nodes,tables,shards}/  (parquet)  // snapshot per version
-  *   CURRENT                                  // text file: committed version
+  *   v00001.json   // full snapshot per version (driver-side JSON write —
+  *                 // metadata is O(tables × buckets) rows; a commit must
+  *                 // NOT cost Spark jobs, DDL/DML latency rides on it)
+  *   CURRENT       // text file: committed version (atomic rename)
   * }}}
-  * Snapshots are parquet written by Spark itself — the system tables ARE
-  * DataFrames, so `nodes()/shards()/tables()` queries read the committed
-  * snapshot with zero extra machinery. At 100 TB the metadata is still
-  * tiny (O(tables × buckets) rows); a single-file snapshot per version is
-  * the right design (same shape as Delta/Iceberg version pointers).
+  * The system tables are still served as DataFrames
+  * (`nodesDf/shardsDf/tablesDf`) — from the in-memory snapshot, same
+  * shape as Delta/Iceberg version pointers.
   */
 final class MppCatalog(spark: SparkSession, val warehouse: String) {
 
@@ -69,21 +69,18 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
         .trim.toLong
     else 0L
 
-  private def snapDir(v: Long): String = f"$catalogDir/v$v%05d"
+  private def snapFile(v: Long): String = f"$catalogDir/v$v%05d.json"
+
+  import MppCatalog.mapper
 
   private def persist(s: CatalogState): Unit = {
-    import spark.implicits._
     val v = version + 1
-    val dir = snapDir(v)
     // Write the full snapshot, then publish with an atomic pointer swap —
     // a reader either sees the old or the new committed version.
-    s.nodes.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/nodes")
-    s.tables.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/tables")
-    s.shards.toDF().coalesce(1).write.mode("overwrite").parquet(s"$dir/shards")
-    s.schemas.toDF("name").coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/schemas")
+    Files.createDirectories(Paths.get(catalogDir))
+    Files.write(Paths.get(snapFile(v)),
+      mapper.writeValueAsBytes(s))
     val tmp = Paths.get(s"$catalogDir/CURRENT.tmp")
-    Files.createDirectories(tmp.getParent)
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -92,19 +89,10 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def load(): CatalogState = {
-    import spark.implicits._
     val v = committedVersion()
     if (v == 0L) CatalogState()
-    else {
-      val dir = snapDir(v)
-      CatalogState(
-        spark.read.parquet(s"$dir/nodes").as[NodeInfo].collect().toVector,
-        spark.read.parquet(s"$dir/tables").as[TableInfo].collect().toVector,
-        spark.read.parquet(s"$dir/shards").as[ShardInfo].collect().toVector,
-        if (Files.exists(Paths.get(s"$dir/schemas")))
-          spark.read.parquet(s"$dir/schemas").as[String].collect().toVector
-        else Vector("main"))
-    }
+    else mapper.readValue(Files.readAllBytes(Paths.get(snapFile(v))),
+      classOf[CatalogState])
   }
 
   // --- system-table DataFrames (surface parity with __mpp_system.*) -----
@@ -125,5 +113,16 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
         t.buckets, t.deleted))
       .toDF("table_oid", "name", "partition_column_index", "buckets",
         "deleted")
+  }
+}
+
+object MppCatalog {
+  /** Jackson (bundled with Spark) with the Scala module: case-class
+    * round-trip without any Spark job on the commit path. */
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(
+      com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
   }
 }
