@@ -58,6 +58,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("isnotnull(simhash64"), plan.take(2000))
   }
 
+  test("co-bucketed tables join with zero exchanges") {
+    graft.sources.BucketedTables.create(spark, "bt_orders",
+      Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      "o_orderkey", 4)
+    graft.sources.BucketedTables.create(spark, "bt_lineitem",
+      Tables(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "o_orderkey", 4)
+    val j = graft.sources.BucketedTables
+      .colocatedJoin(spark, "bt_orders", "bt_lineitem", "o_orderkey")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "co-located join must not shuffle:\n" + plan.take(2000))
+  }
+
   test("distributed-table point lookup schedules only the pruned bucket") {
     import java.nio.file.Files
     val e = new graft.mpp.MppEngine(spark,
