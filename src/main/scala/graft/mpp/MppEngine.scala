@@ -418,6 +418,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         Seq.empty[String].toDF("result") // unreachable
       case ShowTablesRe() =>
         listTables()
+      case ExplainRe(inner) =>
+        // EXPLAIN parity (reference annotates its scan with `Shards: k/n`,
+        // mpp_table_scan.cpp:373-380; asserted by mpp_filter.test:61-87):
+        // the pruning summary line, then Spark's own physical plan.
+        val df = spark.sql(inner)
+        val header = BucketPruning.shards(df)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.SimpleMode)
+        (header +: plan.linesIterator.toSeq).toDF("plan")
       case TxnRe(verb) =>
         verb.toUpperCase match {
           case "BEGIN" => begin()
@@ -462,6 +471,8 @@ object MppEngine {
     """(?is)^SHOW\s+TABLES$""".r
   private val TxnRe =
     """(?is)^(BEGIN|COMMIT|ROLLBACK)(?:\s+TRANSACTION)?$""".r
+  private val ExplainRe =
+    """(?is)^EXPLAIN\s+(SELECT\b.*|WITH\b.*)$""".r
 
   /** Split on commas not nested in parens (DECIMAL(10,2), DEFAULT f(x)). */
   private[mpp] def splitTopLevel(s: String): Seq[String] = {

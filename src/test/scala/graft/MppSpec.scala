@@ -61,6 +61,12 @@ class MppSpec extends SparkTestBase {
     assert(np.count() == 1)
     // Pruned queries return exactly the right rows.
     assert(t.filter("id = 7").head().getLong(0) == 7L)
+    // EXPLAIN through the SQL surface carries the same annotation
+    // (mpp_filter.test:60-87 asserts on EXPLAIN output text).
+    val ex = e.sql("EXPLAIN SELECT id, v FROM ft WHERE id = 7")
+      .collect().map(_.getString(0))
+    assert(ex.head == "Shards: 1/12", ex.head)
+    assert(ex.exists(_.contains("PushedFilters")), ex.mkString("\n"))
   }
 
   // --- mpp_update.test --------------------------------------------------
