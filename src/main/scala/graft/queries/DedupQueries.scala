@@ -68,9 +68,12 @@ object DedupQueries {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
+    // No broadcast hint: AQE broadcasts `sizes` while it is small and
+    // falls back to a shuffle join at corpus scale — hinting would pin
+    // the plan to a shape that cannot exist at 1e9 documents.
     common
-      .join(broadcast(sizes).as("na"), col("d1") === col("na.doc_id"))
-      .join(broadcast(sizes).as("nb"), col("d2") === col("nb.doc_id"))
+      .join(sizes.as("na"), col("d1") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("d2") === col("nb.doc_id"))
       .withColumn("jac",
         col("c") * lit(1.0) / (col("na.n") + col("nb.n") - col("c")))
       .filter(col("jac") >= 0.5)
@@ -109,9 +112,11 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+    // No broadcast hint (AQE decides): the (doc_id, sha) relation is
+    // broadcastable at test scale but unboundedly large in production.
     cand
-      .join(broadcast(da).as("sa"), col("d1") === col("sa.doc_id"))
-      .join(broadcast(da).as("sb"), col("d2") === col("sb.doc_id"))
+      .join(da.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(da.as("sb"), col("d2") === col("sb.doc_id"))
       .withColumn("c",
         size(array_intersect(col("sa.sha"), col("sb.sha"))))
       .withColumn("jac", col("c") * lit(1.0) /
