@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+/** As-of join semantics: latest right row at-or-before each left row. */
+class AsofJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("asof picks the latest right row at or before each left time") {
+    val trades = Seq(
+      ("A", 0L, 100.0), ("A", 1L, 101.0), ("A", 3L, 102.0),
+      ("A", 7L, 103.0), ("B", 2L, 200.0), ("B", 9L, 201.0))
+      .toDF("sym", "t", "px")
+    val quotes = Seq(
+      ("A", 1L, 10.0), ("A", 5L, 11.0), ("B", 2L, 20.0), ("B", 10L, 21.0))
+      .toDF("sym", "t", "bid")
+    val out = AsofJoin.asof(trades, quotes, "sym", "t")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toSet
+    assert(out == Set(
+      ("A", 0L, None),        // before any quote
+      ("A", 1L, Some(10.0)),  // tie: quote at t=1 matches
+      ("A", 3L, Some(10.0)),
+      ("A", 7L, Some(11.0)),
+      ("B", 2L, Some(20.0)),
+      ("B", 9L, Some(20.0))), out.toString)
+  }
+
+  test("asof preserves every left row and all left columns") {
+    val left = Tables(spark, sf, "events")
+      .select(col("user_id"), col("ts").cast("long").as("t"),
+        col("event_type"), col("value"))
+    val right = left.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), col("value").as("last_purchase"))
+      .groupBy("user_id", "t").agg(max("last_purchase").as("last_purchase"))
+    val out = AsofJoin.asof(left, right, "user_id", "t")
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq ==
+      Seq("user_id", "t", "event_type", "value", "last_purchase"))
+    // Carried value is never from the future: join back and check.
+    val bad = out.filter(col("last_purchase").isNotNull)
+      .join(right.groupBy("user_id")
+        .agg(min("t").as("first_rt")), "user_id")
+      .filter(col("t") < col("first_rt"))
+    assert(bad.count() == 0)
+  }
+}
