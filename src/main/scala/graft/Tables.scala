@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At 100 TB these would be bucketed/partitioned table roots; here each
   * logical table is a single parquet file per scale factor. All queries go
   * through this single entry so swapping in a real catalog (or the graft
-  * distributed-table layer in [[graft.catalog.MppCatalog]]) is one change.
+  * distributed-table layer in [[graft.mpp.MppEngine]]) is one change.
   */
 object Tables {
   val names: Seq[String] = Seq(

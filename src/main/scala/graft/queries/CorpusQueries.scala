@@ -50,8 +50,35 @@ object CorpusQueries {
       .orderBy("doc_id")
   }
 
+  /** Transitive-closure variant: near-dup CLUSTERS via
+    * [[graft.operators.ConnectedComponents]] keep exactly one
+    * representative each (A~B, B~C ⇒ drop B and C even when A~C is
+    * below threshold). Not single-statement-SQL-expressible → rows-only
+    * driver check; the ScalaTest suite pins the semantics instead. */
+  def qCorpusCleanCc(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      md5(col("text")).as("fp"),
+      round(
+        lit(0.5) * (size(array_distinct(toks)) / (size(toks) * lit(1.0))) +
+          lit(0.5) * least(size(toks) / lit(200.0), lit(1.0)),
+        4).as("quality"))
+    val filtered = q.filter(col("quality") >= 0.35 && col("n_tokens") >= 10)
+    val surv = filtered
+      .withColumn("mn", min("doc_id").over(Window.partitionBy("fp")))
+      .filter(col("doc_id") === col("mn"))
+      .select("doc_id", "lang", "n_tokens")
+    val da = DedupQueries.shingleArrays(s, dir)
+      .join(surv.select("doc_id"), "doc_id")
+    val pairs = DedupQueries.lshPairs(s, da, 0.7).select("d1", "d2")
+    val drop = graft.operators.ConnectedComponents.dropSet(pairs)
+    surv.join(drop, Seq("doc_id"), "left_anti").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_corpus_clean" -> (qCorpusClean _))
+    "q_corpus_clean" -> (qCorpusClean _),
+    "q_corpus_clean_cc" -> (qCorpusCleanCc _))
 
   val oracles: Map[String, String] = Map(
     "q_corpus_clean" ->

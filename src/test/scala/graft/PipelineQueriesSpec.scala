@@ -28,6 +28,17 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(fps.count() == fps.distinct().count())
   }
 
+  test("cc-variant drop set contains the one-hop drop set") {
+    // Transitive closure can only drop MORE docs than the one-hop rule,
+    // and both keep ≥1 representative per cluster.
+    val oneHop = CorpusQueries.qCorpusClean(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cc = CorpusQueries.qCorpusCleanCc(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cc.subsetOf(oneHop), s"cc kept ${cc.diff(oneHop)} extra")
+    assert(cc.nonEmpty)
+  }
+
   test("lang-id predictions are deterministic and within the label set") {
     val preds = TextQueries.qLangId(spark, sf)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
