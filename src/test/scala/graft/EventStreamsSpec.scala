@@ -48,6 +48,31 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF()
+    val q = EventStreams.attribute(df, df)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(10), 1, "purchase", 9.99),  // within 30min of click 1
+        Event(3, ts(50), 1, "purchase", 5.0),   // outside the window
+        Event(4, ts(0), 2, "click", 0.0),
+        Event(5, ts(10), 3, "purchase", 7.0))   // no click for user 3
+      runBatches(q)
+      mem.addData(Event(9, ts(500), 9, "click", 0.0)) // advance watermark
+      runBatches(q)
+      val rows = spark.table("attrib")
+        .select("user_id", "amount").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toSet
+      assert(rows == Set(1L -> 9.99), rows.toString)
+    } finally q.stop()
+  }
+
   test("hourly windowed aggregate emits finalized windows past watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
