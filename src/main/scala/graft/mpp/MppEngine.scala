@@ -36,6 +36,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   val catalog = new MppCatalog(spark, warehouse)
 
+  /** Catalog alias when bootstrapped via `ATTACH … (TYPE mpp)`. */
+  @volatile var attachedAs: Option[String] = None
+
   import BucketPruning.BucketCol
 
   // Install the shard-pruning rule once per session (idempotent); the

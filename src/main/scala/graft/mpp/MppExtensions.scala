@@ -60,6 +60,14 @@ object MppParser {
     """(?is).*\)\s*PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s*;?\s*$""".r
   private val CtasDialect =
     """(?is)^\s*CREATE\s+TABLE\s+\w+\s+PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s+AS\s+.*$""".r
+  /** Reference entry point: `ATTACH 'db' AS x (TYPE mpp[, ENDPOINT …])`
+    * (`/root/reference/src/storage/mpp_storage_extension.cpp:8-41`).
+    * Here the attached path is the engine warehouse; ENDPOINT is
+    * accepted and recorded as the coordinator node for parity. */
+  private[mpp] val AttachDialect =
+    """(?is)^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+)\s*\(\s*TYPE\s+mpp\s*(?:,\s*ENDPOINT\s+'([^']+)')?\s*\)\s*;?\s*$""".r
+  private[mpp] val DetachDialect =
+    """(?is)^\s*DETACH\s+(\w+)\s*;?\s*$""".r
   private val DmlHead =
     """(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+(\w+)\b.*""".r
 
@@ -69,6 +77,9 @@ object MppParser {
   def intercepts(sql: String): Boolean = sql match {
     case CreateDialect() => true
     case CtasDialect() => true
+    case AttachDialect(_, _, _) => true
+    case DetachDialect(name) =>
+      MppEngine.current.exists(_.attachedAs.contains(name))
     case DmlHead(_, table) =>
       MppEngine.current.exists(_.catalog.state.liveTable(table).isDefined)
     case _ => false
@@ -83,9 +94,26 @@ final case class MppSqlCommand(sqlText: String) extends LeafRunnableCommand {
     Seq(AttributeReference("result", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val engine = MppEngine.current.getOrElse(
-      throw new IllegalStateException("no active MppEngine"))
-    engine.sql(sqlText).collect().toSeq
-      .map(r => Row(r.toSeq.map(String.valueOf).mkString("|")))
+    sqlText.trim match {
+      case MppParser.AttachDialect(path, name, endpoint) =>
+        // Reference lifecycle: ATTACH creates the catalog and registers
+        // the coordinator endpoint (mpp_catalog.cpp:39-55). Warehouse ≡
+        // attached database path.
+        val e = new MppEngine(spark, path)
+        e.attachedAs = Some(name)
+        Option(endpoint).foreach { ep =>
+          val Array(host, port) = ep.split(":", 2)
+          e.masterAddNode(host, port.toInt)
+        }
+        Seq(Row(s"ATTACH $name"))
+      case MppParser.DetachDialect(_) =>
+        MppEngine.current = None
+        Seq(Row("DETACH"))
+      case _ =>
+        val engine = MppEngine.current.getOrElse(
+          throw new IllegalStateException("no active MppEngine"))
+        engine.sql(sqlText).collect().toSeq
+          .map(r => Row(r.toSeq.map(String.valueOf).mkString("|")))
+    }
   }
 }

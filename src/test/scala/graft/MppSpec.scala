@@ -234,6 +234,19 @@ class MppSpec extends SparkTestBase {
       assert(e.table("px").count() == 2)
       s2.sql("DROP TABLE px")
       assert(e.catalog.state.liveTable("px").isEmpty)
+      // Full SQL lifecycle: ATTACH bootstraps a catalog (the reference
+      // entry point, mpp.test:15-31), ENDPOINT registers the
+      // coordinator node, DETACH releases it.
+      val wh = Files.createTempDirectory("graft-attach").toString
+      s2.sql(s"ATTACH '$wh' AS g (TYPE mpp, ENDPOINT '127.0.0.1:5432')")
+      val attached = graft.mpp.MppEngine.current.get
+      assert(attached.warehouse == wh)
+      assert(attached.systemTable("nodes").count() == 1)
+      s2.sql("CREATE TABLE at1(id INT) PARTITION BY (id) WITH BUCKETS 2")
+      s2.sql("INSERT INTO at1 VALUES (1), (2), (3)")
+      assert(attached.table("at1").count() == 3)
+      s2.sql("DETACH g")
+      assert(graft.mpp.MppEngine.current.isEmpty)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()
