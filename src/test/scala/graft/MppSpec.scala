@@ -112,6 +112,18 @@ class MppSpec extends SparkTestBase {
     assert(e.insertInto("d", spark.range(5, 8).toDF("id")
       .withColumn("v", lit(1.0))) == 3L)
     assert(e.table("d").count() == 3L)
+    // Foldable-true WHERE: Catalyst collapses the rewrite to
+    // Filter(false) and erases the CollectMetrics observer — the count
+    // must come from the fallback pass, not hang or return 0.
+    assert(e.sql("DELETE FROM d WHERE 1 = 1").head().getLong(0) == 3L)
+    assert(e.table("d").count() == 0L)
+    // Empty-source INSERT returns 0 and leaves the table untouched.
+    assert(e.insertInto("d",
+      spark.range(0, 0).toDF("id").withColumn("v", lit(0.0))) == 0L)
+    // UPDATE without WHERE touches every row.
+    e.insertInto("d", spark.range(0, 7).toDF("id").withColumn("v", lit(2.0)))
+    assert(e.sql("UPDATE d SET v = v * 2").head().getLong(0) == 7L)
+    assert(e.table("d").agg(sum("v")).head().getDouble(0) == 28.0)
   }
 
   // --- mpp.test:161-171 — DROP bookkeeping ------------------------------
