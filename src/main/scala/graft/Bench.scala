@@ -16,14 +16,16 @@ object Bench {
     try graft.queries.MppQueries.warm(spark, sfDir)
     catch { case _: Throwable => }
     spark.range(1000).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) order: hash-map order would shift which
+    // query pays first-touch warmup costs between rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
