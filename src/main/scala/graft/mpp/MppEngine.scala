@@ -201,6 +201,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val cond = where.map(expr).getOrElse(lit(true))
     val schema = userSchema(t)
     val setMap = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
+    // SET on the partition column must MOVE the row to its new bucket,
+    // or every later pruned scan misses it. (The reference leaves such
+    // rows in their old shard — mpp_physical_update runs shard-local
+    // SQL, rows never migrate; we fix rather than replicate the flaw.)
+    val movesRows = setMap.contains(t.partitionColumn.toLowerCase)
     val newCols = schema.fields.map { f =>
       setMap.get(f.name.toLowerCase) match {
         case Some(e) =>
@@ -210,8 +215,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
-    } :+ col(BucketCol)
-    rewriteBuckets(t, where, cond, _.select(newCols: _*))
+    }
+    val transform: DataFrame => DataFrame =
+      if (movesRows)
+        df => df.select(newCols: _*).withColumn(BucketCol,
+          pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
+      else
+        df => df.select(newCols :+ col(BucketCol): _*)
+    // Moved rows may land in ANY bucket: the rewrite must cover the
+    // whole table, not just the WHERE-pruned read set.
+    rewriteBuckets(t, if (movesRows) None else where, cond, transform)
   }
 
   /** DELETE FROM … WHERE …: COW rewrite keeping non-matching rows.

