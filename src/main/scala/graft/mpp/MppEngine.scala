@@ -81,6 +81,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .contains(partitionCol.toLowerCase),
       s"partition column $partitionCol not in schema") // mirrors
     // create_distributed_table.cpp:78-86 validation
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(BucketCol)),
+      s"column name '$BucketCol' is reserved for the engine's shard id")
     require(catalog.state.liveTable(name).isEmpty,
       s"table $name already exists")
     val st = catalog.state
@@ -278,18 +280,36 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val staging = s"$warehouse/.staging/${UUID.randomUUID()}"
     out.repartition(affected.size, col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(staging)
-    // Swap: per affected bucket, drop the old dir and move the new one
-    // in. Metadata-only ops on the filesystem; readers mid-swap may see a
-    // bucket in the old or new state — same non-transactional data
-    // guarantee as the reference (no 2PC, README.md:115).
+    // Swap: per affected bucket, move the old dir ASIDE first, rename
+    // the staged dir in, then drop the old one — the live data is never
+    // deleted before its replacement is in place, and a failed rename
+    // rolls the old dir back instead of silently losing the bucket.
+    // Readers mid-swap may see a bucket in the old or new state — same
+    // non-transactional data guarantee as the reference (no 2PC,
+    // README.md:115). The aside dir is dot-prefixed so parquet listing
+    // ignores it even if a crash strands it.
     val conf = spark.sessionState.newHadoopConf()
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(conf)
     affected.toSeq.sorted.foreach { k =>
       val oldDir = new Path(dataRoot, s"$BucketCol=$k")
       val newDir = new Path(s"$staging/$BucketCol=$k")
-      fs.delete(oldDir, true)
-      if (fs.exists(newDir)) fs.rename(newDir, oldDir)
+      val aside = new Path(dataRoot, s".swap-$BucketCol=$k")
+      fs.delete(aside, true) // stale leftover from a crashed swap
+      val hadOld = fs.exists(oldDir)
+      if (hadOld && !fs.rename(oldDir, aside))
+        throw new IllegalStateException(
+          s"COW swap: cannot move $oldDir aside; bucket left untouched")
+      if (fs.exists(newDir)) {
+        if (!fs.rename(newDir, oldDir)) {
+          if (hadOld) fs.rename(aside, oldDir) // roll back
+          throw new IllegalStateException(
+            s"COW swap: rename $newDir -> $oldDir failed; bucket restored")
+        }
+      }
+      // No staged dir means the rewrite emptied this bucket (all rows
+      // deleted/moved): dropping the aside copy IS the intended result.
+      if (hadOld) fs.delete(aside, true)
     }
     fs.delete(new Path(staging), true)
     refreshView(t)
@@ -411,13 +431,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             .take(src.columns.length))
         val n = insertInto(name, src.toDF(targetCols: _*))
         Seq(n).toDF("Count")
-      case UpdateRe(name, setsStr, whereStr)
+      case UpdateRe(name, rest)
           if catalog.state.liveTable(name).isDefined =>
+        val (setsStr, whereStr) = splitWhere(rest)
         val sets = splitTopLevel(setsStr).map { a =>
           val Array(c, e) = a.split("=", 2)
           (c.trim, e.trim)
         }
-        val n = update(name, sets, Option(whereStr).map(_.trim))
+        val n = update(name, sets, whereStr)
         Seq(n).toDF("Count")
       case DeleteRe(name, whereStr)
           if catalog.state.liveTable(name).isDefined =>
@@ -472,7 +493,7 @@ object MppEngine {
   private val InsertRe =
     """(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*((?:VALUES|SELECT|WITH|TABLE)\b.*)$""".r
   private val UpdateRe =
-    """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+    """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*)$""".r
   private val DeleteRe =
     """(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
@@ -490,19 +511,48 @@ object MppEngine {
   private val ExplainRe =
     """(?is)^EXPLAIN\s+(SELECT\b.*|WITH\b.*)$""".r
 
-  /** Split on commas not nested in parens (DECIMAL(10,2), DEFAULT f(x)). */
+  /** Split on commas not nested in parens or single-quoted literals
+    * (DECIMAL(10,2), DEFAULT f(x), DEFAULT 'a,b'). Doubled '' escapes
+    * toggle quote state twice, so they are handled naturally. */
   private[mpp] def splitTopLevel(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
     var depth = 0
+    var inQ = false
     val cur = new StringBuilder
     s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case '\'' => inQ = !inQ; cur += '\''
+      case '(' if !inQ => depth += 1; cur += '('
+      case ')' if !inQ => depth -= 1; cur += ')'
+      case ',' if !inQ && depth == 0 => out += cur.toString; cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split "set-list [WHERE cond]" on the first WHERE keyword that sits
+    * outside quotes and parens — `SET note = ' where x'` is a literal,
+    * not a clause boundary. */
+  private[mpp] def splitWhere(s: String): (String, Option[String]) = {
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case c if !inQ && depth == 0 && (c == 'w' || c == 'W')
+            && i + 5 <= s.length
+            && s.regionMatches(true, i, "WHERE", 0, 5)
+            && (i == 0 || s.charAt(i - 1).isWhitespace)
+            && (i + 5 == s.length || s.charAt(i + 5).isWhitespace) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 
   private val ColDefRe =

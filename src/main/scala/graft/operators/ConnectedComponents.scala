@@ -28,7 +28,6 @@ object ConnectedComponents {
   /** @param edges two long columns (src, dst), undirected pairs.
     * @return (id, component) — component = min vertex id reachable. */
   def run(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
     val e = edges.toDF("src", "dst")
     // Both directions once, so each round is a single join.
     val undirected = e.union(e.select(col("dst").as("src"),
@@ -38,18 +37,30 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
+      // Convergence detection is folded into the round's own aggregate:
+      // self rows carry the previous label in `old` (null on neighbor
+      // rows, so max() recovers it), and the changed-row check is a
+      // short-circuiting scan of the just-checkpointed partitions — no
+      // second join+count job per round.
       val viaNeighbors = undirected
         .join(labels, undirected("dst") === labels("id"))
-        .select(col("src").as("id"), col("component"))
-      val next = labels.select("id", "component").union(viaNeighbors)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("src").as("id"), col("component").as("cand"),
+          lit(null).cast("long").as("old"))
+      val self = labels.select(col("id"), col("component").as("cand"),
+        col("component").as("old"))
+      val next = self.union(viaNeighbors)
+        .groupBy("id").agg(min("cand").as("component"), max("old").as("old"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"),
-          "id")
-        .filter(col("component") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("component") =!= col("old")).isEmpty
+      labels = next.select("id", "component")
       round += 1
+    }
+    if (!converged) {
+      // A non-converged result has silently wrong components (long
+      // chains exceed the round budget) — surface it loudly.
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connected components did NOT converge within $maxRounds rounds; " +
+          "labels may span partially-merged components")
     }
     labels
   }

@@ -45,14 +45,29 @@ object DedupQueries {
     * no explode/shuffle, no interpreted lambdas. Long keys shrink every
     * downstream join payload to 8 bytes/shingle; the 2^-64 collision
     * rate is far below the oracle's 4-decimal jaccard resolution.
-    * Cached: it feeds both sides of the self-joins plus verification. */
+    *
+    * Cached ONCE per scale dir (it feeds both sides of self-joins plus
+    * verification across several queries); memoized so repeated queries
+    * never re-issue `.cache()` on the same data, and released explicitly
+    * via [[releaseShingles]] — no session-lifetime cache accretion. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private[queries] def shingleArrays(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.shingle3(s, col("w")).as("sha"))
-      .cache()
+    shingleCache.getOrElseUpdate(dir,
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.shingle3(s, col("w")).as("sha"))
+        .cache())
+
+  /** Unpersist the memoized shingle cache for `dir` (all dirs when
+    * empty) — pipeline-scoped cache hygiene hook. */
+  def releaseShingles(dir: String = ""): Unit = {
+    val keys = if (dir.isEmpty) shingleCache.keys.toSeq else Seq(dir)
+    keys.foreach(k => shingleCache.remove(k).foreach(_.unpersist()))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (the correctness baseline):
     * inverted-index self-join on hashed shingles (never a cross
