@@ -16,13 +16,18 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-      // (micros) rejects; read nanos as long and floor-convert to micros.
+      // The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark's
+      // TimestampType (micros) rejects: read nanos as long and
+      // floor-convert. Synthesized events (graft.tools.ScaleData) are
+      // written as TIMESTAMP(micros) already — branch on the read type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      else raw
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

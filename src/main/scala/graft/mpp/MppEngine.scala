@@ -226,7 +226,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         df => df.select(newCols :+ col(BucketCol): _*)
     // Moved rows may land in ANY bucket: the rewrite must cover the
     // whole table, not just the WHERE-pruned read set.
-    rewriteBuckets(t, if (movesRows) None else where, cond, transform)
+    rewriteBuckets(t, if (movesRows) None else where, cond, transform,
+      rewriteAll = movesRows)
   }
 
   /** DELETE FROM … WHERE …: COW rewrite keeping non-matching rows.
@@ -251,32 +252,35 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** Shared COW machinery: read pruned buckets, transform, write to
-    * staging, atomically swap the affected bucket directories. Returns
-    * the affected-row count, observed during the write job itself (one
-    * scan, not two). Catalyst can erase the CollectMetrics node when the
-    * rewrite collapses (e.g. WHERE that folds to true under DELETE →
-    * `Filter(false)` → empty relation) and the Observation would then
-    * never fire — detected on the optimized plan, falling back to a
-    * separate count in that (rare) case. */
+  /** Shared COW machinery: statically prune buckets by the WHERE clause,
+    * then MATCH-prune — one cheap aggregate finds the buckets that
+    * actually contain affected rows (a scan is far cheaper than the
+    * rewrite-write it avoids; a DML matching nothing rewrites nothing) —
+    * then transform, write to staging, and atomically swap only the
+    * affected bucket directories. Returns the affected-row count (from
+    * the same match scan — no extra pass).
+    *
+    * `rewriteAll` forces a whole-table rewrite for transforms that can
+    * MOVE rows between buckets (UPDATE of the partition column): the
+    * staged output may then contain any bucket, so all must swap. */
   private def rewriteBuckets(t: TableInfo, where: Option[String],
       cond: org.apache.spark.sql.Column,
-      transform: DataFrame => DataFrame): Long = {
-    val affected = prunedBuckets(t, where)
-    if (affected.isEmpty) return 0L
-    val work =
-      if (affected.size == t.buckets) readWithBucket(t)
-      else readWithBucket(t)
-        .filter(col(BucketCol).isin(affected.toSeq: _*))
-    val obs = Observation()
-    val observed = work.observe(obs,
-      coalesce(sum(when(cond, 1L)), lit(0L)).as("n"))
-    var out = transform(observed)
-    val obsSurvives = out.queryExecution.optimizedPlan.collectFirst {
-      case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
-    }.isDefined
-    val affectedRows = if (obsSurvives) -1L else work.filter(cond).count()
-    if (!obsSurvives) out = transform(work)
+      transform: DataFrame => DataFrame,
+      rewriteAll: Boolean = false): Long = {
+    val pruned = prunedBuckets(t, where)
+    if (pruned.isEmpty) return 0L
+    def scanOf(buckets: Set[Int]): DataFrame =
+      if (buckets.size == t.buckets) readWithBucket(t)
+      else readWithBucket(t).filter(col(BucketCol).isin(buckets.toSeq: _*))
+    val matches = scanOf(pruned).filter(cond)
+      .groupBy(col(BucketCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val affectedRows = matches.valuesIterator.sum
+    if (affectedRows == 0L) return 0L
+    val affected = if (rewriteAll) (0 until t.buckets).toSet
+      else matches.keySet
+    val work = scanOf(affected)
+    val out = transform(work)
     val staging = s"$warehouse/.staging/${UUID.randomUUID()}"
     out.repartition(affected.size, col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(staging)
@@ -313,7 +317,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
     fs.delete(new Path(staging), true)
     refreshView(t)
-    if (affectedRows >= 0) affectedRows else observedLong(obs)
+    affectedRows
   }
 
   // --- transactions (metadata-only, reference T1 semantics) -------------

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,11 +25,21 @@ object MppQueries {
 
   private def sharedEngine(s: SparkSession, dir: String): MppEngine =
     sharedEnvs.getOrElseUpdate(dir, {
-      val e = new MppEngine(s,
-        Files.createTempDirectory("graft-mpp-shared").toString)
+      // Persistent warehouse per scale dir: the engine reloads its
+      // catalog from disk, so a warehouse built by an earlier JVM (e.g.
+      // a previous bench run) is reused as-is — DDL+load happens once
+      // per machine, not once per session. Bump the version tag when
+      // the on-disk layout changes.
+      val wh = "/tmp/graft-wh-v2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val e = new MppEngine(s, wh)
+      def ensure(table: String)(build: => Unit): Unit =
+        if (e.catalog.state.liveTable(table).isEmpty) build
       val li = Tables(s, dir, "lineitem")
-      e.createDistributedTable("lineitem_d", li.schema.toDDL, "l_orderkey", 8)
-      e.insertInto("lineitem_d", li)
+      ensure("lineitem_d") {
+        e.createDistributedTable("lineitem_d", li.schema.toDDL,
+          "l_orderkey", 8)
+        e.insertInto("lineitem_d", li)
+      }
       // DML targets are pre-built here too, so the timed DML queries
       // measure UPDATE/DELETE + verify — not DDL + full re-load that
       // their plain-SELECT oracles never pay (round-1 verdict: harness
@@ -40,19 +48,21 @@ object MppQueries {
       // predicate), so repeated invocations in one session — warm-up
       // pass, timed pass, Verify — all produce the same verified state.
       val ord = Tables(s, dir, "orders")
-      for (t <- Seq("orders_u", "orders_del")) {
+      for (t <- Seq("orders_u", "orders_del")) ensure(t) {
         e.createDistributedTable(t, ord.schema.toDDL, "o_orderkey", 8)
         e.insertInto(t, ord)
       }
       // DDL-dialect DEFAULT resolution exercised once per environment:
       // partial-column INSERT…SELECT fills c_tier/c_note from defaults
       // (reference default resolution, mpp_physical_insert.cpp:150-181).
-      Tables(s, dir, "customer").createOrReplaceTempView("customer_src")
-      e.sql("CREATE TABLE cust_d(c_custkey BIGINT, c_name TEXT, " +
-        "c_tier INT DEFAULT 7, c_note TEXT DEFAULT 'none') " +
-        "PARTITION BY (c_custkey) WITH BUCKETS 4")
-      e.sql("INSERT INTO cust_d (c_custkey, c_name) " +
-        "SELECT c_custkey, c_name FROM customer_src")
+      ensure("cust_d") {
+        Tables(s, dir, "customer").createOrReplaceTempView("customer_src")
+        e.sql("CREATE TABLE cust_d(c_custkey BIGINT, c_name TEXT, " +
+          "c_tier INT DEFAULT 7, c_note TEXT DEFAULT 'none') " +
+          "PARTITION BY (c_custkey) WITH BUCKETS 4")
+        e.sql("INSERT INTO cust_d (c_custkey, c_name) " +
+          "SELECT c_custkey, c_name FROM customer_src")
+      }
       e
     })
 

@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic scale-up of the driver testdata: `k` shifted copies of
+  * every table, preserving referential integrity (all foreign keys shift
+  * by the same per-entity key-space stride) and workload shape:
+  *
+  *  - copy 0 is bit-identical in content to the source — the scaled set
+  *    contains the original as a subset;
+  *  - document text in copies ≥ 1 is re-tokenized with a per-copy word
+  *    suffix: a BIJECTIVE token mapping, so within-copy jaccard
+  *    similarity is EXACTLY preserved (planted near-dups stay near-dups)
+  *    while cross-copy shingle overlap is zero (no quadratic pair
+  *    explosion — the corpus grows, clusters do not);
+  *  - embedding labels shift per copy (cells multiply, cell size stays),
+  *    the honest IVF-cell scaling shape;
+  *  - events keep their time range (10× rows per window, same windows) —
+  *    `ts` is written as TIMESTAMP(micros), which [[graft.Tables]]
+  *    handles via its schema branch.
+  *
+  * Usage: runMain graft.tools.ScaleData <srcDir> <outDir> [factor]
+  */
+object ScaleData {
+
+  // Key-space strides (≥ max key + 1 in the driver data, any sf).
+  private val O = 1500000L // o_orderkey / l_orderkey
+  private val C = 150000L  // c_custkey / o_custkey
+  private val P = 200000L  // p_partkey / l_partkey
+  private val S = 10000L   // s_suppkey / l_suppkey
+  private val E = 1000000L // event_id
+  private val U = 15000L   // user_id
+  private val D = 50000L   // doc_id
+  private val V = 20000L   // vec_id
+  private val L = 10000    // label
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val k = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    synthesize(spark, src, out, k)
+    spark.stop()
+  }
+
+  def synthesize(spark: SparkSession, src: String, out: String,
+      k: Int): Unit = {
+    def t(n: String) = Tables(spark, src, n)
+    // One row per (source row, copy): single pass, fully parallel.
+    def copies(df: DataFrame): DataFrame =
+      df.withColumn("copy", explode(sequence(lit(0L), lit(k - 1L))))
+    def shift(c: String, stride: Long) = col(c) + col("copy") * stride
+
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("copy").write.mode("overwrite")
+        .parquet(s"$out/$name.parquet")
+
+    write(t("region"), "region")
+    write(t("nation"), "nation")
+    write(copies(t("customer"))
+      .withColumn("c_custkey", shift("c_custkey", C)), "customer")
+    write(copies(t("supplier"))
+      .withColumn("s_suppkey", shift("s_suppkey", S)), "supplier")
+    write(copies(t("part"))
+      .withColumn("p_partkey", shift("p_partkey", P)), "part")
+    write(copies(t("orders"))
+      .withColumn("o_orderkey", shift("o_orderkey", O))
+      .withColumn("o_custkey", shift("o_custkey", C)), "orders")
+    write(copies(t("lineitem"))
+      .withColumn("l_orderkey", shift("l_orderkey", O))
+      .withColumn("l_partkey", shift("l_partkey", P))
+      .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem")
+    write(copies(t("events"))
+      .withColumn("event_id", shift("event_id", E))
+      .withColumn("user_id", shift("user_id", U)), "events")
+    // Bijective per-copy token suffix (copy 0 untouched): exact
+    // within-copy jaccard, zero cross-copy shingle overlap.
+    write(copies(t("documents"))
+      .withColumn("text",
+        when(col("copy") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), " "),
+            w => concat(w, lit("~"), col("copy"))))))
+      .withColumn("doc_id", shift("doc_id", D))
+      .withColumn("n_chars", length(col("text"))), "documents")
+    write(copies(t("embeddings"))
+      .withColumn("vec_id", shift("vec_id", V))
+      .withColumn("label",
+        (col("label") + col("copy") * L).cast("int")), "embeddings")
+  }
+}
