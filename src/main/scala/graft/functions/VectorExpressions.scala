@@ -197,14 +197,16 @@ object ShingleKernel {
 }
 
 /** LSH band keys of a MinHash signature in ONE codegen'd pass:
-  * 128 universal hashes `a_j * h + b_j` (odd multipliers derived by
+  * 64 universal hashes `a_j * h + b_j` (odd multipliers derived by
   * splitmix64 — one multiply-add per shingle per hash, no re-hash of
-  * the shingle bytes), per-hash minimum = the signature, then 64 bands
+  * the shingle bytes), per-hash minimum = the signature, then 32 bands
   * of r=2 rows XXH64-combined into one 64-bit key per band. At
-  * jaccard ≥ 0.7 the miss probability is (1-0.49)^64 ≈ 1e-19.
-  * Replaces an explode + 128-column min-aggregate (a full shuffle of
+  * jaccard ≥ 0.7 the miss probability is (1-0.49)^32 ≈ 4e-10 —
+  * negligible against any real corpus size, at half the kernel and
+  * band-shuffle cost of a 128-hash signature.
+  * Replaces an explode + 64-column min-aggregate (a full shuffle of
   * every shingle) with a per-row kernel — no shuffle until the
-  * (band, key) candidate join, whose payload is 64 rows/doc regardless
+  * (band, key) candidate join, whose payload is 32 rows/doc regardless
   * of document size. */
 case class MinHashBands(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -234,7 +236,7 @@ case class MinHashBands(child: Expression)
 }
 
 object MinHashKernel {
-  final val NumHashes = 128
+  final val NumHashes = 64
   final val BandRows = 2
 
   private def splitmix64(x0: Long): Long = {

@@ -224,10 +224,22 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       else
         df => df.select(newCols :+ col(BucketCol): _*)
+    // A row is AFFECTED only if some SET column actually changes value
+    // (null-safe compare): an UPDATE whose matched rows already hold
+    // the target values rewrites nothing — no write amplification for
+    // idempotent/no-op statements.
+    val changes = schema.fields.collect {
+      case f if setMap.contains(f.name.toLowerCase) =>
+        val v = setMap(f.name.toLowerCase)
+        val nv = if (v.trim.equalsIgnoreCase("DEFAULT"))
+          expr(t.defaults.getOrElse(f.name, "NULL"))
+        else expr(v)
+        !(nv.cast(f.dataType) <=> col(f.name))
+    }.reduce(_ || _)
     // Moved rows may land in ANY bucket: the rewrite must cover the
     // whole table, not just the WHERE-pruned read set.
-    rewriteBuckets(t, if (movesRows) None else where, cond, transform,
-      rewriteAll = movesRows)
+    rewriteBuckets(t, if (movesRows) None else where, cond && changes,
+      transform, rewriteAll = movesRows)
   }
 
   /** DELETE FROM … WHERE …: COW rewrite keeping non-matching rows.

@@ -48,20 +48,34 @@ object AnalyticQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** TPC-H Q3 style: 3-way join, agg, top-10. Customer dim is broadcast. */
+  /** TPC-H Q3 style: 3-way join, agg, top-10.
+    *
+    * Join order: the selective customer dim (1 segment ≈ 1/5 of rows)
+    * broadcasts into orders FIRST, shrinking the orders side before it
+    * is broadcast into the fact scan — lineitem is never shuffled, and
+    * the driver builds a hash table of the REDUCED orders set, not all
+    * of orders. */
   def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    val ordc = ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    li.join(broadcast(ordc), li("l_orderkey") === ordc("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
-  /** TPC-H Q5 style: 6-table join through broadcast dims, agg per nation. */
+  /** TPC-H Q5 style: 6-table join, agg per nation.
+    *
+    * Join order: the region filter is pushed THROUGH nation into
+    * supplier first (ASIA ≈ 1/5 of suppliers), so the fact scan shrinks
+    * via a tiny broadcast before the only big-big join (lineitem ⋈
+    * orders), which shuffles the reduced sides hash-to-hash. Lineitem
+    * itself is never sorted and never broadcast-built. */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = t(s, dir, "nation")
@@ -71,12 +85,17 @@ object AnalyticQueries {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
-    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+    // ASIA nations -> ASIA suppliers: tiny broadcasts that cut the fact
+    // side by the region selectivity before anything shuffles.
+    val asiaNation = nation.join(broadcast(region),
+      nation("n_regionkey") === region("r_regionkey"))
+    val asiaSupp = supp.join(broadcast(asiaNation),
+      supp("s_nationkey") === asiaNation("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    li.join(broadcast(asiaSupp), li("l_suppkey") === asiaSupp("s_suppkey"))
+      .join(ord.hint("shuffle_hash"), li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
-        cust("c_nationkey") === supp("s_nationkey"))
-      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
-      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        cust("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
@@ -157,11 +176,20 @@ object AnalyticQueries {
     u.union(i).union(e).select(col("tag"), col("k")).orderBy("tag", "k")
   }
 
-  /** ROLLUP aggregate with grand total. */
+  /** ROLLUP aggregate with grand total.
+    *
+    * Pre-aggregated: the plain (flag, status) groupBy collapses the fact
+    * table to |groups| rows FIRST, then ROLLUP expands only those — the
+    * naive form Expand-multiplies every input row by the number of
+    * grouping sets before aggregating (3× the scan volume at 100 TB).
+    * Exact: counts add, and partial sums re-sum losslessly at this
+    * magnitude (quantities are small integers in doubles). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("pn"), sum("l_quantity").as("pq"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("sum_qty"))
+      .agg(sum("pn").as("n"), round(sum("pq"), 4).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -261,7 +289,13 @@ object AnalyticQueries {
         |ORDER BY c_custkey""".stripMargin)
   }
 
-  /** CTE (TPC-H Q15 style): supplier(s) with maximum revenue. */
+  /** CTE (TPC-H Q15 style): supplier(s) with maximum revenue.
+    *
+    * The max is joined rather than filtered through a scalar subquery:
+    * a scalar subquery plans as a SEPARATE query that re-scans and
+    * re-aggregates the fact table, while the join form keeps both
+    * `revenue` consumers in one physical plan where exchange reuse
+    * computes the aggregate once. */
   def qCte(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "lineitem").createOrReplaceTempView("g_li_cte")
     s.sql(
@@ -271,8 +305,9 @@ object AnalyticQueries {
         |  FROM g_li_cte GROUP BY l_suppkey)
         |SELECT supplier_no, total_revenue
         |FROM revenue
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |JOIN (SELECT max(total_revenue) AS m FROM revenue) ON total_revenue = m
         |ORDER BY supplier_no""".stripMargin)
+      .select(col("supplier_no"), col("total_revenue"))
   }
 
   /** GROUPING SETS through SQL. */

@@ -42,8 +42,11 @@ object CorpusQueries {
       .filter(col("doc_id") === col("mn"))
       .select("doc_id", "lang", "n_tokens")
     // Near-dup pairs restricted to survivors (both endpoints).
+    // localCheckpoint: the survivor shingle set feeds band generation
+    // plus BOTH verification probes — materialize the window-dedup +
+    // join once instead of replaying it per consumer.
     val da = DedupQueries.shingleArrays(s, dir)
-      .join(surv.select("doc_id"), "doc_id")
+      .join(surv.select("doc_id"), "doc_id").localCheckpoint()
     val drop = DedupQueries.lshPairs(s, da, 0.7)
       .select(col("d2").as("doc_id")).distinct()
     surv.join(drop, Seq("doc_id"), "left_anti")
@@ -70,7 +73,7 @@ object CorpusQueries {
       .filter(col("doc_id") === col("mn"))
       .select("doc_id", "lang", "n_tokens")
     val da = DedupQueries.shingleArrays(s, dir)
-      .join(surv.select("doc_id"), "doc_id")
+      .join(surv.select("doc_id"), "doc_id").localCheckpoint()
     val pairs = DedupQueries.lshPairs(s, da, 0.7).select("d1", "d2")
     val drop = graft.operators.ConnectedComponents.dropSet(pairs)
     surv.join(drop, Seq("doc_id"), "left_anti").orderBy("doc_id")

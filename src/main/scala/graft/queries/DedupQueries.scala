@@ -15,7 +15,7 @@ import graft.Tables
   *    (16-byte key, id), never the document bodies;
   *  - exact Jaccard self-joins on shingles — correct but quadratic in
   *    colliding docs; it is the *oracle baseline*. The scale path is
-  *    MinHash+LSH below: signatures are 128 longs/doc regardless of doc
+  *    MinHash+LSH below: signatures are 64 longs/doc regardless of doc
   *    size, the band join shuffles only (band#, 8-byte key), and exact
   *    verification runs only on the candidate pairs;
   *  - SimHash prunes with the pigeonhole trick (k 16-bit chunks → a pair
@@ -77,9 +77,17 @@ object DedupQueries {
     val da = shingleArrays(s, dir)
     val sh = da.select(col("doc_id"), explode(col("sha")).as("h"))
     val sizes = da.select(col("doc_id"), size(col("sha")).as("n"))
+    // Hot-shingle pre-filter: a shingle occurring in ONE document can
+    // produce no pair — and in a real corpus that is the vast majority
+    // of the inverted index. The codegen'd count + semi join shrink the
+    // self-join inputs to shared shingles only, which also removes the
+    // memory cliff of building a hash table over the full index.
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val shHot = sh.join(hot, Seq("h"), "left_semi")
     // shuffle_hash: an inverted-index self-join needs no sort order, and
-    // skipping SMJ's two 260k-row sorts halves the join time.
-    val common = sh.as("a").join(sh.hint("shuffle_hash").as("b"),
+    // skipping SMJ's two whole-side sorts halves the join time.
+    val common = shHot.as("a").join(shHot.hint("shuffle_hash").as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -98,15 +106,15 @@ object DedupQueries {
 
   /** MinHash + LSH near-dup pairs, exact-verified at jaccard ≥ 0.7.
     *
-    * With r=2, b=64 the probability of missing a pair at j=0.7 is
-    * (1-0.49)^64 ≈ 1e-19, so after exact verification the output equals
+    * With r=2, b=32 the probability of missing a pair at j=0.7 is
+    * (1-0.49)^32 ≈ 4e-10, so after exact verification the output equals
     * the exact-Jaccard query — which is exactly what the oracle asserts.
     *
     * Scale shape: signature + band keys are computed per-row by the
     * codegen'd [[graft.functions.MinHashBands]] kernel (one multiply-add
-    * per shingle per hash — NO explode + 128-column aggregate shuffle);
+    * per shingle per hash — NO explode + 64-column aggregate shuffle);
     * the only shuffles are the (band, bv) candidate join — 8-byte keys,
-    * 64 rows/doc regardless of document size — and the tiny candidate
+    * 32 rows/doc regardless of document size — and the tiny candidate
     * set. Verification joins the broadcast (doc_id, sha) arrays and
     * counts `array_intersect`, so exact jaccard costs one array pass
     * per candidate pair. */
@@ -122,20 +130,39 @@ object DedupQueries {
     val bands = da.select(col("doc_id"),
       posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
         .as(Seq("band", "bv")))
-    val cand = bands.as("x").join(bands.hint("shuffle_hash").as("y"),
+    // Hot-bucket pre-filter: a codegen'd count finds the (band, bv)
+    // buckets holding ≥2 docs — only those can produce candidates, and
+    // in a deduplicatable corpus they are a sliver of all buckets. The
+    // semi join cuts the band table to that sliver (AQE broadcasts the
+    // hot set while it is small, shuffles at scale), so the |g|²
+    // pair-generating self-join runs over colliding rows ONLY — never
+    // over the full 32×|docs| band table — and every operator stays in
+    // whole-stage codegen (no object-based collect_list churning the
+    // heap).
+    val hot = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select("band", "bv")
+    val hotBands = bands.join(hot, Seq("band", "bv"), "left_semi")
+    val cand = hotBands.as("x").join(hotBands.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // No broadcast hint (AQE decides): the (doc_id, sha) relation is
-    // broadcastable at test scale but unboundedly large in production.
-    cand
+    // Verification: shuffled hash joins that BUILD on the candidate
+    // side and stream the (doc_id, sha) relation. Never broadcast the
+    // array-heavy side: serializing every shingle array through the
+    // driver is a single-threaded choke (and unboundedly large in
+    // production); a hash-partitioned join moves the same bytes once,
+    // in parallel, executor-to-executor.
+    val withA = cand.hint("shuffle_hash")
       .join(da.as("sa"), col("d1") === col("sa.doc_id"))
+      .select(col("d1"), col("d2"), col("sa.sha").as("sha1"))
+    withA.hint("shuffle_hash")
       .join(da.as("sb"), col("d2") === col("sb.doc_id"))
       .withColumn("c",
-        size(array_intersect(col("sa.sha"), col("sb.sha"))))
+        size(array_intersect(col("sha1"), col("sb.sha"))))
       .withColumn("jac", col("c") * lit(1.0) /
-        (size(col("sa.sha")) + size(col("sb.sha")) - col("c")))
+        (size(col("sha1")) + size(col("sb.sha")) - col("c")))
       .filter(col("jac") >= thresh)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
   }

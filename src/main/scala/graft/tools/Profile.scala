@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch per-query profiler: times named queries (steady-state, N
+  * reps) against a data dir and optionally prints the formatted plan.
+  * Usage: runMain graft.tools.Profile <dir> <explain|time> <q1> [q2…]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val mode = args(1)
+    val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try graft.queries.MppQueries.warm(spark, dir) catch { case _: Throwable => }
+    val qs = graft.SparkEntry.queries
+    names.foreach { n =>
+      val fn = qs(n)
+      if (mode == "explain") {
+        println(s"===== $n =====")
+        fn(spark, dir).explain("formatted")
+      } else {
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          println(f"$n rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -61,28 +61,32 @@ object ScaleData {
       df.withColumn("copy", explode(sequence(lit(0L), lit(k - 1L))))
     def shift(c: String, stride: Long) = col(c) + col("copy") * stride
 
-    def write(df: DataFrame, name: String): Unit =
-      df.drop("copy").write.mode("overwrite")
+    // Split output across files so scans parallelize: the driver's
+    // single-row-group source files cap scan parallelism at one task
+    // per table (for ANY engine); the scaled mirror should look like a
+    // production table layout — many splittable files.
+    def write(df: DataFrame, name: String, files: Int = 8): Unit =
+      df.drop("copy").repartition(files).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 
-    write(t("region"), "region")
-    write(t("nation"), "nation")
+    write(t("region"), "region", 1)
+    write(t("nation"), "nation", 1)
     write(copies(t("customer"))
       .withColumn("c_custkey", shift("c_custkey", C)), "customer")
     write(copies(t("supplier"))
-      .withColumn("s_suppkey", shift("s_suppkey", S)), "supplier")
+      .withColumn("s_suppkey", shift("s_suppkey", S)), "supplier", 4)
     write(copies(t("part"))
       .withColumn("p_partkey", shift("p_partkey", P)), "part")
     write(copies(t("orders"))
       .withColumn("o_orderkey", shift("o_orderkey", O))
-      .withColumn("o_custkey", shift("o_custkey", C)), "orders")
+      .withColumn("o_custkey", shift("o_custkey", C)), "orders", 16)
     write(copies(t("lineitem"))
       .withColumn("l_orderkey", shift("l_orderkey", O))
       .withColumn("l_partkey", shift("l_partkey", P))
-      .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem")
+      .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem", 32)
     write(copies(t("events"))
       .withColumn("event_id", shift("event_id", E))
-      .withColumn("user_id", shift("user_id", U)), "events")
+      .withColumn("user_id", shift("user_id", U)), "events", 16)
     // Bijective per-copy token suffix (copy 0 untouched): exact
     // within-copy jaccard, zero cross-copy shingle overlap.
     write(copies(t("documents"))

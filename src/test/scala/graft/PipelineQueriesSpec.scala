@@ -53,7 +53,7 @@ class PipelineQueriesSpec extends SparkTestBase {
   }
 
   test("minhash-LSH pairs equal exact-jaccard pairs at the 0.7 threshold") {
-    // LSH (b=64, r=2) + exact verification must recover exactly the pairs
+    // LSH (b=32, r=2) + exact verification must recover exactly the pairs
     // the exact shingle-join finds — this is the core dedup guarantee.
     val lsh = DedupQueries.qDedupMinhashLsh(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -71,7 +71,7 @@ class PipelineQueriesSpec extends SparkTestBase {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(planted.nonEmpty, "expected planted near-duplicates in testdata")
     // SimHash@hamming≤3 is deliberately lossier than MinHash (one 64-bit
-    // signature per doc vs 128 minhashes); ~0.7 recall on jaccard≥0.9
+    // signature per doc vs 64 minhashes); ~0.7 recall on jaccard≥0.9
     // dups is its expected operating point — MinHash-LSH is the
     // high-recall path, simhash the cheap prefilter.
     val recall = (planted & simhash).size.toDouble / planted.size
