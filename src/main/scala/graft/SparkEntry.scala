@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, CorpusQueries, DedupQueries, MppQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticQueries, CorpusQueries, DedupQueries, MppQueries, MultimodalQueries, OperatorQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +20,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
       (CorpusQueries.queries, CorpusQueries.oracles),
+      (OperatorQueries.queries, OperatorQueries.oracles),
       (MppQueries.queries, MppQueries.oracles),
     )
 

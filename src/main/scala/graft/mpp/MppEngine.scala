@@ -473,13 +473,47 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         listTables()
       case ExplainRe(inner) =>
         // EXPLAIN parity (reference annotates its scan with `Shards: k/n`,
-        // mpp_table_scan.cpp:373-380; asserted by mpp_filter.test:61-87):
-        // the pruning summary line, then Spark's own physical plan.
-        val df = spark.sql(inner)
-        val header = BucketPruning.shards(df)
-        val plan = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.SimpleMode)
-        (header +: plan.linesIterator.toSeq).toDF("plan")
+        // mpp_table_scan.cpp:373-380; asserted by mpp_filter.test:61-87,
+        // and for DML by mpp_delete.test:90): the pruning summary line,
+        // then Spark's physical plan. Dialect DML explains WITHOUT
+        // executing: the plan shown is the COW read side (pruned scan +
+        // condition), headed by the write-path description.
+        def dmlExplain(name: String, verb: String,
+            whereStr: Option[String]): DataFrame = {
+          val t = info(name)
+          val pruned = prunedBuckets(t, whereStr)
+          val scan = whereStr.map(w => table(name).filter(expr(w)))
+            .getOrElse(table(name))
+          val plan = scan.queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode)
+          (Seq(s"$verb ${t.name} (copy-on-write rewrite of matched buckets)",
+            s"Shards: ${pruned.size}/${t.buckets}") ++
+            plan.linesIterator.toSeq).toDF("plan")
+        }
+        inner match {
+          case UpdateRe(name, rest)
+              if catalog.state.liveTable(name).isDefined =>
+            dmlExplain(name, "UPDATE", splitWhere(rest)._2)
+          case DeleteRe(name, whereStr)
+              if catalog.state.liveTable(name).isDefined =>
+            dmlExplain(name, "DELETE FROM", Option(whereStr).map(_.trim))
+          case InsertRe(name, _, source)
+              if catalog.state.liveTable(name).isDefined =>
+            val t = info(name)
+            val plan = spark.sql(source).queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode)
+            (Seq(s"INSERT INTO ${t.name} (hash shuffle on " +
+              s"${t.partitionColumn} into ${t.buckets} buckets, " +
+              "parallel append)") ++ plan.linesIterator.toSeq).toDF("plan")
+          case sel if sel.trim.matches("(?is)^(SELECT|WITH)\\b.*") =>
+            val df = spark.sql(sel)
+            val header = BucketPruning.shards(df)
+            val plan = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.SimpleMode)
+            (header +: plan.linesIterator.toSeq).toDF("plan")
+          case other => throw new UnsupportedOperationException(
+            s"EXPLAIN is not supported for: ${other.trim.takeWhile(_ != ' ')}")
+        }
       case TxnRe(verb) =>
         verb.toUpperCase match {
           case "BEGIN" => begin()
@@ -525,7 +559,7 @@ object MppEngine {
   private val TxnRe =
     """(?is)^(BEGIN|COMMIT|ROLLBACK)(?:\s+TRANSACTION)?$""".r
   private val ExplainRe =
-    """(?is)^EXPLAIN\s+(SELECT\b.*|WITH\b.*)$""".r
+    """(?is)^EXPLAIN\s+(.*)$""".r
 
   /** Split on commas not nested in parens or single-quoted literals
     * (DECIMAL(10,2), DEFAULT f(x), DEFAULT 'a,b'). Doubled '' escapes

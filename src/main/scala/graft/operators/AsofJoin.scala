@@ -28,35 +28,47 @@ object AsofJoin {
     * @param key   equality column present on both sides.
     * @param time  event-time column present on both sides.
     * @return left columns + right payload columns (null when no right
-    *         row at or before the left row's time). */
+    *         row at or before the left row's time).
+    *
+    * The right payload is carried as ONE struct with a single
+    * `last(_, ignoreNulls)`: carrying columns independently would let a
+    * NULL field "see through" to an OLDER right row — mixing fields of
+    * different right rows and resurrecting stale data over a
+    * legitimately-NULL match. The struct itself is never null for a
+    * right row, so the whole row matches or none of it does.
+    *
+    * NULL semantics follow the SQL equi-join rule: right rows with a
+    * NULL key or NULL time can never match (they are dropped before the
+    * union); left rows always survive, with NULL payload when nothing
+    * matched. */
   def asof(left: DataFrame, right: DataFrame, key: String,
       time: String): DataFrame = {
     val rightPayload = right.columns.filter(c => c != key && c != time)
     require(rightPayload.nonEmpty, "right side has no payload columns")
     val leftCols = left.columns
-    // Union schema: key, time, side, left columns, right payload.
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    // Union schema: key, time, side, left columns, one payload struct.
     val taggedLeft = left
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col(time), col("__side")) ++
-        leftCols.filter(c => c != key && c != time).map(col) ++
-        rightPayload.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__r_$c")): _*)
+        leftCols.filter(c => c != key && c != time).map(col) :+
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))).as("__r"): _*)
     val taggedRight = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col(time), col("__side")) ++
         leftCols.filter(c => c != key && c != time)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("__r"): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      case (df, c) =>
-        df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true)
-          .over(w))
-    }
-    carried.filter(col("__side") === 1)
+    taggedLeft.unionByName(taggedRight)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        rightPayload.map(c => col(s"__r_$c").as(c)): _*)
+        rightPayload.map(c => col("__r").getField(c).as(c)): _*)
   }
 }

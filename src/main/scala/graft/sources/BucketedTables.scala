@@ -22,14 +22,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedTables {
 
-  /** Write `df` as a bucketed, per-bucket-sorted catalog table. */
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table.
+    * Idempotent across JVMs: the in-memory catalog forgets managed
+    * tables on restart while their warehouse directories persist, so
+    * any orphaned location is cleared before the write. */
   def create(spark: SparkSession, name: String, df: DataFrame, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(name)
+  }
 
   /** Equi-join two co-bucketed tables on their bucket key. With equal
     * bucket counts the physical plan contains NO Exchange on either

@@ -74,6 +74,33 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSession)
   }
 
+  /** Batch twin of [[sessionize]] — identical 30-minute-gap semantics
+    * expressed as gaps-and-islands over event time (lag → new-session
+    * flag → running island id → per-island aggregate). Used by the
+    * driver-gate `q_sessionize`, whose DuckDB oracle runs the same
+    * formulation; a suite test pins batch ≡ streaming emissions.
+    *
+    * @param ev (user_id, ts, value) — a batch DataFrame. */
+  def sessionizeBatch(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    ev.select(col("user_id"), col("ts"), col("value"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >
+            SessionGapMs * 1000L, 1L).otherwise(0L))
+      .withColumn("sid", sum("new_s").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events",
+        "total_value")
+  }
+
   private def updateSession(userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (state.hasTimedOut) {

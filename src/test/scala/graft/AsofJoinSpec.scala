@@ -31,6 +31,37 @@ class AsofJoinSpec extends SparkTestBase {
       ("B", 9L, Some(20.0))), out.toString)
   }
 
+  test("asof carries the payload row-atomically when fields are NULL") {
+    // Right row at t=5 has bid=NULL, sz=50: a per-column carry would
+    // "see through" the NULL to the older bid=10 while taking sz=50 —
+    // stitching two right rows together. The struct carry must return
+    // the t=5 row as-is: (NULL, 50).
+    val left = Seq(("A", 6L)).toDF("sym", "t")
+    val right = Seq(
+      ("A", 1L, Some(10.0), Some(17L)),
+      ("A", 5L, None: Option[Double], Some(50L)))
+      .toDF("sym", "t", "bid", "sz")
+    val out = AsofJoin.asof(left, right, "sym", "t").collect()
+    assert(out.length == 1)
+    assert(out.head.isNullAt(2), "NULL bid must not resurrect older row")
+    assert(out.head.getLong(3) == 50L)
+  }
+
+  test("asof never matches NULL keys or NULL times (SQL join semantics)") {
+    val left = Seq((Some("A"), 5L), (None: Option[String], 5L))
+      .toDF("sym", "t")
+    val right = Seq(
+      (Some("A"), Some(1L), 10.0),             // legitimate match
+      (None: Option[String], Some(2L), 66.0),  // NULL key: never matches
+      (Some("A"), None: Option[Long], 77.0))   // NULL time: never matches
+      .toDF("sym", "t", "bid")
+    val out = AsofJoin.asof(left, right, "sym", "t").collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(2)))).toSet
+    assert(out == Set(
+      (Some("A"), Some(10.0)),
+      (None, None)), out.toString)
+  }
+
   test("asof preserves every left row and all left columns") {
     val left = Tables(spark, sf, "events")
       .select(col("user_id"), col("ts").cast("long").as("t"),

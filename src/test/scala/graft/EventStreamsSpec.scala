@@ -131,6 +131,43 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch sessionizeBatch matches every streaming-emitted session") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(45), 1, "click", 4.0),   // gap > 30min: new session
+      Event(4, ts(50), 1, "click", 0.5),
+      Event(5, ts(2), 2, "view", 3.0),
+      Event(6, ts(200), 2, "view", 7.0))   // second session for user 2
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // Far-future event per user pushes the watermark so every session
+      // above closes; these tail sessions stay open and are not compared.
+      mem.addData(Event(90, ts(5000), 1, "view", 0.0),
+        Event(91, ts(5000), 2, "view", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_eq").as[EventStreams.Session]
+        .collect().map(s =>
+          (s.user_id, s.session_start, s.session_end, s.n_events,
+            s.total_value)).toSet
+      val batch = EventStreams.sessionizeBatch(
+        events.toDF().select($"user_id", $"ts", $"value"))
+        .as[EventStreams.Session].collect().map(s =>
+          (s.user_id, s.session_start, s.session_end, s.n_events,
+            s.total_value)).toSet
+      // Every closed streaming session appears identically in batch.
+      assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+      assert(streamed.size == 4, streamed.toString)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

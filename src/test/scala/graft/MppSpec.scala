@@ -67,6 +67,22 @@ class MppSpec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(ex.head == "Shards: 1/12", ex.head)
     assert(ex.exists(_.contains("PushedFilters")), ex.mkString("\n"))
+    // EXPLAIN for dialect DML shows write-path pruning WITHOUT executing
+    // (reference explains any statement — mpp_delete.test:90).
+    val exu = e.sql("EXPLAIN UPDATE ft SET v = 'x' WHERE id = 7")
+      .collect().map(_.getString(0))
+    assert(exu.head.startsWith("UPDATE ft"), exu.head)
+    assert(exu(1) == "Shards: 1/12", exu(1))
+    val exd = e.sql("EXPLAIN DELETE FROM ft WHERE id = 3")
+      .collect().map(_.getString(0))
+    assert(exd(1) == "Shards: 1/12", exd(1))
+    // ... and did not execute: the rows are intact.
+    assert(e.table("ft").filter("id = 7").head().getString(1) == "row7")
+    assert(e.table("ft").filter("id = 3").count() == 1)
+    val exi = e.sql("EXPLAIN INSERT INTO ft SELECT 2000, 'n'")
+      .collect().map(_.getString(0))
+    assert(exi.head.contains("hash shuffle"), exi.head)
+    assert(e.table("ft").count() == 1000)
   }
 
   // --- mpp_update.test --------------------------------------------------

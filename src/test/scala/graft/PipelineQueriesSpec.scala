@@ -105,6 +105,25 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("typed codec-API decode equals the columnar default, row for row") {
+    import org.apache.spark.sql.functions.encode
+    val blobs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val typed = MultimodalQueries.decodeTyped(spark, blobs)
+    val columnar = MultimodalQueries.decodeColumnar(blobs)
+      .select(typed.columns.map(col): _*)
+    assert(typed.exceptAll(columnar).isEmpty &&
+      columnar.exceptAll(typed).isEmpty)
+  }
+
+  test("default multimodal plans stay columnar: no DeserializeToObject") {
+    for (q <- Seq(MultimodalQueries.qMmDecode _,
+        MultimodalQueries.qMmFrames _)) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString()
+      assert(!plan.contains("DeserializeToObject"), plan.take(500))
+    }
+  }
+
   test("dedup/similarity plans broadcast the small side, not shuffle it") {
     val plan = SimilarityQueries.qAnnBruteforce(spark, sf)
       .queryExecution.executedPlan.toString()
