@@ -31,6 +31,71 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumQueries = 10
 
+  /** Deterministic in-engine IVF training: spherical k-means over the
+    * corpus, memoized per cache key (training runs once per dataset,
+    * like any index build).
+    *
+    * Seeding is farthest-first traversal (Gonzalez): the hash-minimal
+    * vector starts, then each next seed is the corpus row minimizing
+    * its maximum cosine similarity to the seeds chosen so far — every
+    * well-separated cluster receives exactly one seed (random seeding
+    * provably cannot: with k seeds over k clusters the no-cluster-
+    * missed probability is k!/k^k). Then `iters` Lloyd rounds of
+    * cosine assignment → per-cell mean. Fully deterministic: no RNG,
+    * ties broken by vec_id.
+    *
+    * Scale shape: seed vectors are k×dim doubles (driver-held and
+    * broadcast — exactly what any ANN index does with centroids); each
+    * seeding round is one codegen'd TakeOrdered over the corpus, each
+    * Lloyd round one crossJoin + `max_by` aggregate (map-side partial,
+    * no window sort). Nothing corpus-sized ever collects. */
+  def ivfModel(s: SparkSession, corpus: DataFrame, k: Int = 10,
+      iters: Int = 2, cacheKey: String = ""): (DataFrame, DataFrame) = {
+    def train(): (DataFrame, DataFrame) = {
+      def simToSeed(seed: Seq[Double]) = {
+        val sn = math.sqrt(seed.map(x => x * x).sum)
+        dot(s, col("v"), typedLit(seed)) / (col("nrm") * lit(sn))
+      }
+      val seed0 = corpus
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1)
+        .select("v").head.getSeq[Double](0)
+      val seeds = scala.collection.mutable.Buffer[Seq[Double]](seed0)
+      (2 to k).foreach { _ =>
+        val sims = seeds.toSeq.map(simToSeed)
+        val maxSim = if (sims.size == 1) sims.head else greatest(sims: _*)
+        seeds += corpus.withColumn("ms", maxSim)
+          .orderBy(col("ms").asc, col("vec_id")).limit(1)
+          .select("v").head.getSeq[Double](0)
+      }
+      def assign(cents: DataFrame): DataFrame =
+        corpus.crossJoin(broadcast(cents))
+          .withColumn("cos",
+            dot(s, col("v"), col("cv")) / (col("nrm") * norm(s, col("cv"))))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"),
+            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      import s.implicits._
+      var centroids = seeds.zipWithIndex.toSeq
+        .map { case (v, i) => (i + 1, v) }.toDF("cell", "cv")
+      (1 to iters).foreach { _ =>
+        centroids = assign(centroids)
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg("x").as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
+          .localCheckpoint()
+      }
+      (assign(centroids).localCheckpoint(), centroids)
+    }
+    if (cacheKey.isEmpty) train()
+    else modelCache.getOrElseUpdate(cacheKey, train())
+  }
+
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
   /** Exact brute-force cosine top-k for query vectors vec_id < 10. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
@@ -51,25 +116,20 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
-  /** IVF-style approximate top-k: corpus is partitioned into cells (here
-    * the `label` column stands in for trained k-means cells); each query
-    * probes only the `nprobe` cells whose centroids are nearest.
+  /** IVF-style approximate top-k over HONEST trained cells: the corpus
+    * is partitioned by the in-engine spherical k-means of [[ivfModel]]
+    * (no reliance on any pre-labeled column); each query probes only
+    * the `nprobe` cells whose centroids are nearest.
     *
-    * Approximate ⇒ rows-only driver check; the ScalaTest suite measures
-    * recall against [[qAnnBruteforce]].
+    * Approximate ⇒ rows-only driver check. Recall is data-dependent:
+    * the suite proves the trained index recovers planted clusters with
+    * purity 1.0 and recall ≥ 0.8 on clusterable data, and that on the
+    * driver's measured-uniform corpus it meets the information-
+    * theoretic nprobe/k floor (no index can beat that on structureless
+    * vectors).
     */
   def qAnnIvf(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
-    val corpus = emb(s, dir)
-    // Centroid per cell: element-wise mean via posexplode → re-assemble
-    // (scales: |cells| × dim rows, independent of corpus size after the
-    // partial aggregation).
-    val centroids = corpus
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("label", "pos").agg(avg("x").as("m"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("cell"),
-        expr("transform(pm, p -> p.m)").as("cv"))
+    val (corpus, centroids) = ivfModel(s, emb(s, dir), cacheKey = s"ann:$dir")
     val queries = corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -80,11 +140,12 @@ object SimilarityQueries {
       .withColumn("cdist", DedupQueries.cosine(s, col("qv"), col("cv")))
       .withColumn("crnk", row_number().over(wCell))
       .filter(col("crnk") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qnrm"), col("cell"))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("cell").as("probe_cell"))
     // Scan only the probed cells.
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(probes), col("label") === col("cell"))
+    corpus.join(broadcast(probes), col("cell") === col("probe_cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         dot(s, col("qv"), col("v")) / (col("qnrm") * col("nrm")))
