@@ -48,13 +48,35 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ BucketPruning.rule
   }
-  MppEngine.current = Some(this)
+  MppEngine.register(warehouse, this)
 
   // Re-register pruning + views for tables loaded from a persisted catalog.
   catalog.state.tables.filterNot(_.deleted).foreach { t =>
     BucketPruning.register(dataPath(t.name), t.partitionColumn, t.buckets)
     refreshView(t)
   }
+
+  /** Temp-view name for an engine-local table key (`t` or `schema.t`). */
+  private def viewName(key: String): String = key.replace(".", "__")
+
+  /** Strip this engine's own catalog alias from a qualified reference;
+    * the remainder (`t` or `schema.t`) is the engine-local key. */
+  private def localKey(ref: String): String = {
+    val parts = ref.split("\\.")
+    val stripped =
+      if (parts.length >= 2 &&
+        (attachedAs.contains(parts(0)) || parts(0) == warehouse)) {
+        parts.drop(1)
+      } else parts
+    stripped.mkString(".")
+  }
+
+  /** (Re-)register this engine's table views: the bare (local) name for
+    * unqualified references plus, when attached under an alias, the
+    * `alias__table` form qualified reads rewrite to. Called after
+    * ATTACH assigns the alias and after USE activates this engine. */
+  def refreshAllViews(): Unit =
+    catalog.state.tables.filterNot(_.deleted).foreach(refreshView)
 
   private def dataPath(table: String): String = s"$warehouse/data/$table"
 
@@ -65,16 +87,25 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     StructType(userSchema(t).fields :+ StructField(BucketCol, IntegerType))
 
   private def info(table: String): TableInfo =
-    catalog.state.liveTable(table).getOrElse(
+    catalog.state.liveTable(localKey(table)).getOrElse(
       throw new IllegalArgumentException(s"no distributed table '$table'"))
 
   // --- DDL (reference D1/D2: create_distributed_table.cpp:64-168) ------
 
   /** Create a distributed table. `columns` uses Spark DDL types;
     * `defaults` maps column → default-value SQL. */
-  def createDistributedTable(name: String, columns: String,
+  def createDistributedTable(rawName: String, columns: String,
       partitionCol: String, buckets: Int,
       defaults: Map[String, String] = Map.empty): Unit = {
+    val name = localKey(rawName)
+    // Schema-qualified table: the schema must exist (reference binds
+    // schema.table through MppSchemaEntry::GetEntry,
+    // mpp_schema_entry.cpp:130-139).
+    if (name.contains(".")) {
+      val sch = name.split("\\.")(0)
+      require(catalog.state.schemas.contains(sch),
+        s"schema $sch does not exist")
+    }
     require(buckets > 0, s"bucket count must be positive: $buckets")
     val schema = StructType.fromDDL(columns)
     require(schema.fieldNames.map(_.toLowerCase)
@@ -107,12 +138,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   /** Drop: mark deleted in metadata AND remove data — the reference leaks
     * worker shards on drop (SURVEY.md §2.3 quirk 2); we do not. */
-  def dropTable(name: String): Unit = {
+  def dropTable(rawName: String): Unit = {
+    val name = localKey(rawName)
     val t = info(name)
     catalog.mutate(s => s.copy(tables = s.tables.map(x =>
       if (x.tableOid == t.tableOid) x.copy(deleted = true) else x)))
     BucketPruning.unregister(dataPath(name))
-    spark.catalog.dropTempView(name)
+    spark.catalog.dropTempView(viewName(name))
+    attachedAs.foreach(a =>
+      spark.catalog.dropTempView(s"${a}__${viewName(name)}"))
     val p = new Path(dataPath(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
@@ -135,12 +169,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   /** User-facing scan: bucket column hidden, pruning via the injected
     * rule + partition-directory pruning. */
   def table(name: String): DataFrame = {
-    val t = info(name)
+    val t = info(localKey(name))
     readWithBucket(t).select(userSchema(t).fieldNames.map(col): _*)
   }
 
-  private def refreshView(t: TableInfo): Unit =
-    table(t.name).createOrReplaceTempView(t.name)
+  private def refreshView(t: TableInfo): Unit = {
+    val df = table(t.name)
+    df.createOrReplaceTempView(viewName(t.name))
+    attachedAs.foreach(a =>
+      df.createOrReplaceTempView(s"${a}__${viewName(t.name)}"))
+  }
 
   // --- distributed INSERT (reference W1) --------------------------------
 
@@ -439,7 +477,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val cnt = insertInto(name, src)
         Seq(s"CREATE TABLE $name AS ($cnt rows)").toDF("result")
       case InsertRe(name, colList, source)
-          if catalog.state.liveTable(name).isDefined =>
+          if catalog.state.liveTable(localKey(name)).isDefined =>
         val src = spark.sql(source)
         val targetCols = Option(colList)
           .map(_.split(",").map(_.trim).toSeq)
@@ -448,7 +486,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val n = insertInto(name, src.toDF(targetCols: _*))
         Seq(n).toDF("Count")
       case UpdateRe(name, rest)
-          if catalog.state.liveTable(name).isDefined =>
+          if catalog.state.liveTable(localKey(name)).isDefined =>
         val (setsStr, whereStr) = splitWhere(rest)
         val sets = splitTopLevel(setsStr).map { a =>
           val Array(c, e) = a.split("=", 2)
@@ -457,10 +495,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val n = update(name, sets, whereStr)
         Seq(n).toDF("Count")
       case DeleteRe(name, whereStr)
-          if catalog.state.liveTable(name).isDefined =>
+          if catalog.state.liveTable(localKey(name)).isDefined =>
         val n = delete(name, Option(whereStr).map(_.trim))
         Seq(n).toDF("Count")
-      case DropRe(name) if catalog.state.liveTable(name).isDefined =>
+      case DropRe(name) if catalog.state.liveTable(localKey(name)).isDefined =>
         dropTable(name)
         Seq(s"DROP TABLE $name").toDF("result")
       case CreateSchemaRe(ine, name) =>
@@ -527,29 +565,140 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         // dialect error, not a delegation case.
         if (MppParser.intercepts(s)) throw new IllegalArgumentException(
           s"cannot parse distributed-dialect statement: $s")
-        spark.sql(text)
+        spark.sql(MppEngine.rewriteReads(text))
     }
   }
 }
 
 object MppEngine {
 
-  /** Most recently constructed engine — the target for the injected
-    * parser in [[MppExtensions]]. */
-  @volatile var current: Option[MppEngine] = None
+  /** Named-engine registry: every `ATTACH … AS name (TYPE mpp)` (and
+    * every directly-constructed engine, under its warehouse path)
+    * registers here; the injected parser routes dialect statements by
+    * catalog name. Mirrors the reference's many-attached-catalogs model
+    * (its flagship test attaches TWO mpp databases and switches with
+    * USE — test/sql/mpp.test:15-31). */
+  val registry = scala.collection.concurrent.TrieMap.empty[String, MppEngine]
+
+  /** The engine unqualified statements route to (reference: the USE'd
+    * catalog). Set by USE and by the first ATTACH. */
+  @volatile var active: Option[String] = None
+
+  /** Engine for unqualified references: the USE'd catalog first, else
+    * the most recently registered (deterministic single-engine case). */
+  def current: Option[MppEngine] =
+    active.flatMap(registry.get).orElse(lastRegistered)
+
+  @volatile private var lastRegistered: Option[MppEngine] = None
+
+  // `active` is set ONLY by USE (reference semantics: ATTACH leaves the
+  // current catalog untouched until USE — mpp.test:27); without a USE,
+  // unqualified statements route to the most recently created engine.
+  private[mpp] def register(name: String, e: MppEngine): Unit = {
+    registry.put(name, e)
+    lastRegistered = Some(e)
+  }
+
+  /** DETACH semantics: remove ONLY the named catalog (including its
+    * warehouse-path auto-registration); routing for other engines is
+    * untouched. */
+  private[mpp] def unregister(name: String): Option[MppEngine] = {
+    val e = registry.remove(name)
+    e.foreach { eng =>
+      registry.filter(_._2 eq eng).keys.foreach(registry.remove)
+    }
+    if (active.contains(name)) active = None
+    if (e.isDefined && lastRegistered == e) lastRegistered = None
+    e
+  }
+
+  /** Rewrite catalog-qualified mpp references in a READ statement to
+    * the temp views the engines maintain, skipping quoted literals:
+    *  - `cat.__mpp_system.x` → a freshly refreshed system view
+    *    `cat__sys_x` (always current state);
+    *  - `cat.schema.t` / `cat.t` / `schema.t` (when they resolve to a
+    *    live distributed table) → the engine's `alias__…` view.
+    * Unresolvable dotted names (e.g. subquery aliases `x.col`) pass
+    * through untouched. */
+  def rewriteReads(text: String): String = {
+    if (registry.isEmpty) return text
+    // Single-quote mask: spans inside literals are never rewritten.
+    val inQuote = new Array[Boolean](text.length)
+    var q = false
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') q = !q
+      inQuote(i) = q
+      i += 1
+    }
+    val Ref = """\b(\w+)\.(\w+)(?:\.(\w+))?\b""".r
+    Ref.replaceAllIn(text, m => {
+      if (inQuote(m.start)) m.matched
+      else {
+        val (a, b, c) = (m.group(1), m.group(2), Option(m.group(3)))
+        val rewritten = (registry.get(a), b, c) match {
+          case (Some(e), "__mpp_system", Some(x))
+              if Set("nodes", "shards", "tables").contains(x) =>
+            val v = s"${a}__sys_$x"
+            e.systemTable(x).createOrReplaceTempView(v)
+            Some(v)
+          case (Some(e), t, None)
+              if e.catalog.state.liveTable(t).isDefined =>
+            Some(s"${a}__$t")
+          case (Some(e), sch, Some(t))
+              if e.catalog.state.liveTable(s"$sch.$t").isDefined =>
+            Some(s"${a}__${sch}__$t")
+          case (None, t, None) =>
+            // schema.table in the active-or-any engine (bare view)
+            resolve(s"$a.$t").collect {
+              case (_, key) if key == s"$a.$t" => s"${a}__$t"
+            }
+          case _ => None
+        }
+        java.util.regex.Matcher.quoteReplacement(
+          rewritten.getOrElse(m.matched))
+      }
+    })
+  }
+
+  /** Resolve a possibly-qualified table reference:
+    * `table` | `cat.table` | `schema.table` | `cat.schema.table`.
+    * Unqualified (and schema-qualified) names resolve in the CURRENT
+    * engine only — the reference's USE'd-catalog semantics; alias-
+    * qualified names route to the named catalog regardless of USE.
+    * Returns the owning engine and the engine-local table key. */
+  def resolve(ref: String): Option[(MppEngine, String)] = {
+    val parts = ref.split("\\.").toSeq
+    def inCurrent(key: String): Option[(MppEngine, String)] =
+      current.filter(_.catalog.state.liveTable(key).isDefined).map(_ -> key)
+    parts match {
+      case Seq(t) => inCurrent(t)
+      case Seq(a, b) =>
+        registry.get(a).flatMap { e =>
+          if (e.catalog.state.liveTable(b).isDefined) Some(e -> b) else None
+        }.orElse(inCurrent(s"$a.$b"))
+      case Seq(a, b, c) =>
+        registry.get(a).flatMap { e =>
+          val key = s"$b.$c"
+          if (e.catalog.state.liveTable(key).isDefined) Some(e -> key)
+          else None
+        }
+      case _ => None
+    }
+  }
 
   private val CreateRe =
-    """(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)$""".r
+    """(?is)^CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s*\((.*)\)\s*PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)$""".r
   private val InsertRe =
-    """(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*((?:VALUES|SELECT|WITH|TABLE)\b.*)$""".r
+    """(?is)^INSERT\s+INTO\s+((?:\w+\.){0,2}\w+)\s*(?:\(([^)]*)\))?\s*((?:VALUES|SELECT|WITH|TABLE)\b.*)$""".r
   private val UpdateRe =
-    """(?is)^UPDATE\s+(\w+)\s+SET\s+(.*)$""".r
+    """(?is)^UPDATE\s+((?:\w+\.){0,2}\w+)\s+SET\s+(.*)$""".r
   private val DeleteRe =
-    """(?is)^DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*))?$""".r
+    """(?is)^DELETE\s+FROM\s+((?:\w+\.){0,2}\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
-    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$""".r
+    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)$""".r
   private val CtasRe =
-    """(?is)^CREATE\s+TABLE\s+(\w+)\s+PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)\s+AS\s+(.*)$""".r
+    """(?is)^CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)\s+AS\s+(.*)$""".r
   private val CreateSchemaRe =
     """(?is)^CREATE\s+SCHEMA\s+(IF\s+NOT\s+EXISTS\s+)?(\w+)$""".r
   private val DropSchemaRe =

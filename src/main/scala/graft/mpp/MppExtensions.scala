@@ -34,7 +34,10 @@ final class MppParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (MppParser.intercepts(sqlText)) MppSqlCommand(sqlText)
-    else delegate.parsePlan(sqlText)
+    // Reads pass through the stock parser with catalog-qualified mpp
+    // references rewritten to engine views (schema preserved — no
+    // command-result flattening on the read path).
+    else delegate.parsePlan(MppEngine.rewriteReads(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -68,21 +71,39 @@ object MppParser {
     """(?is)^\s*ATTACH\s+'([^']+)'\s+AS\s+(\w+)\s*\(\s*TYPE\s+mpp\s*(?:,\s*ENDPOINT\s+'([^']+)')?\s*\)\s*;?\s*$""".r
   private[mpp] val DetachDialect =
     """(?is)^\s*DETACH\s+(\w+)\s*;?\s*$""".r
-  private val DmlHead =
-    """(?is)^\s*(INSERT\s+INTO|UPDATE|DELETE\s+FROM|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+(\w+)\b.*""".r
+  private[mpp] val UseDialect =
+    """(?is)^\s*USE\s+(\w+)\s*;?\s*$""".r
+  private[mpp] val DmlHead =
+    """(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+((?:\w+\.){0,2}\w+)\b.*""".r
+  private val CreateHead =
+    """(?is)^\s*CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*""".r
 
   /** True iff the statement belongs to the distributed dialect: the
-    * CREATE suffix, or DML whose target is a registered distributed
-    * table of the current engine. */
+    * CREATE suffix, ATTACH/DETACH/USE of an mpp catalog, or DML whose
+    * (possibly catalog-qualified) target resolves to a distributed
+    * table in ANY registered engine. */
   def intercepts(sql: String): Boolean = sql match {
     case CreateDialect() => true
     case CtasDialect() => true
     case AttachDialect(_, _, _) => true
-    case DetachDialect(name) =>
-      MppEngine.current.exists(_.attachedAs.contains(name))
-    case DmlHead(_, table) =>
-      MppEngine.current.exists(_.catalog.state.liveTable(table).isDefined)
+    case DetachDialect(name) => MppEngine.registry.contains(name)
+    case UseDialect(name) =>
+      // `USE memory` restores the default catalog (reference
+      // mpp.test:174); any registered alias activates that engine.
+      MppEngine.registry.contains(name) ||
+        (name.equalsIgnoreCase("memory") && MppEngine.registry.nonEmpty)
+    case DmlHead(table) => MppEngine.resolve(table).isDefined
     case _ => false
+  }
+
+  /** Engine a dialect statement routes to: the resolved target's owner
+    * for DML, the alias prefix (or USE'd engine) for CREATE. */
+  private[mpp] def route(sql: String): Option[MppEngine] = sql match {
+    case DmlHead(table) => MppEngine.resolve(table).map(_._1)
+    case CreateHead(name) =>
+      val head = name.split("\\.")(0)
+      MppEngine.registry.get(head).orElse(MppEngine.current)
+    case _ => MppEngine.current
   }
 }
 
@@ -98,19 +119,34 @@ final case class MppSqlCommand(sqlText: String) extends LeafRunnableCommand {
       case MppParser.AttachDialect(path, name, endpoint) =>
         // Reference lifecycle: ATTACH creates the catalog and registers
         // the coordinator endpoint (mpp_catalog.cpp:39-55). Warehouse ≡
-        // attached database path.
+        // attached database path. Many catalogs may be attached at
+        // once; qualified references route by alias, unqualified ones
+        // by the USE'd catalog (mpp.test:15-31).
         val e = new MppEngine(spark, path)
         e.attachedAs = Some(name)
+        MppEngine.register(name, e)
+        e.refreshAllViews() // alias-qualified views for loaded tables
         Option(endpoint).foreach { ep =>
           val Array(host, port) = ep.split(":", 2)
           e.masterAddNode(host, port.toInt)
         }
         Seq(Row(s"ATTACH $name"))
-      case MppParser.DetachDialect(_) =>
-        MppEngine.current = None
-        Seq(Row("DETACH"))
-      case _ =>
-        val engine = MppEngine.current.getOrElse(
+      case MppParser.DetachDialect(name) =>
+        // Remove ONLY the named catalog.
+        MppEngine.unregister(name)
+        Seq(Row(s"DETACH $name"))
+      case MppParser.UseDialect(name) =>
+        if (MppEngine.registry.contains(name)) {
+          MppEngine.active = Some(name)
+          // Unqualified references now resolve in this catalog: its
+          // bare table views take over the session namespace.
+          MppEngine.registry(name).refreshAllViews()
+        } else {
+          MppEngine.active = None // USE memory → default catalog
+        }
+        Seq(Row(s"USE $name"))
+      case other =>
+        val engine = MppParser.route(other).getOrElse(
           throw new IllegalStateException("no active MppEngine"))
         engine.sql(sqlText).collect().toSeq
           .map(r => Row(r.toSeq.map(String.valueOf).mkString("|")))

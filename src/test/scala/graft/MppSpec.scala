@@ -301,6 +301,104 @@ class MppSpec extends SparkTestBase {
     }
   }
 
+  // --- mpp.test:15-44 — the reference's TWO-catalog flagship sequence ---
+
+  test("two attached catalogs with USE routing (mpp.test:15-44 replay)") {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.mpp.MppExtensions()(_))
+      .getOrCreate()
+    val (wh1, wh2) = (Files.createTempDirectory("graft-db1").toString,
+      Files.createTempDirectory("graft-db2").toString)
+    try {
+      s2.sql(s"ATTACH '$wh1' AS mpp_db1 (TYPE mpp, ENDPOINT '127.0.0.1:12345')")
+      s2.sql(s"ATTACH '$wh2' AS mpp_db2 (TYPE mpp, ENDPOINT '127.0.0.1:23456')")
+      s2.sql("USE mpp_db1")
+      MppEngine.registry("mpp_db1").masterAddNode("127.0.0.1", 23456)
+      // Catalog-qualified system table scan (db1.__mpp_system.nodes).
+      val nodes = s2.sql(
+        "SELECT * FROM mpp_db1.__mpp_system.nodes ORDER BY port")
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(nodes.toSeq == Seq(("127.0.0.1", 12345), ("127.0.0.1", 23456)))
+      // Dialect CREATE routes to the USE'd catalog.
+      s2.sql("CREATE TABLE t1(c0 INT, c1 DOUBLE) PARTITION BY (c0) WITH BUCKETS 4")
+      assert(MppEngine.registry("mpp_db1").catalog.state
+        .liveTable("t1").isDefined)
+      assert(MppEngine.registry("mpp_db2").catalog.state
+        .liveTable("t1").isEmpty)
+      // Round-robin shard placement over the two nodes (2 shards each).
+      val byNode = s2.sql(
+        """SELECT node, count(shard_id) AS n
+          |FROM mpp_db1.__mpp_system.shards GROUP BY node ORDER BY node"""
+          .stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(byNode.toSeq ==
+        Seq(("127.0.0.1:12345", 2L), ("127.0.0.1:23456", 2L)))
+      s2.sql("INSERT INTO t1 VALUES(1, 0.1),(2, 0.2),(3, 0.3),(4, 0.4)")
+      s2.sql("INSERT INTO t1 VALUES(5, 0.5),(6, 0.6),(7, 0.7),(8, 0.8)")
+      // Unqualified read resolves in the USE'd catalog.
+      assert(s2.sql("SELECT c0, c1 FROM t1 WHERE c0 = 3")
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+        Seq((3, 0.3)))
+      assert(s2.sql("SELECT count(1) FROM t1").head.getLong(0) == 8L)
+      // Same-named table in the OTHER catalog: independent data, both
+      // addressable by alias at once (the singleton round-1 engine
+      // could not do this).
+      s2.sql("USE mpp_db2")
+      s2.sql("CREATE TABLE t1(c0 INT, c1 DOUBLE) PARTITION BY (c0) WITH BUCKETS 2")
+      s2.sql("INSERT INTO t1 VALUES(100, 9.9)")
+      assert(s2.sql("SELECT count(1) FROM t1").head.getLong(0) == 1L)
+      assert(s2.sql("SELECT count(1) FROM mpp_db1.t1").head.getLong(0) == 8L)
+      assert(s2.sql("SELECT count(1) FROM mpp_db2.t1").head.getLong(0) == 1L)
+      // Catalog-qualified DML routes by alias, not by USE.
+      s2.sql("DELETE FROM mpp_db1.t1 WHERE c0 = 8")
+      assert(s2.sql("SELECT count(1) FROM mpp_db1.t1").head.getLong(0) == 7L)
+      assert(s2.sql("SELECT count(1) FROM mpp_db2.t1").head.getLong(0) == 1L)
+      // USE memory → default catalog (mpp.test:174); DETACH removes
+      // ONLY the named catalog.
+      s2.sql("USE memory")
+      s2.sql("DETACH mpp_db1")
+      assert(!MppEngine.registry.contains("mpp_db1"))
+      assert(MppEngine.registry.contains("mpp_db2"))
+      assert(s2.sql("SELECT count(1) FROM mpp_db2.t1").head.getLong(0) == 1L)
+      s2.sql("DETACH mpp_db2")
+      assert(!MppEngine.registry.contains("mpp_db2"))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("schema-qualified tables: CREATE s.t / FROM s.t / DML s.t") {
+    val e = freshEngine()
+    e.sql("CREATE SCHEMA analytics")
+    e.sql("CREATE TABLE analytics.fact(id BIGINT, v DOUBLE) " +
+      "PARTITION BY (id) WITH BUCKETS 4")
+    e.sql("INSERT INTO analytics.fact VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    // Reads through the engine SQL surface with the qualified name.
+    assert(e.sql("SELECT count(1) FROM analytics.fact").head.getLong(0) == 3L)
+    assert(e.sql("SELECT v FROM analytics.fact WHERE id = 2")
+      .head.getDouble(0) == 2.5)
+    e.sql("UPDATE analytics.fact SET v = v + 1 WHERE id = 1")
+    assert(e.sql("SELECT v FROM analytics.fact WHERE id = 1")
+      .head.getDouble(0) == 2.5)
+    e.sql("DELETE FROM analytics.fact WHERE id = 3")
+    assert(e.sql("SELECT count(1) FROM analytics.fact").head.getLong(0) == 2L)
+    // CREATE into a missing schema is a clean error (reference
+    // MppSchemaEntry::GetEntry binding).
+    val err = intercept[IllegalArgumentException] {
+      e.sql("CREATE TABLE nosuch.t(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    }
+    assert(err.getMessage.contains("schema nosuch does not exist"))
+    e.sql("DROP TABLE analytics.fact")
+    assert(e.catalog.state.liveTable("analytics.fact").isEmpty)
+  }
+
   // --- write-path property: rows land in pmod(hash(c), n) ---------------
 
   test("every row lands in its pmod(hash(col), n) bucket") {
