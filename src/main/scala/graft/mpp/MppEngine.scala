@@ -173,6 +173,56 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     readWithBucket(t).select(userSchema(t).fieldNames.map(col): _*)
   }
 
+  /** Scan projecting the reference's `rowid` pseudo-column
+    * (`mpp_table_scan.cpp:310-315` projects rowid on request; metadata
+    * delete-marking keys on it, `mpp_tables.cpp:96-125`): a stable
+    * per-bucket row id, `(bucket << 40) | (file base + row index)`,
+    * with file bases derived from parquet footer row counts in
+    * path-sorted order. Stable for a given table state; a COW rewrite
+    * renumbers — exactly as shard-local rowids shift under the
+    * reference's own rewrites. */
+  def tableWithRowid(name: String): DataFrame = {
+    val t = info(localKey(name))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dataPath(t.name))
+    val fs = root.getFileSystem(conf)
+    val bases = Vector.newBuilder[(Int, String, Long)]
+    if (fs.exists(root)) {
+      fs.listStatus(root)
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith(s"$BucketCol="))
+        .foreach { d =>
+          val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+          var base = 0L
+          // (mtime, name) order: appended files land AFTER existing
+          // ones, so prior rowid assignments survive an append — the
+          // reference's append-to-shard behavior.
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(f => (f.getModificationTime, f.getPath.getName))
+            .foreach { f =>
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(f.getPath, conf))
+              val n = try reader.getRecordCount finally reader.close()
+              bases += ((b, f.getPath.getName, base))
+              base += n
+            }
+        }
+    }
+    import spark.implicits._
+    val baseDf = bases.result().toDF("__b", "__f2", "__base")
+    readWithBucket(t)
+      .withColumn("__fn", col("_metadata.file_name"))
+      .withColumn("__ri", col("_metadata.row_index"))
+      .join(broadcast(baseDf),
+        col(BucketCol) === col("__b") && col("__fn") === col("__f2"))
+      .withColumn("rowid",
+        col(BucketCol).cast("long") * lit(1L << 40) +
+          col("__base") + col("__ri"))
+      .select(userSchema(t).fieldNames.map(col) :+ col("rowid"): _*)
+  }
+
   private def refreshView(t: TableInfo): Unit = {
     val df = table(t.name)
     df.createOrReplaceTempView(viewName(t.name))
@@ -464,6 +514,33 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     import spark.implicits._
     val s = text.trim.stripSuffix(";")
     s match {
+      // --- error parity: clean, specific rejections (reference) --------
+      case InsertConflictRe(name)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        throw new UnsupportedOperationException(
+          "Conflict action is not supported for MPP table! " +
+            "(reference parity: mpp_plan_insert.cpp:16-18)")
+      case InsertReturningRe(name)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        throw new UnsupportedOperationException(
+          "INSERT with RETURNING is not supported for MPP table! " +
+            "(reference parity: mpp_plan_insert.cpp:13-15)")
+      case UpdateReturningRe(name)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        throw new UnsupportedOperationException(
+          "Does not support UPDATE with returning " +
+            "(reference parity: mpp_plan_update.cpp:13-16)")
+      case DeleteReturningRe(name)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        throw new UnsupportedOperationException(
+          "Does not support DELETE with returning " +
+            "(reference parity: mpp_plan_delete.cpp)")
+      case AlterRe(name)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        throw new UnsupportedOperationException(
+          "ALTER is not implemented for MPP tables " +
+            "(reference parity: MppSchemaEntry::Alter, " +
+            "mpp_schema_entry.cpp:158-160)")
       case CreateRe(name, cols, pc, n) =>
         val (ddl, defaults) = parseColumns(cols)
         createDistributedTable(name, ddl, pc, n.toInt, defaults)
@@ -707,6 +784,16 @@ object MppEngine {
     """(?is)^SHOW\s+TABLES$""".r
   private val TxnRe =
     """(?is)^(BEGIN|COMMIT|ROLLBACK)(?:\s+TRANSACTION)?$""".r
+  private val InsertConflictRe =
+    """(?is)^INSERT\s+INTO\s+((?:\w+\.){0,2}\w+)\b.*\bON\s+CONFLICT\b.*$""".r
+  private val InsertReturningRe =
+    """(?is)^INSERT\s+INTO\s+((?:\w+\.){0,2}\w+)\b.*\bRETURNING\b.*$""".r
+  private val UpdateReturningRe =
+    """(?is)^UPDATE\s+((?:\w+\.){0,2}\w+)\s+SET\b.*\bRETURNING\b.*$""".r
+  private val DeleteReturningRe =
+    """(?is)^DELETE\s+FROM\s+((?:\w+\.){0,2}\w+)\b.*\bRETURNING\b.*$""".r
+  private val AlterRe =
+    """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*$""".r
   private val ExplainRe =
     """(?is)^EXPLAIN\s+(.*)$""".r
 

@@ -399,6 +399,57 @@ class MppSpec extends SparkTestBase {
     assert(e.catalog.state.liveTable("analytics.fact").isEmpty)
   }
 
+  // --- error parity + rowid (reference mpp_plan_insert/update, ---------
+  // --- mpp_schema_entry.cpp:158-160, mpp_table_scan.cpp:310-315) -------
+
+  test("unsupported statements fail with the reference's specific errors") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE ep(id BIGINT, v TEXT) PARTITION BY (id) WITH BUCKETS 2")
+    e.insertInto("ep", spark.range(0, 10).toDF("id")
+      .withColumn("v", lit("x")))
+    def msg(sql: String): String =
+      intercept[UnsupportedOperationException](e.sql(sql)).getMessage
+    assert(msg("INSERT INTO ep SELECT 11, 'y' RETURNING id")
+      .contains("INSERT with RETURNING is not supported"))
+    assert(msg("INSERT INTO ep VALUES (1, 'z') ON CONFLICT DO NOTHING")
+      .contains("Conflict action is not supported"))
+    assert(msg("UPDATE ep SET v = 'w' WHERE id = 1 RETURNING v")
+      .contains("UPDATE with returning"))
+    assert(msg("DELETE FROM ep WHERE id = 2 RETURNING id")
+      .contains("DELETE with returning"))
+    assert(msg("ALTER TABLE ep ADD COLUMN extra INT")
+      .contains("ALTER is not implemented"))
+    // Nothing executed: table intact.
+    assert(e.table("ep").count() == 10)
+    assert(e.table("ep").filter("v <> 'x'").count() == 0)
+  }
+
+  test("rowid pseudo-column: stable, unique, per-bucket (rowid scan)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rid(id BIGINT, v TEXT) PARTITION BY (id) WITH BUCKETS 4")
+    e.insertInto("rid", spark.range(0, 200).toDF("id")
+      .withColumn("v", concat(lit("r"), col("id"))))
+    val r1 = e.tableWithRowid("rid")
+    assert(r1.columns.toSeq == Seq("id", "v", "rowid"))
+    assert(r1.count() == 200)
+    assert(r1.select("rowid").distinct().count() == 200)
+    // Stable across reads: the same row keeps the same rowid.
+    val m1 = r1.select("id", "rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = e.tableWithRowid("rid").select("id", "rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+    // Appends keep existing assignments when files are untouched.
+    e.insertInto("rid", spark.range(200, 220).toDF("id")
+      .withColumn("v", concat(lit("r"), col("id"))))
+    val m3 = e.tableWithRowid("rid").select("id", "rowid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m3.size == 220)
+    assert(m3.values.toSet.size == 220)
+    assert(m1.forall { case (id, rid) => m3(id) == rid },
+      "append renumbered pre-existing rows")
+  }
+
   // --- write-path property: rows land in pmod(hash(c), n) ---------------
 
   test("every row lands in its pmod(hash(col), n) bucket") {
