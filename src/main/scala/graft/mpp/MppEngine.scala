@@ -173,6 +173,23 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     readWithBucket(t).select(userSchema(t).fieldNames.map(col): _*)
   }
 
+  /** Export a distributed table into Spark's native bucketed catalog
+    * layer (same bucket count, bucketed + sorted by the partition
+    * column): every later groupBy/join on that column runs with ZERO
+    * Exchange — the co-located capability the reference's data
+    * placement implies but leaves TODO (README.md:104-120). One
+    * clustering write, amortized over every subsequent co-located
+    * join/aggregate; `graft.sources.BucketedTables.colocatedJoin` then
+    * zips bucket i of two exports without any shuffle (PlanQualitySpec
+    * asserts the Exchange-free plans). A DSv2 read path reporting
+    * KeyGroupedPartitioning straight off the mpp bucket directories
+    * (no re-write) is the natural next step on top of this surface. */
+  def exportBucketed(name: String, catalogTable: String): Unit = {
+    val t = info(localKey(name))
+    graft.sources.BucketedTables.create(spark, catalogTable,
+      table(t.name), t.partitionColumn, t.buckets)
+  }
+
   /** Scan projecting the reference's `rowid` pseudo-column
     * (`mpp_table_scan.cpp:310-315` projects rowid on request; metadata
     * delete-marking keys on it, `mpp_tables.cpp:96-125`): a stable

@@ -75,6 +75,35 @@ class PlanQualitySpec extends SparkTestBase {
       "co-located join must not shuffle:\n" + plan.take(2000))
   }
 
+  test("exported mpp tables aggregate and join with zero exchanges") {
+    import java.nio.file.Files
+    val e = new graft.mpp.MppEngine(spark,
+      Files.createTempDirectory("graft-exb").toString)
+    e.sql("CREATE TABLE li_d(k BIGINT, q DOUBLE) PARTITION BY (k) WITH BUCKETS 4")
+    e.sql("CREATE TABLE ord_d(k BIGINT, p DOUBLE) PARTITION BY (k) WITH BUCKETS 4")
+    e.insertInto("li_d", spark.range(0, 2000).toDF("k")
+      .withColumn("q", col("k") * 0.5))
+    e.insertInto("ord_d", spark.range(0, 500).toDF("k")
+      .withColumn("p", col("k") * 2.0))
+    e.exportBucketed("li_d", "exb_li")
+    e.exportBucketed("ord_d", "exb_ord")
+    // groupBy on the partition column: partial+final agg, NO Exchange.
+    val agg = spark.table("exb_li").groupBy("k").count()
+    agg.collect()
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(!aggPlan.contains("Exchange hashpartitioning"),
+      "co-located aggregate must not shuffle:\n" + aggPlan.take(2000))
+    // join on the partition column: bucket-zipped, NO Exchange.
+    val j = graft.sources.BucketedTables
+      .colocatedJoin(spark, "exb_li", "exb_ord", "k")
+    j.collect()
+    val jPlan = j.queryExecution.executedPlan.toString
+    assert(!jPlan.contains("Exchange hashpartitioning"),
+      "co-located join must not shuffle:\n" + jPlan.take(2000))
+    // And the export is row-faithful to the distributed table.
+    assert(spark.table("exb_li").count() == e.table("li_d").count())
+  }
+
   test("distributed-table point lookup schedules only the pruned bucket") {
     import java.nio.file.Files
     val e = new graft.mpp.MppEngine(spark,
