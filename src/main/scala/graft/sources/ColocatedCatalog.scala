@@ -1,0 +1,303 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, Murmur3HashFunction}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, InMemoryFileIndex, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.FileScan
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.mpp.{BucketPruning, MppEngine, TableInfo}
+
+/** DataSource V2 catalog exposing mpp distributed tables as
+  * key-group-partitioned scans — co-located joins/aggregates IN PLACE.
+  *
+  * The engine's bucket layout IS hash placement: directory `bucket=i`
+  * of table `t` holds exactly the rows with `pmod(murmur3(pc), n) = i`
+  * (`MppEngine.insertInto`). The reference's data model implies
+  * co-location but leaves it TODO (`/root/reference/README.md:104-120`);
+  * round 2 bridged the gap with `exportBucketed` — a full re-clustering
+  * write. This catalog removes that write entirely: a V2 `Scan` reports
+  * `KeyGroupedPartitioning(bucket(n, pc))` straight over the existing
+  * bucket directories, so Spark's storage-partitioned-join machinery
+  * (SPARK-37377) plans
+  *
+  *  - `groupBy(pc)` with partial+final aggregation and NO Exchange, and
+  *  - joins of two equal-bucket-count tables on `pc` with NO Exchange
+  *    on either side,
+  *
+  * because every task already owns one whole bucket of each side. At
+  * 100 TB this deletes the dominant cost of a fact-fact join — the full
+  * network shuffle — with zero extra storage.
+  *
+  * Parquet reading, filter pushdown, and column pruning all delegate to
+  * Spark's own DSv2 parquet implementation; this file only re-groups
+  * its planned file splits per bucket and reports the partitioning.
+  */
+final class GraftCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"catalog $name needs option spark.sql.catalog.$name.warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  /** Engines self-register under their warehouse path; a catalog
+    * configured for a warehouse no live engine owns gets a fresh engine
+    * over the persisted metadata. */
+  private def engine: MppEngine =
+    MppEngine.registry.getOrElse(warehouse,
+      new MppEngine(SparkSession.active, warehouse))
+
+  private def keyOf(ident: Identifier): String =
+    (ident.namespace :+ ident.name).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    engine.catalog.state.tables.filterNot(_.deleted).map { t =>
+      val parts = t.name.split("\\.")
+      Identifier.of(parts.dropRight(1), parts.last)
+    }.filter(_.namespace.sameElements(namespace)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val st = engine.catalog.state
+    val t = st.liveTable(keyOf(ident))
+      // `cat.main.t` reaches the default-schema table stored bare as `t`.
+      .orElse(if (ident.namespace.sameElements(Array("main")))
+        st.liveTable(ident.name) else None)
+      .getOrElse(throw new NoSuchTableException(
+        (catalogName +: ident.namespace :+ ident.name).toSeq))
+    new ColocatedTable(SparkSession.active, t,
+      s"$warehouse/data/${t.name}")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "CREATE goes through the engine dialect: " +
+        "CREATE TABLE t (...) PARTITION BY (c) WITH BUCKETS n")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER is not implemented for MPP tables (reference parity: " +
+        "MppSchemaEntry::Alter, mpp_schema_entry.cpp:158-160)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP goes through the engine dialect: DROP TABLE " + keyOf(ident))
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME is not implemented for MPP tables")
+
+  // --- FunctionCatalog: lets V2ExpressionUtils resolve the `bucket`
+  // transform this catalog's tables report ----------------------------
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(
+      (catalogName +: ident.namespace :+ ident.name).toSeq)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == "bucket"
+}
+
+/** The engine's placement function as a V2 catalog function:
+  * `bucket(n, col) = pmod(murmur3(col, seed=42), n)` — bit-identical to
+  * the write side (`MppEngine.insertInto`: `pmod(hash(col), n)`), so the
+  * partitioning a scan reports is exactly the layout on disk. Both sides
+  * of a storage-partitioned join must bind to the same `canonicalName`. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col, seed=42), n) — mpp shard placement"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"bucket expects (numBuckets, column), got $inputType")
+    GraftBucketBound(inputType(1).dataType)
+  }
+}
+
+final case class GraftBucketBound(keyType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String =
+    s"graft.bucket(murmur3_pmod, ${keyType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    // A null key hashes to the seed itself (Spark skips null inputs) —
+    // the deterministic null bucket, same as BucketPruning.bucketOf.
+    val h = Murmur3HashFunction.hash(input.get(1, keyType), keyType, 42).toInt
+    ((h % n) + n) % n
+  }
+}
+
+/** One mpp table as a V2 read-only table reporting its bucket transform. */
+final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = t.name
+
+  override val schema: StructType = StructType.fromDDL(t.schemaDdl)
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(t.buckets, t.partitionColumn))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ColocatedScanBuilder(spark, t, root, schema)
+}
+
+/** Delegates pushdown (columns, filters) to Spark's own parquet scan
+  * builder over the bucket directories, then wraps the built scan so it
+  * reports key-grouped partitioning. Additionally runs the engine's
+  * shard-pruning analysis ([[BucketPruning.bucketsFor]]) on the pushed
+  * filters: a point lookup on the partition column schedules ONE bucket,
+  * V1/V2 parity with the injected optimizer rule. */
+final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
+    root: String, userSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters {
+
+  private val fullSchema = StructType(userSchema.fields :+
+    org.apache.spark.sql.types.StructField(BucketPruning.BucketCol,
+      IntegerType))
+
+  private val inner = ParquetScanBuilder(spark,
+    new InMemoryFileIndex(spark, Seq(new Path(root)), Map.empty,
+      Some(fullSchema)),
+    fullSchema, userSchema, CaseInsensitiveStringMap.empty())
+
+  /** Bucket set statically implied by the pushed filters; None = all. */
+  private var prunedBuckets: Option[Set[Int]] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    inner.pruneColumns(requiredSchema)
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val post = inner.pushFilters(filters)
+    val conds = inner.dataFilters
+    prunedBuckets = conds.flatMap { c =>
+      c.references.collectFirst {
+        case a: Attribute if a.name == t.partitionColumn =>
+          BucketPruning.bucketsFor(c, a, t.buckets)
+      }.flatten
+    }.reduceOption(_ intersect _)
+    post
+  }
+
+  override def pushedFilters(): Array[Predicate] = inner.pushedFilters()
+
+  override def build(): Scan =
+    new ColocatedScan(inner.build(), t.partitionColumn, t.buckets,
+      prunedBuckets)
+}
+
+/** Wraps the delegate parquet scan: re-groups its planned file splits
+  * into exactly one [[InputPartition]] per (surviving) bucket, each
+  * carrying its bucket id as the partition key, and reports
+  * `KeyGroupedPartitioning(bucket(n, pc))`. With
+  * `spark.sql.sources.v2.bucketing.enabled`, Spark then plans
+  * joins/aggregations on the partition column without any Exchange. */
+final class ColocatedScan(delegate: FileScan, partCol: String,
+    buckets: Int, pruned: Option[Set[Int]]) extends Scan with Batch
+    with SupportsReportPartitioning {
+
+  private val emitted: Seq[Int] =
+    pruned.map(_.toSeq.sorted)
+      .getOrElse(0 until buckets)
+
+  override def readSchema(): StructType = delegate.readSchema()
+
+  override def description(): String =
+    s"ColocatedScan(bucket($buckets, $partCol), " +
+      s"shards ${emitted.size}/$buckets, ${delegate.description()})"
+
+  override def toBatch: Batch = this
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(buckets, partCol)), emitted.size)
+
+  private val BucketDirRe =
+    (".*/" + BucketPruning.BucketCol + "=(\\d+)/.*").r
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = delegate.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"unexpected partition from parquet scan: $other")
+    }
+    val byBucket: Map[Int, Array[PartitionedFile]] =
+      files.groupBy(f => f.filePath.toString match {
+        case BucketDirRe(b) => b.toInt
+        case p => throw new IllegalStateException(
+          s"file outside bucket layout: $p")
+      })
+    // Every surviving bucket becomes a partition — including empty ones,
+    // so two tables' partition keys always align for the join planner.
+    emitted.map { b =>
+      BucketInputPartition(b,
+        FilePartition(b, byBucket.getOrElse(b, Array.empty)))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    UnwrapReaderFactory(delegate.toBatch.createReaderFactory())
+}
+
+/** One whole bucket of one table, keyed by its bucket id. */
+final case class BucketInputPartition(bucket: Int, files: FilePartition)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+  override def preferredLocations(): Array[String] =
+    files.preferredLocations()
+}
+
+/** Unwraps [[BucketInputPartition]] back to the [[FilePartition]] the
+  * delegate parquet reader factory expects. */
+final case class UnwrapReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition =
+    p.asInstanceOf[BucketInputPartition].files
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+}
