@@ -190,6 +190,21 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       table(t.name), t.partitionColumn, t.buckets)
   }
 
+  /** Expose this warehouse as a DSv2 catalog named `name`: after this,
+    * `spark.table(s"$name.t")` scans the distributed table IN PLACE
+    * reporting `KeyGroupedPartitioning(bucket(n, pc))` over its existing
+    * bucket directories ([[graft.sources.GraftCatalog]]) — every
+    * groupBy/join on the partition column plans with zero Exchange and,
+    * unlike [[exportBucketed]], zero re-clustering writes. The storage-
+    * partitioned-join conf (SPARK-37377) is flipped on session-wide;
+    * it only changes plans for V2 scans that report a partitioning. */
+  def installColocatedCatalog(name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", warehouse)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
   /** Scan projecting the reference's `rowid` pseudo-column
     * (`mpp_table_scan.cpp:310-315` projects rowid on request; metadata
     * delete-marking keys on it, `mpp_tables.cpp:96-125`): a stable

@@ -115,8 +115,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name == "bucket") GraftBucketFunction
-    else throw new NoSuchFunctionException(
-      (catalogName +: ident.namespace :+ ident.name).toSeq)
+    else throw new NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array.empty, "bucket"))
@@ -207,8 +206,10 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val post = inner.pushFilters(filters)
-    val conds = inner.dataFilters
-    prunedBuckets = conds.flatMap { c =>
+    // Pruning analysis runs over the full incoming conjunct list (not just
+    // the parquet-pushable subset): bucketsFor only derives an implied
+    // bucket set, so a filter the scan cannot push is still safe to prune by.
+    prunedBuckets = filters.flatMap { c =>
       c.references.collectFirst {
         case a: Attribute if a.name == t.partitionColumn =>
           BucketPruning.bucketsFor(c, a, t.buckets)
@@ -217,7 +218,7 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
     post
   }
 
-  override def pushedFilters(): Array[Predicate] = inner.pushedFilters()
+  override def pushedFilters: Array[Predicate] = inner.pushedFilters
 
   override def build(): Scan =
     new ColocatedScan(inner.build(), t.partitionColumn, t.buckets,
