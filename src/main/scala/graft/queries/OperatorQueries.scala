@@ -76,6 +76,48 @@ object OperatorQueries {
       .orderBy("custkey")
   }
 
+  // One DSv2 co-located warehouse per scale dir: customer + orders as
+  // distributed tables bucketed 16 on custkey, exposed through
+  // graft.sources.GraftCatalog. Fresh temp warehouse per JVM — the
+  // inserts are the one-time cost the catalog's whole point is to
+  // amortize (no exportBucketed re-write afterwards).
+  private val dsv2Cats = TrieMap.empty[String, String]
+
+  private def dsv2Catalog(s: SparkSession, dir: String): String =
+    dsv2Cats.getOrElseUpdate(dir, {
+      val h = Integer.toHexString(dir.hashCode).takeRight(6)
+      val e = new graft.mpp.MppEngine(s,
+        java.nio.file.Files.createTempDirectory(s"graft-dsv2-$h").toString)
+      e.createDistributedTable("cust", "custkey BIGINT, c_name STRING",
+        "custkey", 16)
+      e.createDistributedTable("ord",
+        "custkey BIGINT, o_orderkey BIGINT, o_totalprice DOUBLE",
+        "custkey", 16)
+      e.insertInto("cust", Tables(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_name")))
+      e.insertInto("ord", Tables(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice")))
+      val cat = s"mpp_$h"
+      e.installColocatedCatalog(cat)
+      cat
+    })
+
+  /** Join + aggregate on the partition column THROUGH the DSv2 catalog:
+    * both scans report `KeyGroupedPartitioning(bucket(16, custkey))`
+    * over the warehouse's existing bucket dirs, so the join and the
+    * groupBy run with zero Exchange and zero re-clustering writes
+    * (ColocatedCatalogSpec pins the plan shape). Same oracle as
+    * [[qColocatedJoin]] — the read path only removes shuffles. */
+  def qColocatedDsv2(s: SparkSession, dir: String): DataFrame = {
+    val cat = dsv2Catalog(s, dir)
+    s.table(s"$cat.cust").join(s.table(s"$cat.ord"), "custkey")
+      .groupBy(col("custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy("custkey")
+  }
+
   /** Salted shuffle join: row-identical to the unsalted join (the
     * oracle IS the unsalted join). */
   def qSkewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
@@ -113,6 +155,7 @@ object OperatorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_colocated_join" -> (qColocatedJoin _),
+    "q_colocated_dsv2" -> (qColocatedDsv2 _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_sessionize" -> (qSessionize _),
@@ -133,6 +176,11 @@ object OperatorQueries {
         |  ON l.user_id = r.user_id AND l.t >= r.t
         |ORDER BY l.user_id, l.event_id""".stripMargin,
     "q_colocated_join" ->
+      """SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
+        | ROUND(SUM(o_totalprice), 4) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "q_colocated_dsv2" ->
       """SELECT c_custkey AS custkey, COUNT(o_orderkey) AS n_orders,
         | ROUND(SUM(o_totalprice), 4) AS total
         |FROM customer JOIN orders ON o_custkey = c_custkey
