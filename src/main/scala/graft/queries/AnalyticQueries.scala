@@ -50,19 +50,24 @@ object AnalyticQueries {
 
   /** TPC-H Q3 style: 3-way join, agg, top-10.
     *
-    * Join order: the selective customer dim (1 segment ≈ 1/5 of rows)
-    * broadcasts into orders FIRST, shrinking the orders side before it
-    * is broadcast into the fact scan — lineitem is never shuffled, and
-    * the driver builds a hash table of the REDUCED orders set, not all
-    * of orders. */
+    * Join order: the selective customer filter (1 segment ≈ 1/5 of
+    * rows) reduces orders FIRST, so the fact join's build side is the
+    * REDUCED orders set. Both non-fact sides are customer-/orders-
+    * derived — data-proportional, so neither is ever pinned broadcast
+    * (a driver-built hash table of 1/5 of customers cannot exist at
+    * 1e9 customers); `shuffle_hash` builds them per-partition instead,
+    * with no whole-side sorts, and AQE is still free to broadcast at
+    * runtime when the measured size allows. Lineitem is shuffled once
+    * (on l_orderkey) and never broadcast. */
   def q3TopRevenue(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
     val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
-    val ordc = ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+    val ordc = ord.join(cust.hint("shuffle_hash"),
+        ord("o_custkey") === cust("c_custkey"))
       .select(col("o_orderkey"), col("o_orderdate"))
-    li.join(broadcast(ordc), li("l_orderkey") === ordc("o_orderkey"))
+    li.join(ordc.hint("shuffle_hash"), li("l_orderkey") === ordc("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -72,10 +77,17 @@ object AnalyticQueries {
   /** TPC-H Q5 style: 6-table join, agg per nation.
     *
     * Join order: the region filter is pushed THROUGH nation into
-    * supplier first (ASIA ≈ 1/5 of suppliers), so the fact scan shrinks
-    * via a tiny broadcast before the only big-big join (lineitem ⋈
-    * orders), which shuffles the reduced sides hash-to-hash. Lineitem
-    * itself is never sorted and never broadcast-built. */
+    * supplier first (ASIA ≈ 1/5 of suppliers) — the only pinned
+    * broadcasts, because that chain is genuinely bounded. Orders and
+    * customer are data-proportional, so neither is ever driver-built:
+    * they join each other FIRST (shuffle-hash on custkey — the two
+    * smaller relations), and the biggest relation, lineitem, then
+    * shuffles exactly ONCE on (l_orderkey, s_nationkey) into the
+    * pre-joined orders×customer side. `shuffle_hash` keeps every big
+    * build partition-local with no whole-side sorts, and AQE may still
+    * upgrade to broadcast at runtime when measured sizes allow
+    * (PlanQualitySpec pins: lineitem never broadcast, at most one
+    * fact-cardinality shuffle). */
   def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = t(s, dir, "nation")
@@ -92,10 +104,13 @@ object AnalyticQueries {
     val asiaSupp = supp.join(broadcast(asiaNation),
       supp("s_nationkey") === asiaNation("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ordc = ord.join(cust.hint("shuffle_hash"),
+        ord("o_custkey") === cust("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
     li.join(broadcast(asiaSupp), li("l_suppkey") === asiaSupp("s_suppkey"))
-      .join(ord.hint("shuffle_hash"), li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
-        cust("c_nationkey") === col("s_nationkey"))
+      .join(ordc.hint("shuffle_hash"),
+        li("l_orderkey") === ordc("o_orderkey") &&
+        ordc("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
