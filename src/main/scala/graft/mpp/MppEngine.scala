@@ -281,7 +281,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       }
     }
     val obs = Observation()
-    df.select(aligned: _*)
+    enforceNotNull(t, df.select(aligned: _*))
       .withColumn(BucketCol,
         pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       .observe(obs, count(lit(1)).as("n"))
@@ -290,6 +290,24 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       .parquet(dataPath(t.name))
     refreshView(t)
     observedLong(obs)
+  }
+
+  /** Runtime NOT NULL rejection for declared non-nullable columns — the
+    * engine-side twin of the reference forwarding constraints into
+    * shard DDL where the host errors on violation
+    * (create_distributed_table.cpp:107). Codegen'd `raise_error` branch
+    * per guarded column: zero cost on the non-null fast path, fails the
+    * write job (before any COW swap) with the host-style message. */
+  private def enforceNotNull(t: TableInfo, df: DataFrame): DataFrame = {
+    val schema = userSchema(t)
+    if (schema.fields.forall(_.nullable)) df
+    else df.select(schema.fields.map { f =>
+      if (f.nullable) col(f.name)
+      else when(col(f.name).isNull, raise_error(lit(
+          s"NOT NULL constraint failed: column ${f.name} of ${t.name}"))
+          .cast(f.dataType))
+        .otherwise(col(f.name)).as(f.name)
+    }: _*)
   }
 
   private def observedLong(obs: Observation): Long =
@@ -323,6 +341,13 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val cond = where.map(expr).getOrElse(lit(true))
     val schema = userSchema(t)
     val setMap = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
+    // Validate SET targets up front — a typo'd column name must be a
+    // clean error, not a downstream empty.reduce (round-2 ADVICE).
+    val known = schema.fields.map(_.name.toLowerCase).toSet
+    val unknown = setMap.keys.filterNot(known)
+    require(sets.nonEmpty, s"UPDATE ${t.name}: empty SET list")
+    require(unknown.isEmpty,
+      s"UPDATE ${t.name}: no such column(s): ${unknown.mkString(", ")}")
     // SET on the partition column must MOVE the row to its new bucket,
     // or every later pruned scan misses it. (The reference leaves such
     // rows in their old shard — mpp_physical_update runs shard-local
@@ -334,7 +359,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           val v = if (e.trim.equalsIgnoreCase("DEFAULT"))
             expr(t.defaults.getOrElse(f.name, "NULL"))
           else expr(e)
-          when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          val updated =
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name))
+          val guarded = if (f.nullable) updated
+            else when(updated.isNull, raise_error(lit(
+                s"NOT NULL constraint failed: column ${f.name} of " +
+                  t.name)).cast(f.dataType))
+              .otherwise(updated)
+          guarded.as(f.name)
         case None => col(f.name)
       }
     }
@@ -344,10 +376,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       else
         df => df.select(newCols :+ col(BucketCol): _*)
-    // A row is AFFECTED only if some SET column actually changes value
-    // (null-safe compare): an UPDATE whose matched rows already hold
-    // the target values rewrites nothing — no write amplification for
-    // idempotent/no-op statements.
+    // A row needs a REWRITE only if some SET column actually changes
+    // value (null-safe compare): an UPDATE whose matched rows already
+    // hold the target values rewrites nothing — no write amplification
+    // for idempotent/no-op statements. The returned count is still the
+    // MATCHED row count (DuckDB/Postgres semantics: `UPDATE t SET x=5
+    // WHERE x=5` reports the match count, round-2 ADVICE).
     val changes = schema.fields.collect {
       case f if setMap.contains(f.name.toLowerCase) =>
         val v = setMap(f.name.toLowerCase)
@@ -358,8 +392,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }.reduce(_ || _)
     // Moved rows may land in ANY bucket: the rewrite must cover the
     // whole table, not just the WHERE-pruned read set.
-    rewriteBuckets(t, if (movesRows) None else where, cond && changes,
-      transform, rewriteAll = movesRows)
+    rewriteBuckets(t, if (movesRows) None else where, cond,
+      transform, rewriteAll = movesRows, rewriteCond = Some(changes))
   }
 
   /** DELETE FROM … WHERE …: COW rewrite keeping non-matching rows.
@@ -394,23 +428,35 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     *
     * `rewriteAll` forces a whole-table rewrite for transforms that can
     * MOVE rows between buckets (UPDATE of the partition column): the
-    * staged output may then contain any bucket, so all must swap. */
+    * staged output may then contain any bucket, so all must swap.
+    *
+    * `rewriteCond` (evaluated only on cond-matched rows) further
+    * narrows which matches force a rewrite — UPDATE passes its
+    * value-actually-changes predicate so idempotent statements skip
+    * the write entirely while the return value stays the MATCHED
+    * count. Default: every match rewrites (DELETE). */
   private def rewriteBuckets(t: TableInfo, where: Option[String],
       cond: org.apache.spark.sql.Column,
       transform: DataFrame => DataFrame,
-      rewriteAll: Boolean = false): Long = {
+      rewriteAll: Boolean = false,
+      rewriteCond: Option[org.apache.spark.sql.Column] = None): Long = {
     val pruned = prunedBuckets(t, where)
     if (pruned.isEmpty) return 0L
     def scanOf(buckets: Set[Int]): DataFrame =
       if (buckets.size == t.buckets) readWithBucket(t)
       else readWithBucket(t).filter(col(BucketCol).isin(buckets.toSeq: _*))
-    val matches = scanOf(pruned).filter(cond)
-      .groupBy(col(BucketCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val affectedRows = matches.valuesIterator.sum
-    if (affectedRows == 0L) return 0L
+    // One aggregate finds both counts: cond stays a pushable filter
+    // (row-group skipping on the match scan), the rewrite predicate is
+    // evaluated only on the matched survivors.
+    val stats = scanOf(pruned).filter(cond)
+      .groupBy(col(BucketCol)).agg(count(lit(1)).as("m"),
+        count(when(rewriteCond.getOrElse(lit(true)), lit(1))).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val matchedRows = stats.map(_._2).sum
+    val changedBuckets = stats.filter(_._3 > 0L).map(_._1).toSet
+    if (changedBuckets.isEmpty) return matchedRows
     val affected = if (rewriteAll) (0 until t.buckets).toSet
-      else matches.keySet
+      else changedBuckets
     val work = scanOf(affected)
     val out = transform(work)
     val staging = s"$warehouse/.staging/${UUID.randomUUID()}"
@@ -449,7 +495,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
     fs.delete(new Path(staging), true)
     refreshView(t)
-    affectedRows
+    matchedRows
   }
 
   // --- transactions (metadata-only, reference T1 semantics) -------------
@@ -874,7 +920,9 @@ object MppEngine {
   }
 
   private val ColDefRe =
-    """(?is)^(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+NOT\s+NULL)?$""".r
+    """(?is)^(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?$""".r
+
+  private val NotNullRe = """(?i)\s+NOT\s+NULL""".r
 
   /** DuckDB-ish column types → Spark DDL types. */
   private def mapType(t: String): String = t.trim.toUpperCase match {
@@ -886,14 +934,24 @@ object MppEngine {
     case other => other
   }
 
-  /** Parse a reference-dialect column list → (Spark DDL, defaults). */
+  /** Parse a reference-dialect column list → (Spark DDL, defaults).
+    * NOT NULL is FORWARDED into the Spark DDL (nullability round-trips
+    * through `StructType.fromDDL`/`toDDL`), not dropped — the reference
+    * forwards constraints into shard DDL where the host enforces them
+    * (create_distributed_table.cpp:107, ColumnsToSQL); the engine
+    * enforces at insert/update instead (`MppEngine.enforceNotNull`). */
   private[mpp] def parseColumns(colsStr: String)
       : (String, Map[String, String]) = {
-    val parsed = splitTopLevel(colsStr).map {
-      case ColDefRe(name, tpe, dflt) =>
-        (s"$name ${mapType(tpe)}", Option(dflt).map(name -> _))
-      case other =>
-        throw new IllegalArgumentException(s"cannot parse column def: $other")
+    val parsed = splitTopLevel(colsStr).map { raw =>
+      val notNull = NotNullRe.findFirstIn(raw).isDefined
+      NotNullRe.replaceAllIn(raw, "").trim match {
+        case ColDefRe(name, tpe, dflt) =>
+          (s"$name ${mapType(tpe)}" + (if (notNull) " NOT NULL" else ""),
+            Option(dflt).map(name -> _))
+        case other =>
+          throw new IllegalArgumentException(
+            s"cannot parse column def: $other")
+      }
     }
     (parsed.map(_._1).mkString(", "), parsed.flatMap(_._2).toMap)
   }

@@ -108,6 +108,45 @@ class MppSpec extends SparkTestBase {
     val n2 = e.sql("UPDATE u SET name = 'x' WHERE id = 1")
     assert(n2.head().getLong(0) == 1L)
     assert(e.table("u").filter("name = 'x'").count() == 1)
+    // Idempotent UPDATE: reports the MATCHED count (DuckDB/Postgres
+    // semantics) even though no value changes and nothing rewrites.
+    val n3 = e.sql("UPDATE u SET name = 'x' WHERE id = 1")
+    assert(n3.head().getLong(0) == 1L)
+    // Typo'd SET column: clean validation error, not empty.reduce.
+    val ex = intercept[IllegalArgumentException] {
+      e.sql("UPDATE u SET nmae = 'y' WHERE id = 1")
+    }
+    assert(ex.getMessage.contains("no such column"), ex.getMessage)
+  }
+
+  test("NOT NULL is forwarded and enforced at insert and update") {
+    // Spark surfaces task-side raise_error through SparkException
+    // layers; search the whole cause chain for the engine's message.
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    val e = freshEngine()
+    e.sql("CREATE TABLE nn(c0 INT NOT NULL, c1 TEXT DEFAULT 'd', " +
+      "c2 INT NOT NULL DEFAULT 7) PARTITION BY (c0) WITH BUCKETS 2")
+    assert(e.sql("INSERT INTO nn VALUES (1, 'a', 2)").head().getLong(0) == 1)
+    // Missing NOT NULL column with a default: default satisfies it.
+    assert(e.sql("INSERT INTO nn(c0, c1) SELECT 2, 'b'")
+      .head().getLong(0) == 1)
+    // NULL into a NOT NULL column: rejected, table unchanged —
+    // reference parity (constraints forwarded into shard DDL,
+    // create_distributed_table.cpp:107; host rejects the NULL).
+    val ex = intercept[Exception] {
+      e.sql("INSERT INTO nn VALUES (NULL, 'c', 3)")
+    }
+    assert(fullMsg(ex).contains("NOT NULL constraint failed"), fullMsg(ex))
+    assert(e.table("nn").count() == 2)
+    // UPDATE writing NULL into a NOT NULL column: rejected pre-swap.
+    val ex2 = intercept[Exception] {
+      e.sql("UPDATE nn SET c2 = NULL WHERE c0 = 1")
+    }
+    assert(fullMsg(ex2).contains("NOT NULL constraint failed"),
+      fullMsg(ex2))
+    assert(e.table("nn").filter("c2 IS NULL").count() == 0)
   }
 
   // --- mpp_delete.test --------------------------------------------------
