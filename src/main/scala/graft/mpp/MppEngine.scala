@@ -619,6 +619,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           "ALTER is not implemented for MPP tables " +
             "(reference parity: MppSchemaEntry::Alter, " +
             "mpp_schema_entry.cpp:158-160)")
+      // The engine's SQL surface IS the mpp catalog (a reference
+      // connection attached to an mpp database): every non-table create
+      // lands on MppSchemaEntry, which rejects it with a specific
+      // NotImplemented (mpp_schema_entry.cpp:72-128).
+      case CreateUnsupportedRe(kind) =>
+        throw new UnsupportedOperationException(
+          s"MppSchemaEntry::${MppEngine.createEntryName(kind)} is not " +
+            "implemented for MPP schemas (reference parity: " +
+            "mpp_schema_entry.cpp:72-128)")
       case CreateRe(name, cols, pc, n) =>
         val (ddl, defaults) = parseColumns(cols)
         createDistributedTable(name, ddl, pc, n.toInt, defaults)
@@ -874,6 +883,22 @@ object MppEngine {
     """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*$""".r
   private val ExplainRe =
     """(?is)^EXPLAIN\s+(.*)$""".r
+  /** Catalog-entry kinds the reference's mpp schema rejects
+    * (mpp_schema_entry.cpp:72-128); CREATE TABLE is the one it allows. */
+  private[mpp] val CreateUnsupportedRe =
+    ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
+      """(VIEW|UNIQUE\s+INDEX|INDEX|SEQUENCE|TYPE|MACRO|FUNCTION|COLLATION)\b.*$""").r
+
+  /** Reference method name for a rejected create kind. */
+  private[mpp] def createEntryName(kind: String): String =
+    kind.trim.toUpperCase.split("\\s+").last match {
+      case "VIEW" => "CreateView"
+      case "INDEX" => "CreateIndex"
+      case "SEQUENCE" => "CreateSequence"
+      case "TYPE" => "CreateType"
+      case "COLLATION" => "CreateCollation"
+      case _ => "CreateFunction" // MACRO | FUNCTION
+    }
 
   /** Split on commas not nested in parens or single-quoted literals
     * (DECIMAL(10,2), DEFAULT f(x), DEFAULT 'a,b'). Doubled '' escapes

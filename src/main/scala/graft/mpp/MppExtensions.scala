@@ -77,6 +77,15 @@ object MppParser {
     """(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+((?:\w+\.){0,2}\w+)\b.*""".r
   private val CreateHead =
     """(?is)^\s*CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*""".r
+  /** Non-table creates the reference's mpp schema rejects
+    * (mpp_schema_entry.cpp:72-128) — intercepted when they target an
+    * attached mpp catalog (alias-qualified, or unqualified while one is
+    * USE'd) so they fail with the reference's error instead of falling
+    * through to the session catalog. */
+  private val CreateOtherHead =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
+      """(?:VIEW|UNIQUE\s+INDEX|INDEX|SEQUENCE|TYPE|MACRO|FUNCTION|COLLATION)\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\b.*""").r
 
   /** True iff the statement belongs to the distributed dialect: the
     * CREATE suffix, ATTACH/DETACH/USE of an mpp catalog, or DML whose
@@ -93,6 +102,9 @@ object MppParser {
       MppEngine.registry.contains(name) ||
         (name.equalsIgnoreCase("memory") && MppEngine.registry.nonEmpty)
     case DmlHead(table) => MppEngine.resolve(table).isDefined
+    case CreateOtherHead(name) =>
+      MppEngine.registry.contains(name.split("\\.")(0)) ||
+        (!name.contains(".") && MppEngine.active.isDefined)
     case _ => false
   }
 
@@ -108,11 +120,24 @@ object MppParser {
 }
 
 /** Runnable command wrapping one dialect statement; executes through the
-  * current [[MppEngine]] and returns its result rows. */
+  * current [[MppEngine]] and returns its result rows.
+  *
+  * Output attributes are per-statement-kind, matching the reference's
+  * typed results: DML produces `Count BIGINT`
+  * (`mpp_physical_insert.cpp:215-221`, `mpp_physical_update.cpp:104-111`),
+  * DDL/lifecycle statements a `result STRING` — so
+  * `spark.sql("DELETE …")` through the injected parser has the same
+  * schema as `engine.sql("DELETE …")`, not a flattened string. */
 final case class MppSqlCommand(sqlText: String) extends LeafRunnableCommand {
 
+  private val isDml = MppSqlCommand.TypedDmlHead
+    .pattern.matcher(sqlText.trim).matches()
+
   override val output: Seq[Attribute] =
-    Seq(AttributeReference("result", StringType, nullable = true)())
+    if (isDml)
+      Seq(AttributeReference("Count", org.apache.spark.sql.types.LongType,
+        nullable = false)())
+    else Seq(AttributeReference("result", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     sqlText.trim match {
@@ -148,8 +173,18 @@ final case class MppSqlCommand(sqlText: String) extends LeafRunnableCommand {
       case other =>
         val engine = MppParser.route(other).getOrElse(
           throw new IllegalStateException("no active MppEngine"))
-        engine.sql(sqlText).collect().toSeq
-          .map(r => Row(r.toSeq.map(String.valueOf).mkString("|")))
+        val rows = engine.sql(sqlText).collect().toSeq
+        // DML rows are already (Count BIGINT) — pass through typed;
+        // anything else renders as the single result string.
+        if (isDml) rows
+        else rows.map(r => Row(r.toSeq.map(String.valueOf).mkString("|")))
     }
   }
+}
+
+object MppSqlCommand {
+  /** Statements whose engine result is `Count BIGINT` (DROP TABLE is
+    * excluded — it reports a result string, like the other DDL). */
+  private[mpp] val TypedDmlHead =
+    """(?is)^(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM)\s+.*""".r
 }

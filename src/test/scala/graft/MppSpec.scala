@@ -315,8 +315,20 @@ class MppSpec extends SparkTestBase {
     try {
       s2.sql("CREATE TABLE px(a INT, b TEXT) PARTITION BY (a) WITH BUCKETS 3")
       assert(e.catalog.state.liveTable("px").isDefined)
-      s2.sql("INSERT INTO px VALUES (1, 'x'), (2, 'y')")
+      // Typed dialect results (reference mpp_physical_insert.cpp:215-221,
+      // mpp_physical_update.cpp:104-111): DML through spark.sql carries
+      // the same `Count BIGINT` schema as engine.sql, not a flattened
+      // string.
+      val ins = s2.sql("INSERT INTO px VALUES (1, 'x'), (2, 'y')")
+      assert(ins.schema.map(f => (f.name, f.dataType)) ==
+        Seq(("Count", org.apache.spark.sql.types.LongType)), ins.schema)
+      assert(ins.head().getLong(0) == 2L)
       assert(e.table("px").count() == 2)
+      val upd = s2.sql("UPDATE px SET b = 'z' WHERE a = 1")
+      assert(upd.schema.head.name == "Count" && upd.head().getLong(0) == 1L)
+      val del = s2.sql("DELETE FROM px WHERE a = 2")
+      assert(del.schema.head.name == "Count" && del.head().getLong(0) == 1L)
+      s2.sql("DELETE FROM px")
       s2.sql("DROP TABLE px")
       assert(e.catalog.state.liveTable("px").isEmpty)
       // Full SQL lifecycle: ATTACH bootstraps a catalog (the reference
@@ -330,6 +342,14 @@ class MppSpec extends SparkTestBase {
       s2.sql("CREATE TABLE at1(id INT) PARTITION BY (id) WITH BUCKETS 2")
       s2.sql("INSERT INTO at1 VALUES (1), (2), (3)")
       assert(attached.table("at1").count() == 3)
+      // mpp-scoped error parity through the injected parser: a create
+      // targeting the attached catalog (alias-qualified or unqualified
+      // while it is USE'd) rejects like the reference's schema entry.
+      val vex = intercept[Exception] {
+        s2.sql("CREATE VIEW g.badview AS SELECT 1")
+      }
+      assert(vex.getMessage.contains("MppSchemaEntry::CreateView"),
+        vex.getMessage)
       s2.sql("DETACH g")
       assert(graft.mpp.MppEngine.current.isEmpty)
     } finally {
@@ -458,6 +478,22 @@ class MppSpec extends SparkTestBase {
       .contains("DELETE with returning"))
     assert(msg("ALTER TABLE ep ADD COLUMN extra INT")
       .contains("ALTER is not implemented"))
+    // Non-table creates land on the mpp schema, which rejects each kind
+    // with its specific entry point (mpp_schema_entry.cpp:72-128).
+    assert(msg("CREATE VIEW vw AS SELECT * FROM ep")
+      .contains("MppSchemaEntry::CreateView"))
+    assert(msg("CREATE INDEX ix ON ep(id)")
+      .contains("MppSchemaEntry::CreateIndex"))
+    assert(msg("CREATE UNIQUE INDEX ux ON ep(id)")
+      .contains("MppSchemaEntry::CreateIndex"))
+    assert(msg("CREATE SEQUENCE seq1")
+      .contains("MppSchemaEntry::CreateSequence"))
+    assert(msg("CREATE TYPE mood AS ENUM ('a', 'b')")
+      .contains("MppSchemaEntry::CreateType"))
+    assert(msg("CREATE MACRO add1(x) AS x + 1")
+      .contains("MppSchemaEntry::CreateFunction"))
+    assert(msg("CREATE OR REPLACE FUNCTION f1(x) AS x * 2")
+      .contains("MppSchemaEntry::CreateFunction"))
     // Nothing executed: table intact.
     assert(e.table("ep").count() == 10)
     assert(e.table("ep").filter("v <> 'x'").count() == 0)
