@@ -119,7 +119,7 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
 object MppCatalog {
   /** Jackson (bundled with Spark) with the Scala module: case-class
     * round-trip without any Spark job on the commit path. */
-  private val mapper = {
+  private[mpp] val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(
       com.fasterxml.jackson.module.scala.DefaultScalaModule)

@@ -208,16 +208,38 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   /** Scan projecting the reference's `rowid` pseudo-column
     * (`mpp_table_scan.cpp:310-315` projects rowid on request; metadata
     * delete-marking keys on it, `mpp_tables.cpp:96-125`): a stable
-    * per-bucket row id, `(bucket << 40) | (file base + row index)`,
-    * with file bases derived from parquet footer row counts in
-    * path-sorted order. Stable for a given table state; a COW rewrite
-    * renumbers — exactly as shard-local rowids shift under the
-    * reference's own rewrites. */
+    * per-bucket row id, `(bucket << 40) | (file base + row index)`.
+    *
+    * File bases live in an explicit persisted manifest
+    * (`_rowid_manifest.json` under the table's data dir, ignored by
+    * parquet listing), not in filesystem mtime order — an append within
+    * one mtime tick can sort new UUID-named part files BEFORE existing
+    * ones and silently renumber (round-2 ADVICE). On each call, files
+    * already in the manifest keep their base verbatim; only NEW files
+    * read a parquet footer and get bases past the live maximum, so an
+    * append never renumbers and repeat calls open zero footers. Files
+    * removed by a COW rewrite drop out; their replacements renumber —
+    * exactly as shard-local rowids shift under the reference's own
+    * rewrites. */
   def tableWithRowid(name: String): DataFrame = {
     val t = info(localKey(name))
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(t.name))
     val fs = root.getFileSystem(conf)
+    val manifestPath = new Path(root, "_rowid_manifest.json")
+    // bucket(str) -> file -> [base, rows]
+    type Manifest = Map[String, Map[String, Array[Long]]]
+    val manifestType =
+      new com.fasterxml.jackson.core.`type`.TypeReference[
+        Map[String, Map[String, Array[Long]]]] {}
+    val old: Manifest =
+      if (fs.exists(manifestPath)) {
+        val in = fs.open(manifestPath)
+        try MppCatalog.mapper.readValue(in, manifestType)
+        finally in.close()
+      } else Map.empty
+    var changed = false
+    val next = Map.newBuilder[String, Map[String, Array[Long]]]
     val bases = Vector.newBuilder[(Int, String, Long)]
     if (fs.exists(root)) {
       fs.listStatus(root)
@@ -225,22 +247,41 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           d.getPath.getName.startsWith(s"$BucketCol="))
         .foreach { d =>
           val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-          var base = 0L
-          // (mtime, name) order: appended files land AFTER existing
-          // ones, so prior rowid assignments survive an append — the
-          // reference's append-to-shard behavior.
-          fs.listStatus(d.getPath)
+          val files = fs.listStatus(d.getPath)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          val live = files.map(_.getPath.getName).toSet
+          val kept = old.getOrElse(b.toString, Map.empty)
+            .filter { case (f, _) => live(f) }
+          if (kept.size != old.getOrElse(b.toString, Map.empty).size)
+            changed = true
+          var base = if (kept.isEmpty) 0L
+            else kept.valuesIterator.map(e => e(0) + e(1)).max
+          var entries = kept
+          files.filterNot(f => kept.contains(f.getPath.getName))
             .sortBy(f => (f.getModificationTime, f.getPath.getName))
             .foreach { f =>
               val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
                 org.apache.parquet.hadoop.util.HadoopInputFile
                   .fromPath(f.getPath, conf))
               val n = try reader.getRecordCount finally reader.close()
-              bases += ((b, f.getPath.getName, base))
+              entries += f.getPath.getName -> Array(base, n)
               base += n
+              changed = true
             }
+          entries.foreach { case (f, e) => bases += ((b, f, e(0))) }
+          next += b.toString -> entries
         }
+    }
+    if (changed) {
+      // Atomic publish, same pattern as the catalog's CURRENT pointer.
+      val tmp = new Path(root, "._rowid_manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(MppCatalog.mapper.writeValueAsBytes(next.result()))
+      finally out.close()
+      fs.delete(manifestPath, false)
+      if (!fs.rename(tmp, manifestPath))
+        throw new IllegalStateException(
+          s"cannot publish rowid manifest for ${t.name}")
     }
     import spark.implicits._
     val baseDf = bases.result().toDF("__b", "__f2", "__base")
@@ -694,13 +735,13 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
         inner match {
           case UpdateRe(name, rest)
-              if catalog.state.liveTable(name).isDefined =>
+              if catalog.state.liveTable(localKey(name)).isDefined =>
             dmlExplain(name, "UPDATE", splitWhere(rest)._2)
           case DeleteRe(name, whereStr)
-              if catalog.state.liveTable(name).isDefined =>
+              if catalog.state.liveTable(localKey(name)).isDefined =>
             dmlExplain(name, "DELETE FROM", Option(whereStr).map(_.trim))
           case InsertRe(name, _, source)
-              if catalog.state.liveTable(name).isDefined =>
+              if catalog.state.liveTable(localKey(name)).isDefined =>
             val t = info(name)
             val plan = spark.sql(source).queryExecution.explainString(
               org.apache.spark.sql.execution.SimpleMode)
@@ -713,8 +754,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.SimpleMode)
             (header +: plan.linesIterator.toSeq).toDF("plan")
-          case other => throw new UnsupportedOperationException(
-            s"EXPLAIN is not supported for: ${other.trim.takeWhile(_ != ' ')}")
+          // EXPLAIN EXTENDED/FORMATTED/ANSI SELECT, EXPLAIN on
+          // non-dialect statements, …: the stock planner explains them
+          // (round-2 ADVICE: do not regress what spark.sql handled).
+          case _ => spark.sql(MppEngine.rewriteReads(text))
         }
       case TxnRe(verb) =>
         verb.toUpperCase match {
@@ -786,18 +829,36 @@ object MppEngine {
     * through untouched. */
   def rewriteReads(text: String): String = {
     if (registry.isEmpty) return text
-    // Single-quote mask: spans inside literals are never rewritten.
-    val inQuote = new Array[Boolean](text.length)
-    var q = false
+    // Mask spans that must never be rewritten: single-/double-quoted
+    // literals, backtick-quoted identifiers, and -- / block comments
+    // (round-2 ADVICE: the old mask covered single quotes only).
+    val masked = new Array[Boolean](text.length)
+    var state = 0 // 0 sql, 1 '…', 2 `…`, 3 "…", 4 --, 5 /*…*/
     var i = 0
     while (i < text.length) {
-      if (text.charAt(i) == '\'') q = !q
-      inQuote(i) = q
+      val ch = text.charAt(i)
+      state match {
+        case 0 =>
+          if (ch == '\'') { state = 1; masked(i) = true }
+          else if (ch == '`') { state = 2; masked(i) = true }
+          else if (ch == '"') { state = 3; masked(i) = true }
+          else if (ch == '-' && i + 1 < text.length &&
+            text.charAt(i + 1) == '-') { state = 4; masked(i) = true }
+          else if (ch == '/' && i + 1 < text.length &&
+            text.charAt(i + 1) == '*') { state = 5; masked(i) = true }
+        case 1 => masked(i) = true; if (ch == '\'') state = 0
+        case 2 => masked(i) = true; if (ch == '`') state = 0
+        case 3 => masked(i) = true; if (ch == '"') state = 0
+        case 4 => masked(i) = true; if (ch == '\n') state = 0
+        case 5 =>
+          masked(i) = true
+          if (ch == '/' && text.charAt(i - 1) == '*') state = 0
+      }
       i += 1
     }
     val Ref = """\b(\w+)\.(\w+)(?:\.(\w+))?\b""".r
     Ref.replaceAllIn(text, m => {
-      if (inQuote(m.start)) m.matched
+      if (masked(m.start)) m.matched
       else {
         val (a, b, c) = (m.group(1), m.group(2), Option(m.group(3)))
         val rewritten = (registry.get(a), b, c) match {

@@ -41,12 +41,15 @@ object MppQueries {
         e.insertInto("lineitem_d", li)
       }
       // DML targets are pre-built here too, so the timed DML queries
-      // measure UPDATE/DELETE + verify — not DDL + full re-load that
-      // their plain-SELECT oracles never pay (round-1 verdict: harness
-      // comparability). The DML statements themselves are idempotent
-      // (SET to an expression of non-updated columns; DELETE by
-      // predicate), so repeated invocations in one session — warm-up
-      // pass, timed pass, Verify — all produce the same verified state.
+      // never pay DDL + full re-load that their plain-SELECT oracles
+      // don't pay either (round-1 verdict: harness comparability). The
+      // DML statements are idempotent (SET to an expression of
+      // non-updated columns; DELETE by predicate), so repeated
+      // invocations all verify to the identical state. Timing split
+      // (see qMppUpdate/qMppDelete): the FIRST run after a fresh
+      // warehouse pays the real COW rewrite (published in the bench's
+      // cold_* numbers); every later run hits the no-op change
+      // detection, so steady-state times = match-scan + verify.
       val ord = Tables(s, dir, "orders")
       for (t <- Seq("orders_u", "orders_del")) ensure(t) {
         e.createDistributedTable(t, ord.schema.toDDL, "o_orderkey", 8)
@@ -108,10 +111,13 @@ object MppQueries {
 
   /** COW UPDATE through the SQL dialect, then verify via aggregate.
     * The SET expression depends only on NON-updated columns, so the
-    * statement is idempotent: the warehouse is built once in [[warm]]
-    * and every later invocation re-runs the full COW rewrite yet
-    * verifies to the identical state (timed region = DML + verify,
-    * matching the oracle's plain SELECT — no DDL/load inside). */
+    * statement is idempotent; the warehouse is built once in [[warm]].
+    * Timing semantics (round-2 ADVICE): only the FIRST run against a
+    * fresh warehouse performs the COW rewrite — the engine's no-op
+    * change detection then skips the write, so the bench's cold_*
+    * number times real DML while the steady-state number times
+    * match-scan (null-safe change probe) + verify. Both are labeled
+    * as such in BASELINE.md; neither includes DDL/load. */
   def qMppUpdate(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
     e.sql("UPDATE orders_u SET o_totalprice = o_custkey * 1.25 + 0.5 " +
@@ -126,7 +132,9 @@ object MppQueries {
 
   /** COW DELETE through the SQL dialect, then verify via aggregate.
     * Idempotent by construction (DELETE by predicate): warehouse from
-    * [[warm]], first run rewrites, later runs verify the same state. */
+    * [[warm]]; the first run pays the real COW rewrite (bench cold_*),
+    * later runs match zero rows so steady-state times the match-scan
+    * fast path + verify (see qMppUpdate timing note). */
   def qMppDelete(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
     e.sql("DELETE FROM orders_del WHERE o_orderkey % 3 = 0")

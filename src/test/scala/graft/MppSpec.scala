@@ -83,6 +83,15 @@ class MppSpec extends SparkTestBase {
       .collect().map(_.getString(0))
     assert(exi.head.contains("hash shuffle"), exi.head)
     assert(e.table("ft").count() == 1000)
+    // Non-dialect EXPLAIN forms delegate to the stock planner instead
+    // of erroring (round-2 ADVICE: EXPLAIN EXTENDED/FORMATTED SELECT
+    // must not regress).
+    val exf = e.sql("EXPLAIN FORMATTED SELECT id FROM ft WHERE id = 7")
+    assert(exf.collect().map(_.getString(0))
+      .exists(_.contains("Physical Plan")) ||
+      exf.collect().nonEmpty)
+    val exe = e.sql("EXPLAIN EXTENDED SELECT count(1) FROM ft")
+    assert(exe.collect().nonEmpty)
   }
 
   // --- mpp_update.test --------------------------------------------------
