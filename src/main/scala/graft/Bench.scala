@@ -22,15 +22,22 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Per-query errors are RECORDED, never timed: a query that throws
+    * would otherwise finish in ~0 s and flatter the total (round-2
+    * verdict harness nit). Failed queries land in the `errors` map
+    * (query → exception class) and are excluded from totals. */
   private def phase(spark: SparkSession, dir: String,
       names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       warmPasses: Int = 1)
-      : (Seq[(String, Double)], Seq[(String, Double)]) = {
+      : (Seq[(String, Double)], Seq[(String, Double)], Map[String, String]) = {
     try graft.queries.MppQueries.warm(spark, dir)
     catch { case _: Throwable => }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def pass(): Seq[(String, Double)] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, dir).count() } catch {
+        case e: Throwable => errors(name) = e.getClass.getSimpleName
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val cold = pass()
@@ -39,8 +46,10 @@ object Bench {
     val t1 = pass()
     System.gc()
     val t2 = pass()
-    val steady = t1.zip(t2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    (cold, steady)
+    val ok = (n: String) => !errors.contains(n)
+    val steady = t1.zip(t2).collect {
+      case ((n, a), (_, b)) if ok(n) => n -> math.min(a, b) }
+    (cold.filter(c => ok(c._1)), steady, errors.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,9 +72,12 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val (cold, steady) = phase(spark, sfDir, names)
+    val (cold, steady, errors) = phase(spark, sfDir, names)
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
+    def fmtErr(es: Map[String, String]) = es
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     // Scaled phase AFTER the sf0.1 phase: ~140 prior executions of the
     // same plans have JIT-compiled the generated code, which is exactly
     // the long-lived-cluster steady state this phase extrapolates to.
@@ -79,10 +91,10 @@ object Bench {
       graft.queries.DedupQueries.releaseShingles(sfDir)
       System.gc()
       val oracleBacked = names.filter(n => SparkEntry.oracleSql.contains(n._1))
-      val (_, timed) = phase(spark, scaledDir, oracleBacked)
-      s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_dir":"$scaledDir""""
+      val (_, timed, sErrs) = phase(spark, scaledDir, oracleBacked)
+      s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_errors":${fmtErr(sErrs)},"scaled_dir":"$scaledDir""""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

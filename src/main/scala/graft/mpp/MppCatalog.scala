@@ -86,6 +86,12 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       StandardCopyOption.REPLACE_EXISTING)
     committed = s
     version = v
+    // Bounded snapshot history (round-2 verdict item 8): readers only
+    // ever follow CURRENT; keep the last N full snapshots for
+    // debugging and sweep everything older (loop handles backlogs from
+    // sessions that predate retention).
+    var d = v - MppCatalog.RetainSnapshots
+    while (d > 0 && Files.deleteIfExists(Paths.get(snapFile(d)))) d -= 1
   }
 
   private def load(): CatalogState = {
@@ -117,6 +123,9 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
 }
 
 object MppCatalog {
+  /** Snapshots retained per warehouse (latest always wins via CURRENT). */
+  val RetainSnapshots = 20
+
   /** Jackson (bundled with Spark) with the Scala module: case-class
     * round-trip without any Spark job on the commit path. */
   private[mpp] val mapper = {

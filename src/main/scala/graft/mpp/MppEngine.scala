@@ -56,6 +56,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     refreshView(t)
   }
 
+  // Startup GC (round-2 verdict item 8): a COW rewrite that crashed
+  // between staging write and swap leaves its staging dir behind; no
+  // COW spans engine construction, so everything under .staging/ is
+  // garbage here. (.swap-* aside dirs are reclaimed lazily by the next
+  // swap of the same bucket; dot-prefixed, so scans never see either.)
+  locally {
+    val stg = new Path(s"$warehouse/.staging")
+    val fs = stg.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(stg)) fs.delete(stg, true)
+  }
+
   /** Temp-view name for an engine-local table key (`t` or `schema.t`). */
   private def viewName(key: String): String = key.replace(".", "__")
 

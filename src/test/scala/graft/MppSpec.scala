@@ -534,6 +534,32 @@ class MppSpec extends SparkTestBase {
       "append renumbered pre-existing rows")
   }
 
+  test("startup GC sweeps orphan staging dirs; snapshots stay bounded") {
+    val wh = Files.createTempDirectory("graft-gc").toString
+    // Pre-seed: an orphan staging dir from a "crashed" COW + a table.
+    val e1 = new MppEngine(spark, wh)
+    e1.sql("CREATE TABLE g1(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    e1.insertInto("g1", spark.range(0, 10).toDF("id"))
+    val orphan = java.nio.file.Paths.get(s"$wh/.staging/dead-cow")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    // A fresh engine over the same warehouse sweeps it and still
+    // resolves CURRENT (the table is intact).
+    val e2 = new MppEngine(spark, wh)
+    assert(!Files.exists(orphan), "orphan staging dir survived startup GC")
+    assert(e2.table("g1").count() == 10)
+    // Snapshot retention: many metadata commits keep at most N
+    // snapshot files; the committed state is always the latest.
+    (0 until graft.mpp.MppCatalog.RetainSnapshots + 10)
+      .foreach(i => e2.masterAddNode("gc-host", 1000 + i))
+    val snaps = Files.list(java.nio.file.Paths.get(s"$wh/_mpp_catalog"))
+      .toArray.map(_.toString).count(_.endsWith(".json"))
+    assert(snaps <= graft.mpp.MppCatalog.RetainSnapshots, s"$snaps snapshots")
+    val e3 = new MppEngine(spark, wh)
+    assert(e3.systemTable("nodes").count() >=
+      graft.mpp.MppCatalog.RetainSnapshots + 10)
+  }
+
   // --- write-path property: rows land in pmod(hash(c), n) ---------------
 
   test("every row lands in its pmod(hash(col), n) bucket") {
