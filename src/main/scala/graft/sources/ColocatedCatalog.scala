@@ -192,8 +192,7 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
       IntegerType))
 
   private val inner = ParquetScanBuilder(spark,
-    new InMemoryFileIndex(spark, Seq(new Path(root)), Map.empty,
-      Some(fullSchema)),
+    ColocatedFileIndex.get(spark, root, fullSchema),
     fullSchema, userSchema, CaseInsensitiveStringMap.empty())
 
   /** Bucket set statically implied by the pushed filters; None = all. */
@@ -223,6 +222,45 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
   override def build(): Scan =
     new ColocatedScan(inner.build(), t.partitionColumn, t.buckets,
       prunedBuckets)
+}
+
+/** Listing cache for the co-located read path: re-listing every file of
+  * every bucket on every query is the kind of per-query cost that stays
+  * invisible at test scale and dominates planning at 100 TB (Iceberg/
+  * Delta cache snapshot listings for the same reason). The cached
+  * [[InMemoryFileIndex]] is keyed by a one-RPC fingerprint — the bucket
+  * directories' (name, mtime, fileCount-bearing mtime) from a single
+  * `listStatus` of the table root — so any append (new files bump the
+  * bucket dir's mtime), COW swap (dir replaced), or truncate (dir gone)
+  * invalidates, while repeat reads of an unchanged table skip the full
+  * per-bucket listing entirely. Assumes directory-mtime semantics of a
+  * real filesystem (local/HDFS); an object store without directory
+  * mtimes should bypass the cache. */
+object ColocatedFileIndex {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, InMemoryFileIndex)]
+
+  private def fingerprint(spark: SparkSession, root: String): String = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(d => s"${d.getPath.getName}:${d.getModificationTime}:${d.getLen}")
+      .mkString("|")
+  }
+
+  def get(spark: SparkSession, root: String,
+      schema: StructType): InMemoryFileIndex = {
+    val fp = fingerprint(spark, root)
+    cache.get(root) match {
+      case Some((f, idx)) if f == fp => idx
+      case _ =>
+        val idx = new InMemoryFileIndex(spark, Seq(new Path(root)),
+          Map.empty, Some(schema))
+        cache.put(root, (fp, idx))
+        idx
+    }
+  }
 }
 
 /** Wraps the delegate parquet scan: re-groups its planned file splits

@@ -77,6 +77,22 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(plan.contains("ColocatedScan"), plan.take(800))
   }
 
+  test("listing cache invalidates on append and COW rewrite") {
+    engine
+    // Prime the cache.
+    assert(spark.table("mppcat.li").count() == 2000)
+    // Append: new part files in existing bucket dirs must be visible.
+    engine.insertInto("li", spark.range(2000, 2100).toDF("k")
+      .withColumn("q", col("k") * 0.5))
+    assert(spark.table("mppcat.li").count() == 2100)
+    // COW rewrite (UPDATE): swapped bucket dirs must be re-listed.
+    engine.sql("UPDATE li SET q = -1 WHERE k = 2050")
+    assert(spark.table("mppcat.li").filter(col("q") === -1).count() == 1)
+    // DELETE shrinks through the same path.
+    engine.sql("DELETE FROM li WHERE k >= 2000")
+    assert(spark.table("mppcat.li").count() == 2000)
+  }
+
   test("point lookup on the partition column schedules one bucket") {
     engine
     val q = spark.table("mppcat.li").filter(col("k") === 123L)
