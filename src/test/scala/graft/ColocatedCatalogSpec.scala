@@ -77,6 +77,24 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(plan.contains("ColocatedScan"), plan.take(800))
   }
 
+  test("schema-qualified tables resolve through the catalog") {
+    engine
+    engine.sql("CREATE SCHEMA ana")
+    engine.sql("CREATE TABLE ana.f(k BIGINT, v DOUBLE) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    engine.insertInto("ana.f", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.5))
+    assert(spark.table("mppcat.ana.f").count() == 100)
+    // Co-location holds for schema-qualified tables too.
+    val agg = spark.table("mppcat.ana.f").groupBy("k").count()
+    val plan = finalPlan(agg)
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+    // SHOW TABLES surfaces the catalog's tables.
+    val shown = spark.sql("SHOW TABLES IN mppcat").collect()
+      .map(_.getString(1)).toSet
+    assert(shown.contains("li") && shown.contains("ord"), shown)
+  }
+
   test("listing cache invalidates on append and COW rewrite") {
     engine
     // Prime the cache.
