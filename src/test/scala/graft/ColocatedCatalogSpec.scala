@@ -111,6 +111,24 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(spark.table("mppcat.li").count() == 2000)
   }
 
+  test("NULL partition keys land in the deterministic null bucket and read back") {
+    engine
+    engine.sql("CREATE TABLE nl(k BIGINT, v DOUBLE) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    engine.insertInto("nl", spark.range(0, 50).toDF("k")
+      .withColumn("k", when(col("k") < 5, lit(null)).otherwise(col("k")))
+      .withColumn("v", lit(1.0)))
+    val t = spark.table("mppcat.nl")
+    assert(t.count() == 50)
+    assert(t.filter(col("k").isNull).count() == 5)
+    // IS NULL prunes to the single deterministic null bucket (S7
+    // through the V2 path).
+    val q = spark.table("mppcat.nl").filter(col("k").isNull)
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("shards 1/4"),
+      q.queryExecution.executedPlan.toString.take(1200))
+  }
+
   test("point lookup on the partition column schedules one bucket") {
     engine
     val q = spark.table("mppcat.li").filter(col("k") === 123L)
