@@ -87,11 +87,26 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     committed = s
     version = v
     // Bounded snapshot history (round-2 verdict item 8): readers only
-    // ever follow CURRENT; keep the last N full snapshots for
-    // debugging and sweep everything older (loop handles backlogs from
-    // sessions that predate retention).
-    var d = v - MppCatalog.RetainSnapshots
-    while (d > 0 && Files.deleteIfExists(Paths.get(snapFile(d)))) d -= 1
+    // ever follow CURRENT; keep the last N full snapshots and sweep
+    // everything older. Sweeps by directory listing, not by counting
+    // down from v, so holes in the version sequence (out-of-band
+    // deletes, a second engine's stale counter) cannot strand a
+    // backlog behind the first missing file.
+    val SnapRe = "v(\\d+)\\.json".r
+    val dir = Paths.get(catalogDir)
+    if (Files.isDirectory(dir)) {
+      val stream = Files.list(dir)
+      try {
+        stream.iterator().forEachRemaining { f =>
+          f.getFileName.toString match {
+            case SnapRe(n)
+                if n.toLong <= v - MppCatalog.RetainSnapshots =>
+              Files.deleteIfExists(f)
+            case _ =>
+          }
+        }
+      } finally stream.close()
+    }
   }
 
   private def load(): CatalogState = {

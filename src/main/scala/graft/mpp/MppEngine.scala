@@ -57,14 +57,21 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   // Startup GC (round-2 verdict item 8): a COW rewrite that crashed
-  // between staging write and swap leaves its staging dir behind; no
-  // COW spans engine construction, so everything under .staging/ is
-  // garbage here. (.swap-* aside dirs are reclaimed lazily by the next
-  // swap of the same bucket; dot-prefixed, so scans never see either.)
+  // between staging write and swap leaves its staging dir behind.
+  // Only dirs older than an hour are swept — another engine over the
+  // SAME warehouse may have a COW in flight right now, and its staging
+  // dir is seconds old, not stale. (.swap-* aside dirs are reclaimed
+  // lazily by the next swap of the same bucket; dot-prefixed, so scans
+  // never see either.)
   locally {
     val stg = new Path(s"$warehouse/.staging")
     val fs = stg.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(stg)) fs.delete(stg, true)
+    if (fs.exists(stg)) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      fs.listStatus(stg)
+        .filter(_.getModificationTime < cutoff)
+        .foreach(d => fs.delete(d.getPath, true))
+    }
   }
 
   /** Temp-view name for an engine-local table key (`t` or `schema.t`). */
@@ -161,6 +168,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val p = new Path(dataPath(name))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(p, true)
+    graft.sources.ColocatedFileIndex.invalidate(dataPath(name))
   }
 
   def masterAddNode(host: String, port: Int): Unit = {
@@ -243,12 +251,20 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val manifestType =
       new com.fasterxml.jackson.core.`type`.TypeReference[
         Map[String, Map[String, Array[Long]]]] {}
-    val old: Manifest =
-      if (fs.exists(manifestPath)) {
-        val in = fs.open(manifestPath)
-        try MppCatalog.mapper.readValue(in, manifestType)
+    val tmpPath = new Path(root, "._rowid_manifest.tmp")
+    def readManifest(p: Path): Option[Manifest] =
+      if (!fs.exists(p)) None
+      else try {
+        val in = fs.open(p)
+        try Some(MppCatalog.mapper.readValue(in, manifestType))
         finally in.close()
-      } else Map.empty
+      } catch { case _: Exception => None } // partial/garbage file
+    // Publish is write-tmp → delete → rename; a crash between the last
+    // two loses the manifest but leaves a COMPLETE tmp — adopt it (a
+    // tmp from a crash mid-write fails to parse and is ignored).
+    val old: Manifest = readManifest(manifestPath)
+      .orElse(readManifest(tmpPath))
+      .getOrElse(Map.empty)
     var changed = false
     val next = Map.newBuilder[String, Map[String, Array[Long]]]
     val bases = Vector.newBuilder[(Int, String, Long)]
@@ -284,13 +300,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
     }
     if (changed) {
-      // Atomic publish, same pattern as the catalog's CURRENT pointer.
-      val tmp = new Path(root, "._rowid_manifest.tmp")
-      val out = fs.create(tmp, true)
+      // Publish: full write to tmp, then delete+rename. The non-atomic
+      // window between delete and rename is covered by the tmp-recovery
+      // read above (the tmp is complete before the delete happens).
+      val out = fs.create(tmpPath, true)
       try out.write(MppCatalog.mapper.writeValueAsBytes(next.result()))
       finally out.close()
       fs.delete(manifestPath, false)
-      if (!fs.rename(tmp, manifestPath))
+      if (!fs.rename(tmpPath, manifestPath))
         throw new IllegalStateException(
           s"cannot publish rowid manifest for ${t.name}")
     }
@@ -765,6 +782,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.SimpleMode)
             (header +: plan.linesIterator.toSeq).toDF("plan")
+          // EXPLAIN of a dialect statement this engine cannot plan
+          // (e.g. EXPLAIN CREATE TABLE … WITH BUCKETS n): reject
+          // cleanly — delegating would let the injected parser
+          // re-intercept the identical text (mutual recursion).
+          case _ if MppParser.intercepts(s) =>
+            throw new UnsupportedOperationException(
+              s"EXPLAIN is not supported for: " +
+                inner.trim.takeWhile(_ != ' '))
           // EXPLAIN EXTENDED/FORMATTED/ANSI SELECT, EXPLAIN on
           // non-dialect statements, …: the stock planner explains them
           // (round-2 ADVICE: do not regress what spark.sql handled).
@@ -958,7 +983,7 @@ object MppEngine {
   /** Catalog-entry kinds the reference's mpp schema rejects
     * (mpp_schema_entry.cpp:72-128); CREATE TABLE is the one it allows. */
   private[mpp] val CreateUnsupportedRe =
-    ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
+    ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?""" +
       """(VIEW|UNIQUE\s+INDEX|INDEX|SEQUENCE|TYPE|MACRO|FUNCTION|COLLATION)\b.*$""").r
 
   /** Reference method name for a rejected create kind. */
@@ -1019,7 +1044,11 @@ object MppEngine {
   private val ColDefRe =
     """(?is)^(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?$""".r
 
-  private val NotNullRe = """(?i)\s+NOT\s+NULL""".r
+  /** TRAILING-anchored so a `NOT NULL` inside a DEFAULT expression
+    * (`DEFAULT (email IS NOT NULL)`) is never stripped or mistaken for
+    * a constraint; applied to the raw def (`… DEFAULT 5 NOT NULL` form)
+    * and to the parsed type (`… NOT NULL DEFAULT 5` form). */
+  private val TrailingNotNullRe = """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r
 
   /** DuckDB-ish column types → Spark DDL types. */
   private def mapType(t: String): String = t.trim.toUpperCase match {
@@ -1040,9 +1069,17 @@ object MppEngine {
   private[mpp] def parseColumns(colsStr: String)
       : (String, Map[String, String]) = {
     val parsed = splitTopLevel(colsStr).map { raw =>
-      val notNull = NotNullRe.findFirstIn(raw).isDefined
-      NotNullRe.replaceAllIn(raw, "").trim match {
-        case ColDefRe(name, tpe, dflt) =>
+      val (core, tailNotNull) = raw match {
+        case TrailingNotNullRe(rest) => (rest, true)
+        case _ => (raw, false)
+      }
+      core.trim match {
+        case ColDefRe(name, tpe0, dflt) =>
+          val (tpe, headNotNull) = tpe0 match {
+            case TrailingNotNullRe(t) => (t, true)
+            case _ => (tpe0, false)
+          }
+          val notNull = tailNotNull || headNotNull
           (s"$name ${mapType(tpe)}" + (if (notNull) " NOT NULL" else ""),
             Option(dflt).map(name -> _))
         case other =>

@@ -82,8 +82,12 @@ object MppParser {
     * attached mpp catalog (alias-qualified, or unqualified while one is
     * USE'd) so they fail with the reference's error instead of falling
     * through to the session catalog. */
+  // TEMP/TEMPORARY entities are deliberately NOT matched: temp views/
+  // functions live in the session's temporary catalog regardless of the
+  // USE'd database (DuckDB semantics) — they must keep working while an
+  // mpp catalog is active.
   private val CreateOtherHead =
-    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?""" +
       """(?:VIEW|UNIQUE\s+INDEX|INDEX|SEQUENCE|TYPE|MACRO|FUNCTION|COLLATION)\s+""" +
       """(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\b.*""").r
 

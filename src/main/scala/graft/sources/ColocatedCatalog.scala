@@ -240,27 +240,50 @@ object ColocatedFileIndex {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, (String, InMemoryFileIndex)]
 
-  private def fingerprint(spark: SparkSession, root: String): String = {
+  /** Writes inside one mtime tick are invisible to the fingerprint: a
+    * file landing in a bucket dir in the same tick we already listed
+    * would serve a stale index. Any table written to this recently is
+    * treated as hot and re-listed; only tables quiescent for longer
+    * than the guard are served from cache. */
+  private val FreshnessGuardMs = 2000L
+
+  /** (fingerprint, max dir mtime) from ONE listStatus of the root. */
+  private def fingerprint(spark: SparkSession,
+      root: String): (String, Long) = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) "absent"
-    else fs.listStatus(p).sortBy(_.getPath.getName)
-      .map(d => s"${d.getPath.getName}:${d.getModificationTime}:${d.getLen}")
-      .mkString("|")
+    if (!fs.exists(p)) ("absent", 0L)
+    else {
+      val dirs = fs.listStatus(p).sortBy(_.getPath.getName)
+      (dirs.map(d =>
+          s"${d.getPath.getName}:${d.getModificationTime}:${d.getLen}")
+        .mkString("|"),
+        if (dirs.isEmpty) 0L else dirs.map(_.getModificationTime).max)
+    }
   }
 
   def get(spark: SparkSession, root: String,
       schema: StructType): InMemoryFileIndex = {
-    val fp = fingerprint(spark, root)
+    val (fp, lastWrite) = fingerprint(spark, root)
+    val quiescent =
+      System.currentTimeMillis() - lastWrite > FreshnessGuardMs
     cache.get(root) match {
-      case Some((f, idx)) if f == fp => idx
+      case Some((f, idx)) if f == fp && quiescent => idx
       case _ =>
         val idx = new InMemoryFileIndex(spark, Seq(new Path(root)),
           Map.empty, Some(schema))
-        cache.put(root, (fp, idx))
+        if (quiescent) cache.put(root, (fp, idx))
+        else cache.remove(root)
+        // Bound the cache under table churn (temp warehouses, drops):
+        // entries for dead roots are never hit again, so a hard cap
+        // with full reset is enough — the next queries re-warm it.
+        if (cache.size > 256) cache.clear()
         idx
     }
   }
+
+  /** Drop a table's cached listing (DROP TABLE / DETACH). */
+  def invalidate(root: String): Unit = cache.remove(root)
 }
 
 /** Wraps the delegate parquet scan: re-groups its planned file splits

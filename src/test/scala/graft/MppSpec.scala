@@ -92,6 +92,13 @@ class MppSpec extends SparkTestBase {
       exf.collect().nonEmpty)
     val exe = e.sql("EXPLAIN EXTENDED SELECT count(1) FROM ft")
     assert(exe.collect().nonEmpty)
+    // EXPLAIN of a dialect CREATE rejects cleanly (and must never
+    // recurse through the injected parser).
+    val exc = intercept[UnsupportedOperationException] {
+      e.sql("EXPLAIN CREATE TABLE zz(a INT) PARTITION BY (a) WITH BUCKETS 2")
+    }
+    assert(exc.getMessage.contains("EXPLAIN is not supported"),
+      exc.getMessage)
   }
 
   // --- mpp_update.test --------------------------------------------------
@@ -149,6 +156,15 @@ class MppSpec extends SparkTestBase {
     }
     assert(fullMsg(ex).contains("NOT NULL constraint failed"), fullMsg(ex))
     assert(e.table("nn").count() == 2)
+    // A NOT NULL inside a DEFAULT expression is part of the default,
+    // not a constraint: the column stays nullable and the default
+    // evaluates intact.
+    e.sql("CREATE TABLE nn2(a INT, b BOOLEAN DEFAULT (a IS NOT NULL)) " +
+      "PARTITION BY (a) WITH BUCKETS 2")
+    e.sql("INSERT INTO nn2(a) SELECT 1")
+    assert(e.table("nn2").head().getBoolean(1))
+    e.sql("INSERT INTO nn2 VALUES (2, NULL)") // b is nullable
+    assert(e.table("nn2").filter("b IS NULL").count() == 1)
     // UPDATE writing NULL into a NOT NULL column: rejected pre-swap.
     val ex2 = intercept[Exception] {
       e.sql("UPDATE nn SET c2 = NULL WHERE c0 = 1")
@@ -407,6 +423,11 @@ class MppSpec extends SparkTestBase {
         Seq(("127.0.0.1:12345", 2L), ("127.0.0.1:23456", 2L)))
       s2.sql("INSERT INTO t1 VALUES(1, 0.1),(2, 0.2),(3, 0.3),(4, 0.4)")
       s2.sql("INSERT INTO t1 VALUES(5, 0.5),(6, 0.6),(7, 0.7),(8, 0.8)")
+      // Session-scoped TEMP entities bypass the USE'd mpp catalog
+      // (DuckDB semantics: temp catalog wins) — they must not hit the
+      // MppSchemaEntry rejection.
+      s2.sql("CREATE TEMP VIEW tmpv AS SELECT 42 AS x")
+      assert(s2.sql("SELECT x FROM tmpv").head.getInt(0) == 42)
       // Unqualified read resolves in the USE'd catalog.
       assert(s2.sql("SELECT c0, c1 FROM t1 WHERE c0 = 3")
         .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
@@ -543,10 +564,18 @@ class MppSpec extends SparkTestBase {
     val orphan = java.nio.file.Paths.get(s"$wh/.staging/dead-cow")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
-    // A fresh engine over the same warehouse sweeps it and still
-    // resolves CURRENT (the table is intact).
+    // Age the orphan past the sweep cutoff — FRESH staging dirs are
+    // deliberately spared (another engine's COW may be in flight).
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    val fresh = java.nio.file.Paths.get(s"$wh/.staging/live-cow")
+    Files.createDirectories(fresh)
+    // A fresh engine over the same warehouse sweeps the stale dir,
+    // keeps the fresh one, and still resolves CURRENT.
     val e2 = new MppEngine(spark, wh)
     assert(!Files.exists(orphan), "orphan staging dir survived startup GC")
+    assert(Files.exists(fresh), "in-flight staging dir was destroyed")
     assert(e2.table("g1").count() == 10)
     // Snapshot retention: many metadata commits keep at most N
     // snapshot files; the committed state is always the latest.
