@@ -25,7 +25,9 @@ object Bench {
   /** Per-query errors are RECORDED, never timed: a query that throws
     * would otherwise finish in ~0 s and flatter the total (round-2
     * verdict harness nit). Failed queries land in the `errors` map
-    * (query → exception class) and are excluded from totals. */
+    * (query → exception class) and are excluded from totals — and the
+    * emitted `queries_ok`/`queries_expected` counts make a shrunken
+    * total impossible to mistake for a faster one. */
   private def phase(spark: SparkSession, dir: String,
       names: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       warmPasses: Int = 1)
@@ -92,9 +94,9 @@ object Bench {
       System.gc()
       val oracleBacked = names.filter(n => SparkEntry.oracleSql.contains(n._1))
       val (_, timed, sErrs) = phase(spark, scaledDir, oracleBacked)
-      s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_errors":${fmtErr(sErrs)},"scaled_dir":"$scaledDir""""
+      s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_errors":${fmtErr(sErrs)},"scaled_ok":${timed.size},"scaled_expected":${oracleBacked.size},"scaled_dir":"$scaledDir""""
     } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -368,14 +368,18 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * per guarded column: zero cost on the non-null fast path, fails the
     * write job (before any COW swap) with the host-style message. */
   private def enforceNotNull(t: TableInfo, df: DataFrame): DataFrame = {
-    val schema = userSchema(t)
-    if (schema.fields.forall(_.nullable)) df
-    else df.select(schema.fields.map { f =>
-      if (f.nullable) col(f.name)
-      else when(col(f.name).isNull, raise_error(lit(
-          s"NOT NULL constraint failed: column ${f.name} of ${t.name}"))
-          .cast(f.dataType))
-        .otherwise(col(f.name)).as(f.name)
+    val guarded = userSchema(t).fields.filterNot(_.nullable)
+      .map(f => f.name.toLowerCase -> f).toMap
+    if (guarded.isEmpty) df
+    else df.select(df.columns.map { c =>
+      guarded.get(c.toLowerCase) match {
+        case Some(f) =>
+          when(col(c).isNull, raise_error(lit(
+              s"NOT NULL constraint failed: column ${f.name} of ${t.name}"))
+              .cast(f.dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
     }: _*)
   }
 
@@ -428,23 +432,19 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           val v = if (e.trim.equalsIgnoreCase("DEFAULT"))
             expr(t.defaults.getOrElse(f.name, "NULL"))
           else expr(e)
-          val updated =
-            when(cond, v.cast(f.dataType)).otherwise(col(f.name))
-          val guarded = if (f.nullable) updated
-            else when(updated.isNull, raise_error(lit(
-                s"NOT NULL constraint failed: column ${f.name} of " +
-                  t.name)).cast(f.dataType))
-              .otherwise(updated)
-          guarded.as(f.name)
+          when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
     }
+    // Post-SET values pass through the same NOT NULL guard as inserts
+    // (enforceNotNull leaves the bucket column untouched).
     val transform: DataFrame => DataFrame =
       if (movesRows)
-        df => df.select(newCols: _*).withColumn(BucketCol,
-          pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
+        df => enforceNotNull(t, df.select(newCols: _*))
+          .withColumn(BucketCol,
+            pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       else
-        df => df.select(newCols :+ col(BucketCol): _*)
+        df => enforceNotNull(t, df.select(newCols :+ col(BucketCol): _*))
     // A row needs a REWRITE only if some SET column actually changes
     // value (null-safe compare): an UPDATE whose matched rows already
     // hold the target values rewrites nothing — no write amplification
@@ -870,10 +870,13 @@ object MppEngine {
     // (round-2 ADVICE: the old mask covered single quotes only).
     val masked = new Array[Boolean](text.length)
     var state = 0 // 0 sql, 1 '…', 2 `…`, 3 "…", 4 --, 5 /*…*/
+    var blockOpen = -1 // index of the '/' that opened state 5
+    var skipNext = false // char after a backslash inside a literal
     var i = 0
     while (i < text.length) {
       val ch = text.charAt(i)
-      state match {
+      if (skipNext) { masked(i) = true; skipNext = false }
+      else state match {
         case 0 =>
           if (ch == '\'') { state = 1; masked(i) = true }
           else if (ch == '`') { state = 2; masked(i) = true }
@@ -881,14 +884,27 @@ object MppEngine {
           else if (ch == '-' && i + 1 < text.length &&
             text.charAt(i + 1) == '-') { state = 4; masked(i) = true }
           else if (ch == '/' && i + 1 < text.length &&
-            text.charAt(i + 1) == '*') { state = 5; masked(i) = true }
-        case 1 => masked(i) = true; if (ch == '\'') state = 0
+            text.charAt(i + 1) == '*') {
+            state = 5; blockOpen = i; masked(i) = true
+          }
+        case 1 =>
+          masked(i) = true
+          // Backslash-escaped quote (Spark's default non-ANSI literals):
+          // the next char is literal content, not a delimiter.
+          if (ch == '\\') skipNext = true
+          else if (ch == '\'') state = 0
         case 2 => masked(i) = true; if (ch == '`') state = 0
-        case 3 => masked(i) = true; if (ch == '"') state = 0
+        case 3 =>
+          masked(i) = true
+          if (ch == '\\') skipNext = true
+          else if (ch == '"') state = 0
         case 4 => masked(i) = true; if (ch == '\n') state = 0
         case 5 =>
           masked(i) = true
-          if (ch == '/' && text.charAt(i - 1) == '*') state = 0
+          // The closing '*' must be a distinct char after the opener:
+          // '/*/' stays open ('/**/' is the shortest closed comment).
+          if (ch == '/' && text.charAt(i - 1) == '*' && i >= blockOpen + 3)
+            state = 0
       }
       i += 1
     }

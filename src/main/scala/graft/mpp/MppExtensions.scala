@@ -90,6 +90,12 @@ object MppParser {
     ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?""" +
       """(?:VIEW|UNIQUE\s+INDEX|INDEX|SEQUENCE|TYPE|MACRO|FUNCTION|COLLATION)\s+""" +
       """(?:IF\s+NOT\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)\b.*""").r
+  /** CREATE INDEX names the INDEX, not the table — the mpp test must
+    * key on the ON target, or an index on an attached-but-not-USE'd
+    * mpp table would escape the parity rejection. */
+  private val CreateIndexHead =
+    ("""(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """\w+\s+ON\s+((?:\w+\.){0,2}\w+)\b.*""").r
 
   /** True iff the statement belongs to the distributed dialect: the
     * CREATE suffix, ATTACH/DETACH/USE of an mpp catalog, or DML whose
@@ -106,6 +112,10 @@ object MppParser {
       MppEngine.registry.contains(name) ||
         (name.equalsIgnoreCase("memory") && MppEngine.registry.nonEmpty)
     case DmlHead(table) => MppEngine.resolve(table).isDefined
+    case CreateIndexHead(target) =>
+      MppEngine.resolve(target).isDefined ||
+        MppEngine.registry.contains(target.split("\\.")(0)) ||
+        (!target.contains(".") && MppEngine.active.isDefined)
     case CreateOtherHead(name) =>
       MppEngine.registry.contains(name.split("\\.")(0)) ||
         (!name.contains(".") && MppEngine.active.isDefined)
@@ -119,6 +129,17 @@ object MppParser {
     case CreateHead(name) =>
       val head = name.split("\\.")(0)
       MppEngine.registry.get(head).orElse(MppEngine.current)
+    // Alias-qualified non-table creates route to the named catalog even
+    // without a USE — intercepts() accepted them on that basis, so
+    // route() must resolve the same way (not fall back to a possibly
+    // absent current engine).
+    case CreateIndexHead(target) =>
+      MppEngine.resolve(target).map(_._1)
+        .orElse(MppEngine.registry.get(target.split("\\.")(0)))
+        .orElse(MppEngine.current)
+    case CreateOtherHead(name) =>
+      MppEngine.registry.get(name.split("\\.")(0))
+        .orElse(MppEngine.current)
     case _ => MppEngine.current
   }
 }

@@ -114,10 +114,11 @@ object MppQueries {
     * statement is idempotent; the warehouse is built once in [[warm]].
     * Timing semantics (round-2 ADVICE): only the FIRST run against a
     * fresh warehouse performs the COW rewrite — the engine's no-op
-    * change detection then skips the write, so the bench's cold_*
-    * number times real DML while the steady-state number times
-    * match-scan (null-safe change probe) + verify. Both are labeled
-    * as such in BASELINE.md; neither includes DDL/load. */
+    * change detection then skips the write. Because the warehouse
+    * persists across JVMs, that real-DML cost shows only in the
+    * machine-first bench's cold_*; every later pass (cold included)
+    * times match-scan (null-safe change probe) + verify. Labeled as
+    * such in BASELINE.md; no pass includes DDL/load. */
   def qMppUpdate(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
     e.sql("UPDATE orders_u SET o_totalprice = o_custkey * 1.25 + 0.5 " +

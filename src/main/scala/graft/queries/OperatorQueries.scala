@@ -49,9 +49,12 @@ object OperatorQueries {
   // one session catalog.
   private val bucketed = TrieMap.empty[String, (String, String)]
 
+  private def dirTag(dir: String): String =
+    Integer.toHexString(dir.hashCode).takeRight(6)
+
   private def bucketedPair(s: SparkSession, dir: String): (String, String) =
     bucketed.getOrElseUpdate(dir, {
-      val h = Integer.toHexString(dir.hashCode).takeRight(6)
+      val h = dirTag(dir)
       val (cb, ob) = (s"cust_b_$h", s"ord_b_$h")
       BucketedTables.create(s, cb,
         Tables(s, dir, "customer")
@@ -85,9 +88,9 @@ object OperatorQueries {
 
   private def dsv2Catalog(s: SparkSession, dir: String): String =
     dsv2Cats.getOrElseUpdate(dir, {
-      val h = Integer.toHexString(dir.hashCode).takeRight(6)
-      val e = new graft.mpp.MppEngine(s,
-        java.nio.file.Files.createTempDirectory(s"graft-dsv2-$h").toString)
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft-dsv2-${dirTag(dir)}")
+      val e = new graft.mpp.MppEngine(s, wh.toString)
       e.createDistributedTable("cust", "custkey BIGINT, c_name STRING",
         "custkey", 16)
       e.createDistributedTable("ord",
@@ -98,7 +101,11 @@ object OperatorQueries {
       e.insertInto("ord", Tables(s, dir, "orders")
         .select(col("o_custkey").as("custkey"), col("o_orderkey"),
           col("o_totalprice")))
-      val cat = s"mpp_$h"
+      // Catalog name derives from the UNIQUE temp-warehouse dir, not the
+      // scale-dir hash: two dirs with colliding tags must not cross-wire
+      // one catalog conf onto two warehouses.
+      val cat = "mpp_" + wh.getFileName.toString
+        .replaceAll("[^a-zA-Z0-9]", "_")
       e.installColocatedCatalog(cat)
       cat
     })

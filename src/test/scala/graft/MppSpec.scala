@@ -375,6 +375,13 @@ class MppSpec extends SparkTestBase {
       }
       assert(vex.getMessage.contains("MppSchemaEntry::CreateView"),
         vex.getMessage)
+      // CREATE INDEX names the index, not the table: the ON target is
+      // what makes it mpp-scoped.
+      val iex = intercept[Exception] {
+        s2.sql("CREATE INDEX ix1 ON g.at1(id)")
+      }
+      assert(iex.getMessage.contains("MppSchemaEntry::CreateIndex"),
+        iex.getMessage)
       s2.sql("DETACH g")
       assert(graft.mpp.MppEngine.current.isEmpty)
     } finally {
@@ -581,8 +588,9 @@ class MppSpec extends SparkTestBase {
     // snapshot files; the committed state is always the latest.
     (0 until graft.mpp.MppCatalog.RetainSnapshots + 10)
       .foreach(i => e2.masterAddNode("gc-host", 1000 + i))
-    val snaps = Files.list(java.nio.file.Paths.get(s"$wh/_mpp_catalog"))
-      .toArray.map(_.toString).count(_.endsWith(".json"))
+    val snapStream = Files.list(java.nio.file.Paths.get(s"$wh/_mpp_catalog"))
+    val snaps = try snapStream.toArray.map(_.toString)
+      .count(_.endsWith(".json")) finally snapStream.close()
     assert(snaps <= graft.mpp.MppCatalog.RetainSnapshots, s"$snaps snapshots")
     val e3 = new MppEngine(spark, wh)
     assert(e3.systemTable("nodes").count() >=
