@@ -35,50 +35,66 @@ class PlanQualitySpec extends SparkTestBase {
     assert(schema == Set("l_orderkey", "l_tax"), schema)
   }
 
-  test("q5: bounded dims broadcast; lineitem never broadcast, shuffled at most once") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    val df = graft.queries.AnalyticQueries.q5RegionRevenue(spark, sf)
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+  // Collect across AQE stage boundaries (collect() alone stops at them).
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec => q +: nodes(q.plan)
+    case n => Seq(n)
+  }.flatten
+
+  private def readsLineitem(p: SparkPlan): Boolean = nodes(p).exists {
+    case f: FileSourceScanExec =>
+      f.metadata.get("Location").exists(_.contains("lineitem"))
+    case _ => false
+  }
+
+  // True iff fact-cardinality lineitem rows reach this node — i.e. the
+  // subtree scans lineitem with no aggregate in between (a partial agg
+  // collapses cardinality, so post-agg exchanges are cheap by design).
+  private def factFlow(p: SparkPlan): Boolean = p match {
+    case _ if p.getClass.getSimpleName.contains("Aggregate") => false
+    case f: FileSourceScanExec =>
+      f.metadata.get("Location").exists(_.contains("lineitem"))
+    case a: AdaptiveSparkPlanExec => factFlow(a.executedPlan)
+    case q: QueryStageExec => factFlow(q.plan)
+    case n => n.children.exists(factFlow)
+  }
+
+  /** The scale invariant for fact-side joins: lineitem is never the
+    * build side of a broadcast (a driver-built hash table of a
+    * data-proportional relation cannot exist at 100×), and at most ONE
+    * exchange ever carries fact-cardinality rows. */
+  private def assertFactPlanSound(df: DataFrame): Unit = {
     df.collect() // finalize the adaptive plan
-    // Collect across AQE stage boundaries (collect() alone stops at them).
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
-      case q: QueryStageExec => q +: nodes(q.plan)
-      case n => Seq(n)
-    }.flatten
     val all = nodes(df.queryExecution.executedPlan)
-    def readsLineitem(p: SparkPlan): Boolean = nodes(p).exists {
-      case f: FileSourceScanExec =>
-        f.metadata.get("Location").exists(_.contains("lineitem"))
-      case _ => false
-    }
-    // True iff fact-cardinality lineitem rows reach this node — i.e. the
-    // subtree scans lineitem with no aggregate in between (a partial agg
-    // collapses cardinality, so post-agg exchanges are cheap by design).
-    def factFlow(p: SparkPlan): Boolean = p match {
-      case _ if p.getClass.getSimpleName.contains("Aggregate") => false
-      case f: FileSourceScanExec =>
-        f.metadata.get("Location").exists(_.contains("lineitem"))
-      case a: AdaptiveSparkPlanExec => factFlow(a.executedPlan)
-      case q: QueryStageExec => factFlow(q.plan)
-      case n => n.children.exists(factFlow)
-    }
-    // The bounded dimension chain (region -> nation -> supplier) still
-    // broadcasts; data-proportional sides (orders, customer) must not
-    // pin a driver-built hash table — shuffle-hash or AQE's choice.
-    assert(all.exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
-      "expected the dimension chain to broadcast")
-    // lineitem is never the build side of any broadcast,
     val liBroadcasts = all.collect {
       case b: BroadcastExchangeExec if readsLineitem(b) => b }
     assert(liBroadcasts.isEmpty, "lineitem must never be broadcast")
-    // and at most ONE shuffle ever carries fact-cardinality rows
-    // (the l_orderkey exchange feeding the orders join).
     val factShuffles = all.collect {
       case e: ShuffleExchangeExec if factFlow(e.child) => e }
     assert(factShuffles.size <= 1,
       s"lineitem shuffled at full cardinality ${factShuffles.size} times")
+  }
+
+  test("q5: bounded dims broadcast; lineitem never broadcast, shuffled at most once") {
+    val df = graft.queries.AnalyticQueries.q5RegionRevenue(spark, sf)
+    df.collect()
+    // The bounded dimension chain (region -> nation -> supplier) still
+    // broadcasts; data-proportional sides (orders, customer) must not
+    // pin a driver-built hash table — shuffle-hash or AQE's choice.
+    assert(nodes(df.queryExecution.executedPlan)
+      .exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
+      "expected the dimension chain to broadcast")
+    assertFactPlanSound(df)
+  }
+
+  test("q3: lineitem never broadcast, shuffled at most once") {
+    assertFactPlanSound(
+      graft.queries.AnalyticQueries.q3TopRevenue(spark, sf))
   }
 
   test("dedup scoring runs inside whole-stage codegen, computed once") {
