@@ -1021,7 +1021,10 @@ object MppEngine {
     var depth = 0
     var inQ = false
     val cur = new StringBuilder
+    var esc = false
     s.foreach {
+      case c if esc => esc = false; cur += c
+      case '\\' if inQ => esc = true; cur += '\\'
       case '\'' => inQ = !inQ; cur += '\''
       case '(' if !inQ => depth += 1; cur += '('
       case ')' if !inQ => depth -= 1; cur += ')'
@@ -1041,6 +1044,10 @@ object MppEngine {
     var i = 0
     while (i < s.length) {
       s.charAt(i) match {
+        // Backslash-escaped char inside a literal (Spark's default
+        // non-ANSI escaping): content, not a delimiter — same rule as
+        // the read-path mask.
+        case '\\' if inQ && i + 1 < s.length => i += 1
         case '\'' => inQ = !inQ
         case '(' if !inQ => depth += 1
         case ')' if !inQ => depth -= 1

@@ -94,8 +94,8 @@ object MppParser {
     * key on the ON target, or an index on an attached-but-not-USE'd
     * mpp table would escape the parity rejection. */
   private val CreateIndexHead =
-    ("""(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
-      """\w+\s+ON\s+((?:\w+\.){0,2}\w+)\b.*""").r
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:UNIQUE\s+)?INDEX\s+""" +
+      """(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+ON\s+((?:\w+\.){0,2}\w+)\b.*""").r
 
   /** True iff the statement belongs to the distributed dialect: the
     * CREATE suffix, ATTACH/DETACH/USE of an mpp catalog, or DML whose

@@ -54,7 +54,10 @@ object OperatorQueries {
 
   private def bucketedPair(s: SparkSession, dir: String): (String, String) =
     bucketed.getOrElseUpdate(dir, {
-      val h = dirTag(dir)
+      // Per-JVM ordinal alongside the tag: two dirs with colliding
+      // 6-hex tags must not cross-wire one catalog table name onto
+      // two datasets (same invariant as dsv2Catalog's naming).
+      val h = s"${dirTag(dir)}_${bucketed.size}"
       val (cb, ob) = (s"cust_b_$h", s"ord_b_$h")
       BucketedTables.create(s, cb,
         Tables(s, dir, "customer")

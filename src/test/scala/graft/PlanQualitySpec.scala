@@ -82,14 +82,13 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("q5: bounded dims broadcast; lineitem never broadcast, shuffled at most once") {
     val df = graft.queries.AnalyticQueries.q5RegionRevenue(spark, sf)
-    df.collect()
+    assertFactPlanSound(df) // runs (and finalizes) the query once
     // The bounded dimension chain (region -> nation -> supplier) still
     // broadcasts; data-proportional sides (orders, customer) must not
     // pin a driver-built hash table — shuffle-hash or AQE's choice.
     assert(nodes(df.queryExecution.executedPlan)
       .exists(_.getClass.getSimpleName.contains("BroadcastHashJoin")),
       "expected the dimension chain to broadcast")
-    assertFactPlanSound(df)
   }
 
   test("q3: lineitem never broadcast, shuffled at most once") {
