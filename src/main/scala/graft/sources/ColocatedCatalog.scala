@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTa
 import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, Murmur3HashFunction}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform, Expression => V2Expression, Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
@@ -291,14 +291,38 @@ object ColocatedFileIndex {
   * carrying its bucket id as the partition key, and reports
   * `KeyGroupedPartitioning(bucket(n, pc))`. With
   * `spark.sql.sources.v2.bucketing.enabled`, Spark then plans
-  * joins/aggregations on the partition column without any Exchange. */
+  * joins/aggregations on the partition column without any Exchange.
+  *
+  * Beyond the static pruning computed at pushdown time, the scan
+  * accepts RUNTIME filters on the partition column
+  * ([[SupportsRuntimeV2Filtering]]): for `fact ⋈ dim WHERE
+  * dim.selective` — the most common query shape at scale — Spark's
+  * dynamic partition pruning hands the dim side's join-key values to
+  * `filter()` as an IN predicate before the fact scan executes, and the
+  * scan drops every bucket those values cannot hash into. This is the
+  * reference's shard-pruning story (S5-S8,
+  * `/root/reference/src/function/mpp_table_scan.cpp:68-143`) applied to
+  * the join-driven case its compile-time version cannot see: the
+  * reference never dispatches to a pruned shard; this scan never reads
+  * one. Statistics forward to the delegate file scan so small mpp dims
+  * plan as broadcast — which is exactly the shape whose reused
+  * broadcast feeds the DPP subquery. */
 final class ColocatedScan(delegate: FileScan, partCol: String,
     buckets: Int, pruned: Option[Set[Int]]) extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
 
   private val emitted: Seq[Int] =
     pruned.map(_.toSeq.sorted)
       .getOrElse(0 until buckets)
+
+  /** Buckets surviving runtime (DPP) filters; None until `filter()` is
+    * called with a predicate we can derive a bucket set from. Written
+    * once on the driver before `planInputPartitions` re-runs. */
+  @volatile private var runtimeSurvivors: Option[Set[Int]] = None
+
+  /** Spec hook: the runtime-pruned bucket set, if any. */
+  def runtimeFilteredBuckets: Option[Set[Int]] = runtimeSurvivors
 
   override def readSchema(): StructType = delegate.readSchema()
 
@@ -308,9 +332,54 @@ final class ColocatedScan(delegate: FileScan, partCol: String,
 
   override def toBatch: Batch = this
 
+  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(buckets, partCol)), emitted.size)
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partCol))
+
+  /** Runtime bucket pruning: intersect the bucket sets implied by each
+    * IN / equality predicate on the partition column. Predicates we
+    * cannot interpret are ignored — pruning is only ever an optimization
+    * over a correct superset (same contract as [[BucketPruning]]). */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.flatMap(bucketsImpliedBy)
+    if (sets.nonEmpty) {
+      val s = sets.reduce(_ intersect _)
+      runtimeSurvivors = Some(runtimeSurvivors.fold(s)(_ intersect s))
+    }
+  }
+
+  private def isPartCol(e: V2Expression): Boolean = e match {
+    case r: NamedReference =>
+      r.fieldNames.length == 1 && r.fieldNames()(0).equalsIgnoreCase(partCol)
+    case _ => false
+  }
+
+  private def bucketsImpliedBy(p: Predicate): Option[Set[Int]] = {
+    def ofLit(e: V2Expression): Option[Int] = e match {
+      case l: V2Literal[_] =>
+        Some(BucketPruning.bucketOf(l.value, l.dataType, buckets))
+      case _ => None
+    }
+    p.name() match {
+      // DPP translates the subquery's collected values to
+      // IN(col, lit…) — DataSourceV2Strategy.translateRuntimeFilterV2.
+      case "IN" if p.children().nonEmpty && isPartCol(p.children()(0)) =>
+        val lits = p.children().drop(1).map(ofLit)
+        if (lits.forall(_.isDefined)) Some(lits.flatten.toSet) else None
+      case "=" | "<=>" if p.children().length == 2 =>
+        p.children() match {
+          case Array(c, l) if isPartCol(c) => ofLit(l).map(Set(_))
+          case Array(l, c) if isPartCol(c) => ofLit(l).map(Set(_))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   private val BucketDirRe =
     (".*/" + BucketPruning.BucketCol + "=(\\d+)/.*").r
@@ -329,7 +398,14 @@ final class ColocatedScan(delegate: FileScan, partCol: String,
       })
     // Every surviving bucket becomes a partition — including empty ones,
     // so two tables' partition keys always align for the join planner.
-    emitted.map { b =>
+    // Runtime-pruned buckets are dropped entirely; BatchScanExec
+    // re-aligns the key-grouped partitioning with empty groups for the
+    // missing partition values (a subset is the supported shape).
+    val live = runtimeSurvivors match {
+      case Some(rs) => emitted.filter(rs.contains)
+      case None => emitted
+    }
+    live.map { b =>
       BucketInputPartition(b,
         FilePartition(b, byBucket.getOrElse(b, Array.empty)))
     }.toArray

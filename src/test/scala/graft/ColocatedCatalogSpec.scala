@@ -129,6 +129,39 @@ class ColocatedCatalogSpec extends SparkTestBase {
       q.queryExecution.executedPlan.toString.take(1200))
   }
 
+  // Collect across AQE stage boundaries (collect() alone stops at them).
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p.collect {
+    case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+    case q: QueryStageExec => q +: nodes(q.plan)
+    case n => Seq(n)
+  }.flatten
+
+  test("dim-filtered join runtime-prunes fact buckets (DPP through the DSv2 scan)") {
+    engine
+    // The common shape at scale: big fact joined to a dim whose filter
+    // is only knowable at runtime. Spark's dynamic partition pruning
+    // feeds the dim's join-key values to the fact ColocatedScan, which
+    // must drop every bucket those keys cannot hash into — the
+    // reference's shard pruning (S5-S8) applied at runtime.
+    val dim = spark.table("mppcat.ord").filter(col("p") === 4.0) // k == 2
+    val j = spark.table("mppcat.li").join(dim, "k")
+    val rows = j.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L))
+    val scans = nodes(j.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collect { case c: graft.sources.ColocatedScan => c }
+    val filtered = scans.flatMap(_.runtimeFilteredBuckets)
+    assert(filtered.nonEmpty,
+      "expected the DPP runtime filter to reach the fact ColocatedScan:\n" +
+        j.queryExecution.executedPlan.toString.take(3000))
+    // k == 2 hashes to exactly one bucket; the fact scan must schedule
+    // strictly fewer than its 4 buckets.
+    assert(filtered.head.size == 1, filtered.toString)
+  }
+
   test("point lookup on the partition column schedules one bucket") {
     engine
     val q = spark.table("mppcat.li").filter(col("k") === 123L)
