@@ -4,7 +4,8 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -705,13 +706,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         // Capability superset: the reference REJECTS CREATE TABLE AS on
         // mpp catalogs (mpp_catalog.cpp:109-112, README.md:106); under
         // Spark the source query is just a DataFrame to insert.
-        val src = spark.sql(query)
+        // readSql: a catalog-qualified source (AS SELECT … FROM cat.t)
+        // resolves the same whether the session has the injected parser
+        // or not.
+        val src = MppEngine.readSql(spark, query)
         createDistributedTable(name, src.schema.toDDL, pc, n.toInt)
         val cnt = insertInto(name, src)
         Seq(s"CREATE TABLE $name AS ($cnt rows)").toDF("result")
       case InsertRe(name, colList, source)
           if catalog.state.liveTable(localKey(name)).isDefined =>
-        val src = spark.sql(source)
+        val src = MppEngine.readSql(spark, source)
         val targetCols = Option(colList)
           .map(_.split(",").map(_.trim).toSeq)
           .getOrElse(userSchema(info(name)).fieldNames.toSeq
@@ -793,7 +797,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           // EXPLAIN EXTENDED/FORMATTED/ANSI SELECT, EXPLAIN on
           // non-dialect statements, …: the stock planner explains them
           // (round-2 ADVICE: do not regress what spark.sql handled).
-          case _ => spark.sql(MppEngine.rewriteReads(text))
+          case _ => MppEngine.readSql(spark, text)
         }
       case TxnRe(verb) =>
         verb.toUpperCase match {
@@ -808,7 +812,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         // dialect error, not a delegation case.
         if (MppParser.intercepts(s)) throw new IllegalArgumentException(
           s"cannot parse distributed-dialect statement: $s")
-        spark.sql(MppEngine.rewriteReads(text))
+        MppEngine.readSql(spark, text)
     }
   }
 }
@@ -855,88 +859,63 @@ object MppEngine {
     e
   }
 
-  /** Rewrite catalog-qualified mpp references in a READ statement to
-    * the temp views the engines maintain, skipping quoted literals:
+  /** Rewrite catalog-qualified mpp relation references in a PARSED
+    * plan to the temp views the engines maintain:
     *  - `cat.__mpp_system.x` → a freshly refreshed system view
     *    `cat__sys_x` (always current state);
     *  - `cat.schema.t` / `cat.t` / `schema.t` (when they resolve to a
     *    live distributed table) → the engine's `alias__…` view.
-    * Unresolvable dotted names (e.g. subquery aliases `x.col`) pass
-    * through untouched. */
-  def rewriteReads(text: String): String = {
-    if (registry.isEmpty) return text
-    // Mask spans that must never be rewritten: single-/double-quoted
-    // literals, backtick-quoted identifiers, and -- / block comments
-    // (round-2 ADVICE: the old mask covered single quotes only).
-    val masked = new Array[Boolean](text.length)
-    var state = 0 // 0 sql, 1 '…', 2 `…`, 3 "…", 4 --, 5 /*…*/
-    var blockOpen = -1 // index of the '/' that opened state 5
-    var skipNext = false // char after a backslash inside a literal
-    var i = 0
-    while (i < text.length) {
-      val ch = text.charAt(i)
-      if (skipNext) { masked(i) = true; skipNext = false }
-      else state match {
-        case 0 =>
-          if (ch == '\'') { state = 1; masked(i) = true }
-          else if (ch == '`') { state = 2; masked(i) = true }
-          else if (ch == '"') { state = 3; masked(i) = true }
-          else if (ch == '-' && i + 1 < text.length &&
-            text.charAt(i + 1) == '-') { state = 4; masked(i) = true }
-          else if (ch == '/' && i + 1 < text.length &&
-            text.charAt(i + 1) == '*') {
-            state = 5; blockOpen = i; masked(i) = true
-          }
-        case 1 =>
-          masked(i) = true
-          // Backslash-escaped quote (Spark's default non-ANSI literals):
-          // the next char is literal content, not a delimiter.
-          if (ch == '\\') skipNext = true
-          else if (ch == '\'') state = 0
-        case 2 => masked(i) = true; if (ch == '`') state = 0
-        case 3 =>
-          masked(i) = true
-          if (ch == '\\') skipNext = true
-          else if (ch == '"') state = 0
-        case 4 => masked(i) = true; if (ch == '\n') state = 0
-        case 5 =>
-          masked(i) = true
-          // The closing '*' must be a distinct char after the opener:
-          // '/*/' stays open ('/**/' is the shortest closed comment).
-          if (ch == '/' && text.charAt(i - 1) == '*' && i >= blockOpen + 3)
-            state = 0
-      }
-      i += 1
+    *
+    * Resolution happens on [[UnresolvedRelation]] nodes, never on raw
+    * SQL text: a column reference whose qualifier collides with a
+    * catalog alias (`SELECT db1.t FROM v AS db1`) parses as an
+    * attribute, not a relation, so it is never touched — the textual
+    * rewriter this replaces could mis-read it (round-3/4 ADVICE).
+    * Quoted literals, comments, and backticked identifiers need no
+    * masking for the same reason: they are not relations in the plan.
+    * Subquery expressions (scalar / IN / EXISTS) are rewritten too. */
+  def rewritePlan(plan: LogicalPlan): LogicalPlan = {
+    if (registry.isEmpty) return plan
+    plan.transformUpWithSubqueries {
+      case u: UnresolvedRelation =>
+        viewFor(u.multipartIdentifier)
+          .map(v => u.copy(multipartIdentifier = Seq(v)))
+          .getOrElse(u)
     }
-    val Ref = """\b(\w+)\.(\w+)(?:\.(\w+))?\b""".r
-    Ref.replaceAllIn(text, m => {
-      if (masked(m.start)) m.matched
-      else {
-        val (a, b, c) = (m.group(1), m.group(2), Option(m.group(3)))
-        val rewritten = (registry.get(a), b, c) match {
-          case (Some(e), "__mpp_system", Some(x))
-              if Set("nodes", "shards", "tables").contains(x) =>
-            val v = s"${a}__sys_$x"
-            e.systemTable(x).createOrReplaceTempView(v)
-            Some(v)
-          case (Some(e), t, None)
-              if e.catalog.state.liveTable(t).isDefined =>
-            Some(s"${a}__$t")
-          case (Some(e), sch, Some(t))
-              if e.catalog.state.liveTable(s"$sch.$t").isDefined =>
-            Some(s"${a}__${sch}__$t")
-          case (None, t, None) =>
-            // schema.table in the active-or-any engine (bare view)
-            resolve(s"$a.$t").collect {
-              case (_, key) if key == s"$a.$t" => s"${a}__$t"
-            }
-          case _ => None
-        }
-        java.util.regex.Matcher.quoteReplacement(
-          rewritten.getOrElse(m.matched))
-      }
-    })
   }
+
+  /** The engine temp view a multipart relation name routes to, if it
+    * resolves to a live distributed (or system) table. Mirrors
+    * [[resolve]]'s precedence: catalog alias first, then schema.table
+    * in the current engine. */
+  private def viewFor(parts: Seq[String]): Option[String] = parts match {
+    case Seq(a, "__mpp_system", x)
+        if registry.contains(a) &&
+          Set("nodes", "shards", "tables").contains(x) =>
+      val v = s"${a}__sys_$x"
+      registry(a).systemTable(x).createOrReplaceTempView(v)
+      Some(v)
+    case Seq(a, t)
+        if registry.get(a).exists(_.catalog.state.liveTable(t).isDefined) =>
+      Some(s"${a}__$t")
+    case Seq(a, sch, t)
+        if registry.get(a)
+          .exists(_.catalog.state.liveTable(s"$sch.$t").isDefined) =>
+      Some(s"${a}__${sch}__$t")
+    case Seq(a, t) =>
+      // schema.table in the active-or-any engine (bare view)
+      resolve(s"$a.$t").collect {
+        case (_, key) if key == s"$a.$t" => s"${a}__$t"
+      }
+    case _ => None
+  }
+
+  /** Execute a READ statement with mpp references routed: parse with
+    * the session's parser, rewrite relations on the plan, execute. */
+  def readSql(spark: SparkSession, text: String): DataFrame =
+    if (registry.isEmpty) spark.sql(text)
+    else org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      rewritePlan(spark.sessionState.sqlParser.parsePlan(text)))
 
   /** Resolve a possibly-qualified table reference:
     * `table` | `cat.table` | `schema.table` | `cat.schema.table`.

@@ -34,10 +34,12 @@ final class MppParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     if (MppParser.intercepts(sqlText)) MppSqlCommand(sqlText)
-    // Reads pass through the stock parser with catalog-qualified mpp
-    // references rewritten to engine views (schema preserved — no
-    // command-result flattening on the read path).
-    else delegate.parsePlan(MppEngine.rewriteReads(sqlText))
+    // Reads pass through the stock parser, then catalog-qualified mpp
+    // RELATIONS in the parsed plan are rewritten to engine views
+    // (schema preserved — no command-result flattening on the read
+    // path; plan-level resolution, so column references that merely
+    // look like catalog.table are never touched).
+    else MppEngine.rewritePlan(delegate.parsePlan(sqlText))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -61,8 +63,11 @@ object MppParser {
 
   private val CreateDialect =
     """(?is).*\)\s*PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s*;?\s*$""".r
+  // Qualified names allowed ((?:\w+\.){0,2}) so `spark.sql` and
+  // `engine.sql` agree on `CREATE TABLE s.t … AS SELECT` — the engine's
+  // CtasRe accepts them, so the injected parser must intercept them.
   private val CtasDialect =
-    """(?is)^\s*CREATE\s+TABLE\s+\w+\s+PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s+AS\s+.*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(?:\w+\.){0,2}\w+\s+PARTITION\s+BY\s*\(\s*\w+\s*\)\s*WITH\s+BUCKETS\s+\d+\s+AS\s+.*$""".r
   /** Reference entry point: `ATTACH 'db' AS x (TYPE mpp[, ENDPOINT …])`
     * (`/root/reference/src/storage/mpp_storage_extension.cpp:8-41`).
     * Here the attached path is the engine warehouse; ENDPOINT is

@@ -470,6 +470,50 @@ class MppSpec extends SparkTestBase {
     }
   }
 
+  test("plan-level read routing: alias collisions never mis-read; qualified CTAS via spark.sql") {
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.mpp.MppExtensions()(_))
+      .getOrCreate()
+    try {
+      val wh = Files.createTempDirectory("graft-alias").toString
+      s2.sql(s"ATTACH '$wh' AS dbx (TYPE mpp)")
+      s2.sql("USE dbx")
+      s2.sql("CREATE TABLE t(c0 INT) PARTITION BY (c0) WITH BUCKETS 2")
+      s2.sql("INSERT INTO t VALUES (1), (2)")
+      assert(s2.sql("SELECT count(1) FROM dbx.t").head.getLong(0) == 2L)
+      // `dbx.t` as a COLUMN reference: subquery alias `dbx` collides
+      // with the catalog name and `t` with a live table. Textual
+      // rewriting read the catalog table here; plan-level resolution
+      // sees an UnresolvedAttribute and leaves it alone.
+      s2.sql("CREATE TEMP VIEW v AS SELECT 'col-t' AS t")
+      assert(s2.sql("SELECT dbx.t FROM v AS dbx").head.getString(0)
+        == "col-t")
+      // …while the same name as a RELATION still routes to the catalog.
+      assert(s2.sql("SELECT count(1) FROM dbx.t").head.getLong(0) == 2L)
+      // Rewrites reach subquery expressions too.
+      assert(s2.sql(
+        "SELECT (SELECT count(1) FROM dbx.t) AS n").head.getLong(0) == 2L)
+      // Qualified CTAS now parses identically via spark.sql and
+      // engine.sql (the injected parser's dialect regex accepted only
+      // bare names before). Schema DDL goes through the engine (CREATE
+      // SCHEMA is not dialect-intercepted — Spark has its own).
+      MppEngine.registry("dbx").sql("CREATE SCHEMA s1")
+      s2.sql("CREATE TABLE s1.ct PARTITION BY (c0) WITH BUCKETS 2 " +
+        "AS SELECT c0 FROM dbx.t")
+      assert(s2.sql("SELECT count(1) FROM dbx.s1.ct").head.getLong(0) == 2L)
+      s2.sql("DETACH dbx")
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("schema-qualified tables: CREATE s.t / FROM s.t / DML s.t") {
     val e = freshEngine()
     e.sql("CREATE SCHEMA analytics")
