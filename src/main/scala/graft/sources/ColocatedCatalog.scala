@@ -233,9 +233,11 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
   * `listStatus` of the table root — so any append (new files bump the
   * bucket dir's mtime), COW swap (dir replaced), or truncate (dir gone)
   * invalidates, while repeat reads of an unchanged table skip the full
-  * per-bucket listing entirely. Assumes directory-mtime semantics of a
-  * real filesystem (local/HDFS); an object store without directory
-  * mtimes should bypass the cache. */
+  * per-bucket listing entirely. The fingerprint needs directory-mtime
+  * semantics, so only filesystems known to provide them (local/HDFS)
+  * are cached — anything else bypasses automatically — and
+  * `graft.listingCache.enabled=false` force-disables caching
+  * everywhere (both enforced in [[get]], not just documented). */
 object ColocatedFileIndex {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, (String, InMemoryFileIndex)]
@@ -247,11 +249,21 @@ object ColocatedFileIndex {
     * than the guard are served from cache. */
   private val FreshnessGuardMs = 2000L
 
+  /** Conf kill-switch: `graft.listingCache.enabled=false` forces a
+    * fresh listing on every query. */
+  val EnabledConf = "graft.listingCache.enabled"
+
+  /** Filesystems known to maintain directory mtimes, which the
+    * fingerprint depends on. Everything else (S3A and friends have no
+    * real directories — the fingerprint would never change and appends
+    * would stay permanently invisible) bypasses the cache
+    * automatically; the conf can still force-disable the allowlisted
+    * schemes. */
+  private val MtimeSchemes = Set("file", "hdfs", "viewfs")
+
   /** (fingerprint, max dir mtime) from ONE listStatus of the root. */
-  private def fingerprint(spark: SparkSession,
-      root: String): (String, Long) = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+  private def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): (String, Long) = {
     if (!fs.exists(p)) ("absent", 0L)
     else {
       val dirs = fs.listStatus(p).sortBy(_.getPath.getName)
@@ -264,7 +276,15 @@ object ColocatedFileIndex {
 
   def get(spark: SparkSession, root: String,
       schema: StructType): InMemoryFileIndex = {
-    val (fp, lastWrite) = fingerprint(spark, root)
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val cacheable =
+      spark.conf.get(EnabledConf, "true").toBoolean &&
+        MtimeSchemes.contains(
+          Option(fs.getScheme).getOrElse("").toLowerCase)
+    if (!cacheable)
+      return new InMemoryFileIndex(spark, Seq(p), Map.empty, Some(schema))
+    val (fp, lastWrite) = fingerprint(fs, p)
     val quiescent =
       System.currentTimeMillis() - lastWrite > FreshnessGuardMs
     cache.get(root) match {

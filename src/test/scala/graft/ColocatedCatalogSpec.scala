@@ -111,6 +111,25 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(spark.table("mppcat.li").count() == 2000)
   }
 
+  test("listing cache honors the graft.listingCache.enabled kill-switch") {
+    engine
+    val root = s"${engine.warehouse}/data/li"
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("k BIGINT, q DOUBLE, bucket INT")
+    import graft.sources.ColocatedFileIndex
+    Thread.sleep(2100) // pass the freshness guard so the cache CAN serve
+    val a = ColocatedFileIndex.get(spark, root, schema)
+    val b = ColocatedFileIndex.get(spark, root, schema)
+    assert(a eq b, "expected the cached index when enabled and quiescent")
+    spark.conf.set(ColocatedFileIndex.EnabledConf, "false")
+    try {
+      val c = ColocatedFileIndex.get(spark, root, schema)
+      assert(!(c eq b), "kill-switch must bypass the cached index")
+      val d = ColocatedFileIndex.get(spark, root, schema)
+      assert(!(c eq d), "kill-switch must force a fresh listing per call")
+    } finally spark.conf.unset(ColocatedFileIndex.EnabledConf)
+  }
+
   test("NULL partition keys land in the deterministic null bucket and read back") {
     engine
     engine.sql("CREATE TABLE nl(k BIGINT, v DOUBLE) " +

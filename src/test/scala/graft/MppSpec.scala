@@ -470,6 +470,34 @@ class MppSpec extends SparkTestBase {
     }
   }
 
+  test("two engines on one warehouse: interleaved commits both survive (CAS)") {
+    val wh = Files.createTempDirectory("graft-cas").toString
+    val a = new MppEngine(spark, wh)
+    val b = new MppEngine(spark, wh) // loads the same initial version
+    a.sql("CREATE TABLE ta(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    // b's in-memory metadata is now one version behind; its commit must
+    // detect the claim conflict, rebase onto a's state, and retry —
+    // last-writer-wins would silently drop ta here.
+    b.sql("CREATE TABLE tb(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    val c = new MppEngine(spark, wh)
+    assert(c.catalog.state.liveTable("ta").isDefined,
+      "first engine's commit was dropped by the second's")
+    assert(c.catalog.state.liveTable("tb").isDefined)
+    // A TRANSACTION cannot rebase (its staged state accumulated from
+    // begin()-time metadata): a concurrent commit fails it cleanly.
+    b.sql("BEGIN")
+    b.sql("CREATE TABLE tx1(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    a.sql("CREATE TABLE tc(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    val err = intercept[java.util.ConcurrentModificationException] {
+      b.sql("COMMIT")
+    }
+    assert(err.getMessage.contains("concurrent metadata commit"))
+    // The failed transaction rolled back; a's commit survived.
+    val d = new MppEngine(spark, wh)
+    assert(d.catalog.state.liveTable("tc").isDefined)
+    assert(d.catalog.state.liveTable("tx1").isEmpty)
+  }
+
   test("plan-level read routing: alias collisions never mis-read; qualified CTAS via spark.sql") {
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()

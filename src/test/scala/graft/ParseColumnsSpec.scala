@@ -40,6 +40,17 @@ class ParseColumnsSpec extends AnyFunSuite {
     assert(d("b") == "(a IS NOT NULL)", d)
   }
 
+  test("unparenthesized DEFAULT ending in IS NOT NULL is the default, not a constraint") {
+    val (sch, d) = parse("b BOOLEAN DEFAULT a IS NOT NULL")
+    assert(sch.head.nullable, "column wrongly marked NOT NULL")
+    assert(d("b") == "a IS NOT NULL", d)
+  }
+
+  test("an unparseable DEFAULT fails at parse time with a clear error") {
+    val e = intercept[IllegalArgumentException](parse("x INT DEFAULT 5 +"))
+    assert(e.getMessage.contains("DEFAULT expression"), e.getMessage)
+  }
+
   test("NOT NULL inside a string literal default survives intact") {
     val (sch, d) = parse("c TEXT DEFAULT 'not null'")
     assert(sch.head.nullable)

@@ -40,6 +40,20 @@ class SkewSpec extends SparkTestBase {
     assert(buckets > 1)
   }
 
+  test("exact distinct per key runs as two hash aggregates, no per-key array") {
+    // Scale invariant for q_skew_salted_agg: the plan must never
+    // materialize a key's full distinct set in one row. Two codegen
+    // HashAggregates (dedup on the composite, then count) — no
+    // object-hash collect of arrays anywhere.
+    val df = graft.queries.OperatorQueries.qSkewSaltedAgg(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("saltedAggregate collect_list merges to the same multiset") {
     val plain = big.groupBy("k").agg(count(lit(1)).as("n"),
         sum(col("payload")).as("s"))
