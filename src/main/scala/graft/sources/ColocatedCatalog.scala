@@ -87,7 +87,7 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       .getOrElse(throw new NoSuchTableException(
         (catalogName +: ident.namespace :+ ident.name).toSeq))
     new ColocatedTable(SparkSession.active, t,
-      s"$warehouse/data/${t.name}")
+      s"$warehouse/data/${t.name}", () => engine)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -157,16 +157,28 @@ final case class GraftBucketBound(keyType: DataType)
   }
 }
 
-/** One mpp table as a V2 read-only table reporting its bucket transform. */
-final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String)
-    extends Table with SupportsRead {
+/** One mpp table as a V2 table reporting its bucket transform.
+  *
+  * Reads are key-group-partitioned scans ([[ColocatedScanBuilder]]).
+  * Writes delegate wholesale to the engine's distributed INSERT
+  * ([[MppEngine.insertInto]]: hash shuffle into `bucket=i`, NOT NULL
+  * enforcement, observed-metrics row count) through the V1-write
+  * bridge — `INSERT INTO cat.t SELECT …` works on the stock SQL
+  * surface without a second write implementation to keep bit-identical
+  * with the dialect path. DDL (CREATE/DROP/ALTER) stays on the engine
+  * dialect, mirroring the reference where only the coordinator mutates
+  * schema (`mpp_schema_entry.cpp:72-128`). */
+final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
+    engine: () => MppEngine)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = t.name
 
   override val schema: StructType = StructType.fromDDL(t.schemaDdl)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
 
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(t.buckets, t.partitionColumn))
@@ -174,6 +186,26 @@ final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ColocatedScanBuilder(spark, t, root, schema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              // Spark rejects INSERT OVERWRITE at analysis (no truncate
+              // capability); defensive guard for direct API callers.
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not supported for MPP tables; " +
+                  "use the dialect's DELETE + INSERT")
+              engine().insertInto(t.name, data)
+              ()
+            }
+        }
+    }
 }
 
 /** Delegates pushdown (columns, filters) to Spark's own parquet scan

@@ -181,6 +181,31 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(filtered.head.size == 1, filtered.toString)
   }
 
+  test("INSERT INTO the catalog table goes through the engine's distributed insert") {
+    engine
+    engine.sql("CREATE TABLE wt(k BIGINT, q DOUBLE) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    // Stock SQL surface, no engine API in sight.
+    spark.sql("INSERT INTO mppcat.wt SELECT id AS k, id * 1.5 AS q " +
+      "FROM range(0, 100)")
+    assert(spark.table("mppcat.wt").count() == 100)
+    // The write used the engine's hash placement: every row is in its
+    // pmod(murmur3(k), 4) bucket, so a point lookup prunes to 1 shard.
+    val q = spark.table("mppcat.wt").filter(col("k") === 42L)
+    assert(q.count() == 1)
+    assert(q.queryExecution.executedPlan.toString.contains("shards 1/4"))
+    // And the engine's own scan sees the same rows (one storage).
+    assert(engine.table("wt").count() == 100)
+    // NOT NULL enforcement rides along with the delegated insert.
+    engine.sql("CREATE TABLE wtn(k BIGINT NOT NULL, v DOUBLE) " +
+      "PARTITION BY (k) WITH BUCKETS 2")
+    val err = intercept[Exception] {
+      spark.sql("INSERT INTO mppcat.wtn SELECT CAST(null AS BIGINT), 1.0")
+    }
+    assert(err.getMessage != null)
+    assert(spark.table("mppcat.wtn").count() == 0)
+  }
+
   test("point lookup on the partition column schedules one bucket") {
     engine
     val q = spark.table("mppcat.li").filter(col("k") === 123L)
