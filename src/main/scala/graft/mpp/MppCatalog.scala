@@ -112,6 +112,17 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     * and CURRENT jumps over the hole. */
   private def tryPublish(s: CatalogState): Boolean = {
     Files.createDirectories(Paths.get(catalogDir))
+    // Fast-forward first: an engine that sat idle while others
+    // committed must claim ABOVE the published version, not re-claim a
+    // historical number whose claim marker may already be swept (a
+    // stale reclaim would atomically roll CURRENT back over everyone
+    // else's commits).
+    val diskV = committedVersion()
+    if (diskV > version) {
+      version = diskV
+      committed = load()
+      return false
+    }
     val v = version + 1
     try Files.createFile(Paths.get(claimFile(v)))
     catch {
@@ -130,6 +141,19 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     // pointer swap — a reader either sees the old or the new version.
     Files.write(Paths.get(snapFile(v)),
       mapper.writeValueAsBytes(s))
+    // Fence before publishing: if we stalled past the claim grace
+    // period (GC pause mid-commit), another engine stepped over our
+    // claim and published v or beyond — moving CURRENT now would roll
+    // its commit back. Abandon ours and let the caller rebase. (A
+    // stall in the microseconds between this check and the move is
+    // the residual window; real multi-writer deployments want a
+    // coordination service, same as every file-pointer catalog.)
+    if (committedVersion() != v - 1) {
+      Files.deleteIfExists(Paths.get(snapFile(v)))
+      version = committedVersion()
+      committed = load()
+      return false
+    }
     val tmp = Paths.get(s"$catalogDir/CURRENT.tmp")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,

@@ -74,9 +74,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       fs.listStatus(stg)
         .filter { d =>
           d.getModificationTime < cutoff && {
+            // Single getFileStatus, FileNotFound = no lease: an
+            // exists/getFileStatus pair races a completing rewrite
+            // deleting its lease between the two calls.
             val lease = new Path(stg, d.getPath.getName + ".lease")
-            !(fs.exists(lease) &&
-              fs.getFileStatus(lease).getModificationTime >= cutoff)
+            val leaseMtime =
+              try Some(fs.getFileStatus(lease).getModificationTime)
+              catch { case _: java.io.FileNotFoundException => None }
+            !leaseMtime.exists(_ >= cutoff)
           }
         }
         .foreach(d => fs.delete(d.getPath, true))
@@ -125,14 +130,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       partitionCol: String, buckets: Int,
       defaults: Map[String, String] = Map.empty): Unit = {
     val name = localKey(rawName)
-    // Schema-qualified table: the schema must exist (reference binds
-    // schema.table through MppSchemaEntry::GetEntry,
-    // mpp_schema_entry.cpp:130-139).
-    if (name.contains(".")) {
-      val sch = name.split("\\.")(0)
-      require(catalog.state.schemas.contains(sch),
-        s"schema $sch does not exist")
-    }
     require(buckets > 0, s"bucket count must be positive: $buckets")
     val schema = StructType.fromDDL(columns)
     require(schema.fieldNames.map(_.toLowerCase)
@@ -141,21 +138,34 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // create_distributed_table.cpp:78-86 validation
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(BucketCol)),
       s"column name '$BucketCol' is reserved for the engine's shard id")
-    require(catalog.state.liveTable(name).isEmpty,
-      s"table $name already exists")
-    val st = catalog.state
-    val oid = st.nextOid
-    val t = TableInfo(oid, name, partitionCol,
-      schema.fieldIndex(partitionCol).toLong, buckets, schema.toDDL,
-      defaults, deleted = false)
-    // Round-robin shard placement over registered nodes — bookkeeping for
-    // __mpp_system surface parity; Spark itself schedules by data split.
-    val nodes = if (st.nodes.isEmpty) Vector("localhost:0")
-      else st.nodes.map(n => s"${n.host}:${n.port}")
-    val shards = (0 until buckets).map(i =>
-      ShardInfo(oid, i, nodes(i % nodes.size)))
-    catalog.mutate(s => s.copy(tables = s.tables :+ t,
-      shards = s.shards ++ shards))
+    // Everything STATE-dependent — schema existence, name uniqueness,
+    // oid assignment, shard placement — happens inside the mutate
+    // closure: on a lost CAS race the closure re-runs against the
+    // freshly loaded state, so a rebase can neither reuse an oid
+    // another engine just took nor double-create a name (computing the
+    // oid out here was exactly that bug).
+    catalog.mutate { st =>
+      // Schema-qualified table: the schema must exist (reference binds
+      // schema.table through MppSchemaEntry::GetEntry,
+      // mpp_schema_entry.cpp:130-139).
+      if (name.contains(".")) {
+        val sch = name.split("\\.")(0)
+        require(st.schemas.contains(sch), s"schema $sch does not exist")
+      }
+      require(st.liveTable(name).isEmpty, s"table $name already exists")
+      val oid = st.nextOid
+      val t = TableInfo(oid, name, partitionCol,
+        schema.fieldIndex(partitionCol).toLong, buckets, schema.toDDL,
+        defaults, deleted = false)
+      // Round-robin shard placement over registered nodes — bookkeeping
+      // for __mpp_system surface parity; Spark schedules by data split.
+      val nodes = if (st.nodes.isEmpty) Vector("localhost:0")
+        else st.nodes.map(n => s"${n.host}:${n.port}")
+      val shards = (0 until buckets).map(i =>
+        ShardInfo(oid, i, nodes(i % nodes.size)))
+      st.copy(tables = st.tables :+ t, shards = st.shards ++ shards)
+    }
+    val t = info(name)
     val fs = new Path(dataPath(name)).getFileSystem(
       spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(dataPath(name)))
@@ -183,8 +193,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   def masterAddNode(host: String, port: Int): Unit = {
     require(port > 0 && port < 65536, s"invalid port $port") // mirrors
     // master_add_node.cpp:27-43 validation
+    // Dedup inside the closure: a CAS rebase must not double-register
+    // a node another engine added concurrently.
     if (!catalog.state.nodes.contains(NodeInfo(host, port))) {
-      catalog.mutate(s => s.copy(nodes = s.nodes :+ NodeInfo(host, port)))
+      catalog.mutate(s =>
+        if (s.nodes.contains(NodeInfo(host, port))) s
+        else s.copy(nodes = s.nodes :+ NodeInfo(host, port)))
     }
   }
 
@@ -636,7 +650,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     if (exists) {
       if (!ifNotExists)
         throw new IllegalArgumentException(s"schema $name already exists")
-    } else catalog.mutate(s => s.copy(schemas = s.schemas :+ name))
+    } else catalog.mutate(s =>
+      // Re-check inside the closure (CAS rebase safety).
+      if (s.schemas.contains(name)) s
+      else s.copy(schemas = s.schemas :+ name))
   }
 
   /** DROP SCHEMA: unsupported, like the reference
@@ -930,6 +947,12 @@ object MppEngine {
   def rewritePlan(plan: LogicalPlan): LogicalPlan = {
     if (registry.isEmpty) return plan
     plan.transformUpWithSubqueries {
+      // EXPLAIN and friends supervise their inner plan as a LEAF (it
+      // is not in children), so the relation walk must be re-applied
+      // through the supervising command's own hook or `EXPLAIN SELECT
+      // … FROM cat.t` would miss the rewrite and fail to resolve.
+      case sc: org.apache.spark.sql.catalyst.plans.logical.SupervisingCommand =>
+        sc.withTransformedSupervisedPlan(rewritePlan)
       case u: UnresolvedRelation =>
         viewFor(u.multipartIdentifier)
           .map(v => u.copy(multipartIdentifier = Seq(v)))
@@ -964,11 +987,17 @@ object MppEngine {
   }
 
   /** Execute a READ statement with mpp references routed: parse with
-    * the session's parser, rewrite relations on the plan, execute. */
+    * the session's parser, rewrite relations on the plan, execute. A
+    * session with the injected [[MppParser]] already rewrites inside
+    * parsePlan — plain `spark.sql` suffices there (avoids a second
+    * full plan walk and double system-view refresh per statement). */
   def readSql(spark: SparkSession, text: String): DataFrame =
     if (registry.isEmpty) spark.sql(text)
-    else org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
-      rewritePlan(spark.sessionState.sqlParser.parsePlan(text)))
+    else spark.sessionState.sqlParser match {
+      case _: MppParser => spark.sql(text)
+      case p => org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+        rewritePlan(p.parsePlan(text)))
+    }
 
   /** Resolve a possibly-qualified table reference:
     * `table` | `cat.table` | `schema.table` | `cat.schema.table`.

@@ -72,6 +72,21 @@ object MppQueries {
     * DuckDB oracle reads its parquet views without load cost either). */
   def warm(s: SparkSession, dir: String): Unit = { sharedEngine(s, dir); () }
 
+  /** Sentinel key floor for [[qMppDelete]]: strictly above every real
+    * orderkey in this scale dir, computed once per dir — TPC-H
+    * orderkeys grow ~6e6 × sf, so a fixed constant would collide at
+    * large scale factors and the rotating DELETE would silently eat
+    * real rows. ×2 headroom (min 1e9) keeps the range disjoint even
+    * if the mirror is re-scaled in place later. */
+  private val sentinelFloors = TrieMap.empty[String, Long]
+
+  private def sentinelBase(s: SparkSession, dir: String): Long =
+    sentinelFloors.getOrElseUpdate(dir, {
+      val mx = Tables(s, dir, "orders")
+        .agg(max(col("o_orderkey")).cast("long")).head.getLong(0)
+      math.max(mx * 2, 1000000000L)
+    })
+
   /** Full distributed scan + aggregate: insert/scan round trip. */
   def qMppScanAgg(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
@@ -143,10 +158,11 @@ object MppQueries {
     * before its verify, so the state self-heals. */
   def qMppDelete(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
+    val base = sentinelBase(s, dir)
     e.insertInto("orders_del", Tables(s, dir, "orders").limit(500)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      .withColumn("o_orderkey", col("o_orderkey") % 1000L + lit(base)))
     e.sql("DELETE FROM orders_del " +
-      "WHERE o_orderkey % 3 = 0 OR o_orderkey >= 1000000000")
+      s"WHERE o_orderkey % 3 = 0 OR o_orderkey >= $base")
     e.sql("""SELECT o_orderstatus, count(1) AS n
              FROM orders_del GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }

@@ -533,6 +533,13 @@ class MppSpec extends SparkTestBase {
       s2.sql("CREATE TABLE s1.ct PARTITION BY (c0) WITH BUCKETS 2 " +
         "AS SELECT c0 FROM dbx.t")
       assert(s2.sql("SELECT count(1) FROM dbx.s1.ct").head.getLong(0) == 2L)
+      // EXPLAIN supervises its inner plan as a LEAF (not a child):
+      // the relation rewrite must reach through it, or the explain
+      // reports TABLE_OR_VIEW_NOT_FOUND instead of a plan.
+      val ex = s2.sql("EXPLAIN EXTENDED SELECT count(1) FROM dbx.t")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(!ex.contains("TABLE_OR_VIEW_NOT_FOUND") &&
+        !ex.contains("Error occurred"), ex.take(600))
       s2.sql("DETACH dbx")
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
