@@ -110,48 +110,56 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     * A claimer that crashes (or stalls past the grace period) before
     * publishing CURRENT is skipped: its version number is abandoned
     * and CURRENT jumps over the hole. */
+  /** Refresh `committed`/`version` from disk; callers return false
+    * after this so `mutate` rebases onto the fresh state. */
+  private def refreshFromDisk(): Unit = {
+    version = committedVersion()
+    committed = load()
+  }
+
   private def tryPublish(s: CatalogState): Boolean = {
     Files.createDirectories(Paths.get(catalogDir))
-    // Fast-forward first: an engine that sat idle while others
-    // committed must claim ABOVE the published version, not re-claim a
-    // historical number whose claim marker may already be swept (a
-    // stale reclaim would atomically roll CURRENT back over everyone
-    // else's commits).
-    val diskV = committedVersion()
-    if (diskV > version) {
-      version = diskV
-      committed = load()
-      return false
+    // `version` is the published version our in-memory state (and the
+    // candidate `s`) derives from — the CAS base. If disk moved past
+    // it (another engine committed, or we sat idle for many versions),
+    // rebase BEFORE claiming: claim numbers start above the live
+    // published version, so a historical number whose claim marker was
+    // swept long ago can never be re-claimed to roll CURRENT back.
+    val base = version
+    if (committedVersion() != base) { refreshFromDisk(); return false }
+    // Claim the first free slot above base, stepping over claims whose
+    // holders died between claim and publish (their numbers are
+    // abandoned; CURRENT jumps the hole). A holder that merely stalled
+    // gets a grace wait; if it publishes, CURRENT reaches its number
+    // and we rebase instead of stepping.
+    var v = base + 1
+    var claimed = false
+    while (!claimed && v <= base + MppCatalog.MaxClaimScan) {
+      try { Files.createFile(Paths.get(claimFile(v))); claimed = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val deadline = System.currentTimeMillis() + 2000
+          while (committedVersion() < v &&
+            System.currentTimeMillis() < deadline) Thread.sleep(5)
+          if (committedVersion() >= v) { refreshFromDisk(); return false }
+          v += 1
+      }
     }
-    val v = version + 1
-    try Files.createFile(Paths.get(claimFile(v)))
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // Lost the race for v. Wait briefly for the winner to publish
-        // CURRENT (claim → publish is milliseconds), then reload; if
-        // the winner died mid-commit, step over its abandoned claim.
-        val deadline = System.currentTimeMillis() + 2000
-        while (committedVersion() < v &&
-          System.currentTimeMillis() < deadline) Thread.sleep(5)
-        version = math.max(committedVersion(), v)
-        committed = load()
-        return false
-    }
+    if (!claimed) { refreshFromDisk(); return false }
     // We own v: write the full snapshot, then publish with an atomic
     // pointer swap — a reader either sees the old or the new version.
     Files.write(Paths.get(snapFile(v)),
       mapper.writeValueAsBytes(s))
-    // Fence before publishing: if we stalled past the claim grace
-    // period (GC pause mid-commit), another engine stepped over our
-    // claim and published v or beyond — moving CURRENT now would roll
-    // its commit back. Abandon ours and let the caller rebase. (A
-    // stall in the microseconds between this check and the move is
-    // the residual window; real multi-writer deployments want a
-    // coordination service, same as every file-pointer catalog.)
-    if (committedVersion() != v - 1) {
+    // Fence before publishing: abort unless the published version is
+    // STILL our base — a claim holder we stepped over may have woken
+    // and published, or (symmetrically) someone may have stepped over
+    // us while we stalled; moving CURRENT now would roll their commit
+    // back. A stall in the microseconds between this check and the
+    // move is the residual window; true multi-writer deployments want
+    // a coordination service, same as every file-pointer catalog.
+    if (committedVersion() != base) {
       Files.deleteIfExists(Paths.get(snapFile(v)))
-      version = committedVersion()
-      committed = load()
+      refreshFromDisk()
       return false
     }
     val tmp = Paths.get(s"$catalogDir/CURRENT.tmp")
@@ -223,6 +231,11 @@ object MppCatalog {
   /** Version races a single auto-committed mutation may lose before
     * giving up (each retry re-applies the mutation to fresh state). */
   val MaxCommitRetries = 50
+
+  /** Abandoned claim numbers one publish may step over (each needs a
+    * distinct crashed-mid-commit writer, so hitting this means the
+    * warehouse needs an operator anyway). */
+  val MaxClaimScan = 256L
 
   /** Jackson (bundled with Spark) with the Scala module: case-class
     * round-trip without any Spark job on the commit path. */

@@ -626,7 +626,19 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   def begin(): Unit = catalog.begin()
 
-  def commit(): Unit = catalog.commit()
+  /** Commit; a CAS conflict (another engine committed since BEGIN)
+    * rolls the transaction back — including the engine-side cleanup
+    * below, so ghost temp views / pruning registrations of tables the
+    * failed transaction created do not outlive it. */
+  def commit(): Unit = {
+    val staged = catalog.state.tables.filterNot(_.deleted).map(_.name).toSet
+    try catalog.commit()
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        cleanupDiscarded(staged)
+        throw e
+    }
+  }
 
   /** Rollback discards staged metadata; like the reference, any data/
     * filesystem effects of the transaction are NOT undone (README.md:115
@@ -634,8 +646,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   def rollback(): Unit = {
     val before = catalog.state.tables.filterNot(_.deleted).map(_.name).toSet
     catalog.rollback()
+    cleanupDiscarded(before)
+  }
+
+  /** Drop views/pruning entries for tables that were live in the
+    * discarded staged state but are not in the surviving state. */
+  private def cleanupDiscarded(staged: Set[String]): Unit = {
     val after = catalog.state.tables.filterNot(_.deleted).map(_.name).toSet
-    (before -- after).foreach { n =>
+    (staged -- after).foreach { n =>
       spark.catalog.dropTempView(n)
       BucketPruning.unregister(dataPath(n))
     }
@@ -832,13 +850,13 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           case InsertRe(name, _, source)
               if catalog.state.liveTable(localKey(name)).isDefined =>
             val t = info(name)
-            val plan = spark.sql(source).queryExecution.explainString(
-              org.apache.spark.sql.execution.SimpleMode)
+            val plan = MppEngine.readSql(spark, source).queryExecution
+              .explainString(org.apache.spark.sql.execution.SimpleMode)
             (Seq(s"INSERT INTO ${t.name} (hash shuffle on " +
               s"${t.partitionColumn} into ${t.buckets} buckets, " +
               "parallel append)") ++ plan.linesIterator.toSeq).toDF("plan")
           case sel if sel.trim.matches("(?is)^(SELECT|WITH)\\b.*") =>
-            val df = spark.sql(sel)
+            val df = MppEngine.readSql(spark, sel)
             val header = BucketPruning.shards(df)
             val plan = df.queryExecution.explainString(
               org.apache.spark.sql.execution.SimpleMode)
@@ -954,6 +972,13 @@ object MppEngine {
       case sc: org.apache.spark.sql.catalyst.plans.logical.SupervisingCommand =>
         sc.withTransformedSupervisedPlan(rewritePlan)
       case u: UnresolvedRelation =>
+        viewFor(u.multipartIdentifier)
+          .map(v => u.copy(multipartIdentifier = Seq(v)))
+          .getOrElse(u)
+      // DESCRIBE / SHOW CREATE TABLE / CACHE TABLE … bind through
+      // UnresolvedTableOrView, not UnresolvedRelation — route those to
+      // the engine views too (they all accept temp views).
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
         viewFor(u.multipartIdentifier)
           .map(v => u.copy(multipartIdentifier = Seq(v)))
           .getOrElse(u)

@@ -310,10 +310,12 @@ object ColocatedFileIndex {
       schema: StructType): InMemoryFileIndex = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // getUri.getScheme, not getScheme: the FileSystem base class
+    // default for the latter THROWS UnsupportedOperationException.
     val cacheable =
       spark.conf.get(EnabledConf, "true").toBoolean &&
         MtimeSchemes.contains(
-          Option(fs.getScheme).getOrElse("").toLowerCase)
+          Option(fs.getUri.getScheme).getOrElse("").toLowerCase)
     if (!cacheable)
       return new InMemoryFileIndex(spark, Seq(p), Map.empty, Some(schema))
     val (fp, lastWrite) = fingerprint(fs, p)

@@ -492,10 +492,25 @@ class MppSpec extends SparkTestBase {
       b.sql("COMMIT")
     }
     assert(err.getMessage.contains("concurrent metadata commit"))
-    // The failed transaction rolled back; a's commit survived.
+    // The failed transaction rolled back; a's commit survived — and
+    // the engine-side cleanup ran: no ghost view or pruning entry for
+    // the table whose creation was discarded.
     val d = new MppEngine(spark, wh)
     assert(d.catalog.state.liveTable("tc").isDefined)
     assert(d.catalog.state.liveTable("tx1").isEmpty)
+    assert(!spark.catalog.tableExists("tx1"),
+      "ghost temp view outlived the failed transaction")
+    // An orphaned claim (a writer that died between claiming a version
+    // and publishing CURRENT) must not wedge the warehouse: the next
+    // commit steps over the hole after the grace wait.
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$wh/_mpp_catalog/CURRENT")).trim.toLong
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      f"$wh/_mpp_catalog/v${cur + 1}%05d.claim"))
+    a.sql("CREATE TABLE td(id INT) PARTITION BY (id) WITH BUCKETS 2")
+    val e2 = new MppEngine(spark, wh)
+    assert(e2.catalog.state.liveTable("td").isDefined,
+      "commit wedged by an orphaned claim")
   }
 
   test("plan-level read routing: alias collisions never mis-read; qualified CTAS via spark.sql") {
@@ -540,6 +555,10 @@ class MppSpec extends SparkTestBase {
         .collect().map(_.getString(0)).mkString("\n")
       assert(!ex.contains("TABLE_OR_VIEW_NOT_FOUND") &&
         !ex.contains("Error occurred"), ex.take(600))
+      // DESCRIBE binds via UnresolvedTableOrView, not
+      // UnresolvedRelation — the plan rewrite must route it too.
+      val desc = s2.sql("DESCRIBE dbx.t").collect().map(_.getString(0))
+      assert(desc.contains("c0"), desc.toSeq)
       s2.sql("DETACH dbx")
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
