@@ -159,6 +159,10 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     // a coordination service, same as every file-pointer catalog.
     if (committedVersion() != base) {
       Files.deleteIfExists(Paths.get(snapFile(v)))
+      // Our claim was never published — remove it too, or every later
+      // commit (including our own retry) burns the full grace wait
+      // stepping over a hole we created ourselves.
+      Files.deleteIfExists(Paths.get(claimFile(v)))
       refreshFromDisk()
       return false
     }

@@ -174,12 +174,20 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Drop: mark deleted in metadata AND remove data — the reference leaks
-    * worker shards on drop (SURVEY.md §2.3 quirk 2); we do not. */
+    * worker shards on drop (SURVEY.md §2.3 quirk 2); we do not.
+    * Resolution happens INSIDE the commit closure (CAS rebase safety):
+    * a by-name drop marks whatever table currently holds the name, so
+    * a rebase can never no-op against a stale oid and then delete a
+    * live successor's data. The filesystem delete after the commit is
+    * non-transactional, same data guarantee as the reference (no 2PC). */
   def dropTable(rawName: String): Unit = {
     val name = localKey(rawName)
-    val t = info(name)
-    catalog.mutate(s => s.copy(tables = s.tables.map(x =>
-      if (x.tableOid == t.tableOid) x.copy(deleted = true) else x)))
+    catalog.mutate { s =>
+      val t = s.liveTable(name).getOrElse(
+        throw new IllegalArgumentException(s"no distributed table '$name'"))
+      s.copy(tables = s.tables.map(x =>
+        if (x.tableOid == t.tableOid) x.copy(deleted = true) else x))
+    }
     BucketPruning.unregister(dataPath(name))
     spark.catalog.dropTempView(viewName(name))
     attachedAs.foreach(a =>
@@ -650,11 +658,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Drop views/pruning entries for tables that were live in the
-    * discarded staged state but are not in the surviving state. */
+    * discarded staged state but are not in the surviving state. View
+    * names are the REGISTERED forms (dots mangled, plus the
+    * alias-qualified variant) — dropping the raw key would no-op for
+    * schema-qualified tables and strand the alias view. */
   private def cleanupDiscarded(staged: Set[String]): Unit = {
     val after = catalog.state.tables.filterNot(_.deleted).map(_.name).toSet
     (staged -- after).foreach { n =>
-      spark.catalog.dropTempView(n)
+      spark.catalog.dropTempView(viewName(n))
+      attachedAs.foreach(a =>
+        spark.catalog.dropTempView(s"${a}__${viewName(n)}"))
       BucketPruning.unregister(dataPath(n))
     }
   }
@@ -977,8 +990,12 @@ object MppEngine {
           .getOrElse(u)
       // DESCRIBE / SHOW CREATE TABLE / CACHE TABLE … bind through
       // UnresolvedTableOrView, not UnresolvedRelation — route those to
-      // the engine views too (they all accept temp views).
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      // the engine views too, but ONLY when the command accepts temp
+      // views (ANALYZE and friends set allowTempView=false; rerouting
+      // them would swap a clean not-found error for a confusing
+      // "is a temp view" one naming the internal mangled view).
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+          if u.allowTempView =>
         viewFor(u.multipartIdentifier)
           .map(v => u.copy(multipartIdentifier = Seq(v)))
           .getOrElse(u)

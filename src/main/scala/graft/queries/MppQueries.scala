@@ -15,9 +15,11 @@ import graft.mpp.MppEngine
   * proving the capability layer neither loses nor duplicates rows.
   *
   * The warehouse (lineitem_d + the DML targets) is built once per
-  * (session, scale factor) in [[warm]]; the DML statements are written
-  * to be idempotent so repeated invocations — bench warm-up pass, timed
-  * pass, Verify — verify the identical state.
+  * (session, scale factor) in [[warm]]; the DML calls are CONVERGENT
+  * (each pass performs real COW rewrites, then lands in the same
+  * final state — see qMppUpdate/qMppDelete), so repeated invocations —
+  * bench warm-up pass, timed pass, Verify — verify the identical
+  * state while genuinely timing DML.
   */
 object MppQueries {
 
