@@ -166,6 +166,26 @@ object OperatorQueries {
       .agg(count(lit(1)).cast("long").as("n_supps"))
       .orderBy("l_returnflag")
 
+  /** Dim-filtered join THROUGH the DSv2 catalog — the shape whose
+    * pruning only exists at runtime: the selective filter sits on a
+    * raw parquet dimension, so static analysis sees nothing to prune
+    * on the fact; Spark's dynamic partition pruning hands the dim's
+    * surviving join keys to the fact's `ColocatedScan`, which reads
+    * ONLY the buckets they hash into (the reference's S5-S8 shard
+    * pruning applied at execution time — ColocatedCatalogSpec asserts
+    * the 1-of-n bucket schedule; this row proves the rows themselves).
+    * Oracle: the plain join. */
+  def qColocatedDpp(s: SparkSession, dir: String): DataFrame = {
+    val cat = dsv2Catalog(s, dir)
+    val dim = Tables(s, dir, "customer")
+      .filter(col("c_name") === "Customer#000000042")
+      .select(col("c_custkey").as("custkey"))
+    s.table(s"$cat.ord").join(dim, "custkey")
+      .select(col("custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Batch replay of the streaming 30-minute-gap sessionization
     * ([[graft.streaming.EventStreams.sessionizeBatch]]). */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -179,6 +199,7 @@ object OperatorQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_colocated_join" -> (qColocatedJoin _),
     "q_colocated_dsv2" -> (qColocatedDsv2 _),
+    "q_colocated_dpp" -> (qColocatedDpp _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_sessionize" -> (qSessionize _),
@@ -208,6 +229,12 @@ object OperatorQueries {
         | ROUND(SUM(o_totalprice), 4) AS total
         |FROM customer JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "q_colocated_dpp" ->
+      """SELECT o_custkey AS custkey, o_orderkey,
+        | ROUND(o_totalprice, 4) AS o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_name = 'Customer#000000042'
+        |ORDER BY o_orderkey""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT l_orderkey, l_linenumber, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
