@@ -1,0 +1,229 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra-Gries frequent-items sketch as a native Catalyst aggregate —
+  * the "novel sketch" slot of the builder brief's custom-operator list.
+  *
+  * Why a sketch: exact top-k over a high-cardinality column shuffles
+  * EVERY distinct key (`groupBy(col).count()` — at 100 TB of tokens
+  * that is billions of keys through the exchange). The sketch pass
+  * shuffles nothing but one `capacity`-entry summary per partition
+  * (partial aggregation merges them tree-wise), and the follow-up
+  * recount touches only the ≤ `capacity` surviving candidates.
+  *
+  * Guarantees (classic MG + the mergeability result of Agarwal et al.,
+  * "Mergeable Summaries", PODS'12): with capacity m over N rows, every
+  * estimate undercounts by at most N/(m+1), and — because [[merge]]
+  * subtracts the (m+1)-th largest count rather than truncating — the
+  * bound survives arbitrary distributed merge trees. Hence any item
+  * with true frequency > N/(m+1) is GUARANTEED to survive with a
+  * positive count; [[topKExact]] exploits that for exact top-k.
+  *
+  * Update is amortized O(1): each decrement-all costs O(m) but burns m
+  * prior increments, and increments are bounded by rows seen.
+  */
+case class FreqSketchAgg(child: Expression, capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+
+  require(capacity > 0, s"freq_sketch capacity must be positive: $capacity")
+
+  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[UTF8String, Long],
+      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String]
+      buf.get(key) match {
+        case Some(c) => buf.update(key, c + 1)
+        case None if buf.size < capacity =>
+          // Clone: unsafe-row UTF8Strings point into a reused buffer.
+          buf.update(key.clone(), 1L)
+        case None =>
+          // Full and unseen: decrement everyone, drop the zeroed (the
+          // new item is charged too, i.e. not inserted).
+          buf.mapValuesInPlace((_, c) => c - 1)
+          buf.filterInPlace((_, c) => c > 0)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.HashMap[UTF8String, Long],
+      other: mutable.HashMap[UTF8String, Long])
+      : mutable.HashMap[UTF8String, Long] = {
+    other.foreach { case (k, c) =>
+      buf.update(k, buf.getOrElse(k, 0L) + c)
+    }
+    if (buf.size > capacity) {
+      // Subtract the (capacity+1)-th largest count from everyone: the
+      // error-preserving merge reduction (NOT a top-m truncation, which
+      // would break the N/(m+1) bound).
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val v = counts(buf.size - capacity - 1)
+      buf.mapValuesInPlace((_, c) => c - v)
+      buf.filterInPlace((_, c) => c > 0)
+    }
+    buf
+  }
+
+  /** array<struct<item,count>> sorted by estimate desc, item asc —
+    * deterministic output for a given buffer. */
+  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
+    val entries = buf.toArray
+    java.util.Arrays.sort(entries,
+      (a: (UTF8String, Long), b: (UTF8String, Long)) => {
+        val byCount = java.lang.Long.compare(b._2, a._2)
+        if (byCount != 0) byCount else a._1.compareTo(b._1)
+      })
+    new GenericArrayData(entries.map { case (k, c) =>
+      new GenericInternalRow(Array[Any](k, c))
+    })
+  }
+
+  override def serialize(buf: mutable.HashMap[UTF8String, Long])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, c) =>
+      val b = k.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : mutable.HashMap[UTF8String, Long] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[UTF8String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(UTF8String.fromBytes(b), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = FreqSketch.resultType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "freq_sketch"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"freq_sketch expects a string column, got ${child.dataType.sql}")
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FreqSketchAgg =
+    copy(child = newChildren.head)
+}
+
+object FreqSketch {
+
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false))),
+    containsNull = false)
+
+  private def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch", {
+        case Seq(c) => FreqSketchAgg(c, 1024)
+        case Seq(c, Literal(cap: Int, IntegerType)) => FreqSketchAgg(c, cap)
+        case other => throw new IllegalArgumentException(
+          s"freq_sketch(col[, capacity-literal]), got ${other.size} args")
+      }, "built-in")
+
+  /** The sketch as an aggregate Column:
+    * `df.agg(FreqSketch.sketch(spark, col, m))` →
+    * array<struct<item,count>> of ≤ m candidates, estimates
+    * undercounting by ≤ N/(m+1). */
+  def sketch(spark: SparkSession, col: Column, capacity: Int): Column = {
+    register(spark)
+    call_function("freq_sketch", col, lit(capacity))
+  }
+
+  /** Exact distributed top-k, SELF-CERTIFYING: sketch pass (shuffles
+    * one ≤ capacity-entry summary per partition plus a row count, never
+    * the keys) → exact recount of the ≤ capacity candidates → certify →
+    * top-k by (count desc, item asc).
+    *
+    * The certificate uses the tight mergeable MG bound: every decrement
+    * event burns capacity+1 units of mass, so any item ABSENT from the
+    * sketch has true count ≤ ε = (N − Σ estimates)/(capacity+1). If the
+    * recounted k-th candidate count exceeds ε, no absent item can beat
+    * it — the top-k is PROVEN exact and returned (as a driver-local
+    * k-row frame; both collects are ≤ capacity rows, index-build-sized
+    * like IVF's). When the data offers no such margin (a near-uniform
+    * corpus whose vocabulary outgrows the capacity — no heavy hitters
+    * to sketch), the method falls back to the full exact aggregate
+    * instead of returning a silently-possibly-wrong answer: correctness
+    * never depends on the data shape, only the speed does. On Zipfian
+    * real corpora the certificate passes with modest capacity at any N
+    * (the head grows with N while ε grows sublinearly in the head). */
+  def topKExact(df: DataFrame, column: String, k: Int,
+      capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    val first = df.agg(sketch(spark, col(column), capacity).as("s"),
+        count(lit(1)).as("n"))
+      .selectExpr("transform(s, x -> x.item) AS items",
+        "aggregate(s, 0L, (acc, x) -> acc + x.count) AS est_mass", "n")
+      .collect()(0)
+    val (cands, estMass, n) =
+      (first.getSeq[String](0), first.getLong(1), first.getLong(2))
+    val eps = (n - estMass) / (capacity + 1)
+    val exactOverAll = df.groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(column).asc)
+      .limit(k)
+    if (cands.isEmpty) return exactOverAll // empty input: 0 rows either way
+    val recounted = df.filter(col(column).isin(cands: _*))
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(column).asc)
+      .limit(k)
+      .collect()
+    val certified = eps == 0L ||
+      (recounted.length >= k && recounted.last.getLong(1) > eps)
+    if (certified)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(recounted.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(column,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else exactOverAll
+  }
+}

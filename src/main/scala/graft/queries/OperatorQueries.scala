@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsofJoin, Skew}
+import graft.operators.{AsofJoin, RangeJoin, Skew}
 import graft.sources.BucketedTables
 
 /** Driver-gate entries for the custom operator surface: every operator
@@ -186,6 +186,39 @@ object OperatorQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Range join ([[RangeJoin.pointInInterval]]): multi-touch purchase
+    * attribution — each purchase credited to every click-session of the
+    * same user whose `[session_start, session_end + 24 h]` attribution
+    * window contains it. The alignment query stock Spark plans as an
+    * equi-join on `user_id` with a per-user quadratic range filter
+    * (and, keyless, as a CartesianProduct); the binned rewrite runs it
+    * as one hash shuffle on `(user_id, 6 h-cell)`. RangeJoinSpec pins
+    * both the exactness (vs a cross-join filter) and the plan (no
+    * nested-loop/cartesian operator). Oracle: DuckDB IEJoin over the
+    * same gaps-and-islands session CTE as q_sessionize. Attribution
+    * windows of one user's adjacent sessions genuinely overlap, so a
+    * purchase can credit several sessions — the multi-match case a
+    * range join exists for (an as-of join is the single-match cousin). */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .withColumn("t", date_trunc("second", col("ts")))
+    val sessions = graft.streaming.EventStreams.sessionizeBatch(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("ts"), col("value")))
+      .select(col("user_id"), col("session_start"), col("session_end"))
+      .withColumn("lo", unix_micros(col("session_start")) / 1000000L)
+      .withColumn("hi", unix_micros(col("session_end")) / 1000000L + 86400L)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        (unix_micros(col("t")) / 1000000L).as("p"))
+    RangeJoin.pointInInterval(purchases, sessions, "p", "lo", "hi",
+        binWidth = 21600L, keys = Seq("user_id"))
+      .groupBy(col("user_id"), col("session_start"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("purchase_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Batch replay of the streaming 30-minute-gap sessionization
     * ([[graft.streaming.EventStreams.sessionizeBatch]]). */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -200,6 +233,7 @@ object OperatorQueries {
     "q_colocated_join" -> (qColocatedJoin _),
     "q_colocated_dsv2" -> (qColocatedDsv2 _),
     "q_colocated_dpp" -> (qColocatedDpp _),
+    "q_range_join" -> (qRangeJoin _),
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_sessionize" -> (qSessionize _),
@@ -235,6 +269,30 @@ object OperatorQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_name = 'Customer#000000042'
         |ORDER BY o_orderkey""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (SELECT user_id,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,
+        |             event_type, value
+        |           FROM events),
+        |x AS (SELECT user_id, t,
+        |        CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               IS NULL
+        |             OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+        |               > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_s
+        |      FROM e WHERE event_type = 'click'),
+        |y AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+        |s AS (SELECT user_id, MIN(t) AS session_start,
+        |             MAX(t) + INTERVAL 24 HOUR AS session_end
+        |      FROM y GROUP BY user_id, sid),
+        |p AS (SELECT user_id, t, value FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, s.session_start, COUNT(*) AS n_purchases,
+        |       ROUND(SUM(p.value), 4) AS purchase_value
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND p.t BETWEEN s.session_start AND s.session_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT l_orderkey, l_linenumber, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey

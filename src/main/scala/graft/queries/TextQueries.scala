@@ -83,6 +83,32 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 
+  /** Exact top-20 word BIGRAMS via the Misra-Gries sketch two-phase
+    * plan ([[graft.functions.FreqSketch.topKExact]]): sketch pass
+    * (shuffles ONE 2048-entry summary per partition, never the
+    * bigram keys) → exact recount of the surviving candidates. Same
+    * result as the full `groupBy(bigram).count()` — the oracle IS that
+    * exact query — but on a Zipfian corpus the full plan shuffles
+    * billions of distinct n-grams where this shuffles kilobytes plus
+    * the ≤ 2048 recount keys. topKExact CERTIFIES the answer before
+    * trusting the sketch (tight (N−Σ)/(m+1) bound) and falls back to
+    * the exact aggregate when the margin is gone — which the scaled
+    * driver mirrors trigger by design (their per-copy token suffixing
+    * grows the vocabulary while keeping counts flat: no heavy hitters
+    * to find), so the result is exact at every SF either way
+    * (FreqSketchSpec pins both paths under adversarial eviction). */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = docs(s, dir)
+      .select(toks.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2), " +
+          "i -> concat(tk[i], ' ', tk[i + 1]))")).as("bigram"))
+    graft.functions.FreqSketch.topKExact(bigrams, "bigram",
+        k = 20, capacity = 2048)
+      .orderBy(col("cnt").desc, col("bigram"))
+  }
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -97,6 +123,7 @@ object TextQueries {
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_token_freq" -> (qTokenFreq _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -138,6 +165,14 @@ object TextQueries {
       """SELECT token, COUNT(1) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(range(1, len(tk)),
+        |               i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+        |      FROM t)
+        |SELECT bigram, COUNT(1) AS cnt FROM b
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp

@@ -1,0 +1,141 @@
+package graft
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{FreqSketch, FreqSketchAgg}
+
+/** Misra-Gries sketch: the retention guarantee under real eviction
+  * pressure (vocab ≫ capacity), merge-bound preservation across
+  * partition counts, serialization round-trip, and the end-to-end
+  * q_heavy_hitters ≡ exact-groupBy parity. */
+class FreqSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkAgg(cap: Int) = FreqSketchAgg(
+    org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.StringType, nullable = true), cap)
+
+  private def updateAll(agg: FreqSketchAgg,
+      items: Seq[String]): mutable.HashMap[UTF8String, Long] = {
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(1)
+    items.foldLeft(agg.createAggregationBuffer()) { (buf, s) =>
+      row.update(0, UTF8String.fromString(s))
+      agg.update(buf, row)
+    }
+  }
+
+  // Zipf-ish skewed stream over a vocabulary 50x the sketch capacity.
+  private val rnd = new Random(42)
+  private val stream: Seq[String] =
+    (Seq.fill(4000)("hh_" + rnd.nextInt(10)) ++ // 10 heavy hitters
+      Seq.fill(16000)("tail_" + rnd.nextInt(3200))) // long tail
+      .map(identity)
+  private val shuffled = rnd.shuffle(stream)
+  private val exact: Map[String, Long] =
+    shuffled.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("single-buffer estimates undercount by at most N/(m+1)") {
+    val cap = 64
+    val buf = updateAll(mkAgg(cap), shuffled)
+    assert(buf.size <= cap)
+    val eps = shuffled.size / (cap + 1)
+    buf.foreach { case (k, est) =>
+      val truth = exact(k.toString)
+      assert(est <= truth, s"$k overcounts: $est > $truth")
+      assert(est >= truth - eps, s"$k undercounts past the bound")
+    }
+    // Every item with truth > eps must have survived.
+    exact.collect { case (k, t) if t > eps => k }.foreach { k =>
+      assert(buf.contains(UTF8String.fromString(k)), s"$k evicted")
+    }
+  }
+
+  test("merged sketches keep the bound (arbitrary merge tree)") {
+    val cap = 64
+    val agg = mkAgg(cap)
+    for (parts <- Seq(2, 7, 16)) {
+      val grouped = shuffled.grouped(
+        math.max(1, shuffled.size / parts)).toSeq
+      val merged = grouped.map(updateAll(agg, _))
+        .reduce((a, b) => agg.merge(a, agg.deserialize(agg.serialize(b))))
+      assert(merged.size <= cap)
+      // Merged error: N/(m+1) per the mergeability reduction.
+      val eps = shuffled.size / (cap + 1)
+      merged.foreach { case (k, est) =>
+        val truth = exact(k.toString)
+        assert(est <= truth && est >= truth - eps,
+          s"parts=$parts $k est=$est truth=$truth eps=$eps")
+      }
+      exact.collect { case (k, t) if t > eps => k }.foreach { k =>
+        assert(merged.contains(UTF8String.fromString(k)),
+          s"parts=$parts heavy hitter $k lost in merge")
+      }
+    }
+  }
+
+  test("serialize/deserialize round-trips exactly") {
+    val agg = mkAgg(32)
+    val buf = updateAll(agg, shuffled.take(500))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
+
+  test("topKExact equals the full groupBy over an evicting stream") {
+    val df = shuffled.toDF("item").repartition(5)
+    val got = FreqSketch.topKExact(df, "item", k = 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("topKExact on uniform data (no certifiable heavy hitters) " +
+      "falls back to the exact plan and stays correct") {
+    // 2000 items, ~3 occurrences each, capacity 32: the certificate
+    // cannot pass (k-th count ~3 <= eps), so the fallback must fire —
+    // and the answer must still be the exact top-k.
+    val uniform = (0 until 6000).map(i => s"u_${i % 2000}")
+    val df = uniform.toDF("item").repartition(4)
+    val got = FreqSketch.topKExact(df, "item", k = 5, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("sketch aggregate handles NULLs and empty input") {
+    val df = Seq(Option("a"), None, Option("a"), Option("b"))
+      .toDF("item")
+    val out = df.agg(FreqSketch.sketch(spark, col("item"), 8).as("s"))
+      .selectExpr("transform(s, x -> x.item) AS items",
+        "transform(s, x -> x.count) AS counts")
+      .collect()(0)
+    assert(out.getSeq[String](0) == Seq("a", "b"))
+    assert(out.getSeq[Long](1) == Seq(2L, 1L))
+    val empty = df.filter(lit(false))
+      .agg(FreqSketch.sketch(spark, col("item"), 8).as("s"))
+      .selectExpr("size(s) AS n").collect()(0).getInt(0)
+    assert(empty == 0)
+  }
+
+  test("q_heavy_hitters equals the exact bigram top-20 at sf0.001") {
+    val got = graft.queries.TextQueries.qHeavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val toks = split(col("text"), " ")
+    val want = Tables(spark, sf, "documents")
+      .select(toks.as("tk")).where(size(col("tk")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(tk) - 2), " +
+        "i -> concat(tk[i], ' ', tk[i + 1]))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+}
