@@ -90,21 +90,63 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       s"$warehouse/data/${t.name}", () => engine)
   }
 
+  /** `CREATE TABLE cat.t (…) PARTITIONED BY (bucket(n, c))` through
+    * stock Spark SQL — the DSv2 spelling of the dialect's
+    * `PARTITION BY (c) WITH BUCKETS n`. Delegates to the engine's D1
+    * executor (same CAS-committed metadata, reserved-column and
+    * schema-existence checks), so the two entry points create
+    * identical tables; namespace `main`/empty is the default schema,
+    * like [[loadTable]]. Column DEFAULTs remain dialect-only. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "CREATE goes through the engine dialect: " +
-        "CREATE TABLE t (...) PARTITION BY (c) WITH BUCKETS n")
+      properties: util.Map[String, String]): Table = {
+    val spec = partitions match {
+      case Array(t) if t.name == "bucket" =>
+        for {
+          n <- t.arguments.collectFirst {
+            case l: V2Literal[_] if l.dataType == IntegerType =>
+              l.value.asInstanceOf[Int]
+          }
+          c <- t.arguments.collectFirst {
+            case r: NamedReference => r.fieldNames.mkString(".")
+          }
+        } yield (c, n)
+      case _ => None
+    }
+    val (col, n) = spec.getOrElse(throw new UnsupportedOperationException(
+      "mpp tables are hash-distributed: use PARTITIONED BY " +
+        "(bucket(n, col)) — or the engine dialect's CREATE TABLE t " +
+        "(...) PARTITION BY (col) WITH BUCKETS n"))
+    engine.createDistributedTable(storageKey(ident), schema.toDDL, col, n)
+    loadTable(ident)
+  }
+
+  /** The engine-side name for an identifier: namespace `main` (or none)
+    * is the default schema whose tables are stored bare. */
+  private def storageKey(ident: Identifier): String =
+    if (ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("main"))) ident.name
+    else keyOf(ident)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "ALTER is not implemented for MPP tables (reference parity: " +
         "MppSchemaEntry::Alter, mpp_schema_entry.cpp:158-160)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP goes through the engine dialect: DROP TABLE " + keyOf(ident))
+  /** `DROP TABLE cat.t` through stock Spark SQL: delegates to the
+    * engine's drop (metadata mark + data removal + cache invalidation).
+    * Returns false when the table does not exist, per the DSv2
+    * contract (Spark turns that into NoSuchTableException / IF EXISTS
+    * handling). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val st = engine.catalog.state
+    val key = Seq(keyOf(ident), storageKey(ident))
+      .find(st.liveTable(_).isDefined)
+    key match {
+      case Some(k) => engine.dropTable(k); true
+      case None => false
+    }
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
