@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g on the 128 GiB bench host: the sf3/sf10 scaled phases keep
+  // localCheckpoint blocks (dedup shingle relations) in storage memory;
+  // at 16g they evict mid-run and steady-state timings measure
+  // recomputation, not the operator.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

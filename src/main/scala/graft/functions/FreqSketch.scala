@@ -174,56 +174,71 @@ object FreqSketch {
     call_function("freq_sketch", col, lit(capacity))
   }
 
-  /** Exact distributed top-k, SELF-CERTIFYING: sketch pass (shuffles
-    * one ≤ capacity-entry summary per partition plus a row count, never
-    * the keys) → exact recount of the ≤ capacity candidates → certify →
-    * top-k by (count desc, item asc).
+  /** Which plan the last [[topKExact]] call chose — test introspection
+    * only ("lossless" | "certified" | "fallback"). */
+  @volatile private[graft] var lastDecision: String = ""
+
+  /** Exact distributed top-k, SELF-CERTIFYING, ≤ 2 data passes on every
+    * path. Pass 1 aggregates the sketch plus a row count (shuffles one
+    * ≤ capacity-entry summary per partition, never the keys; the
+    * collect is ≤ capacity rows, index-build-sized like IVF's). The
+    * tight mergeable MG bound — every decrement burns capacity+1 units
+    * of mass, so any item ABSENT from the sketch has true count ≤
+    * ε = (N − Σ estimates)/(capacity+1), and every estimate undercounts
+    * by ≤ ε — then decides the plan BEFORE any second pass:
     *
-    * The certificate uses the tight mergeable MG bound: every decrement
-    * event burns capacity+1 units of mass, so any item ABSENT from the
-    * sketch has true count ≤ ε = (N − Σ estimates)/(capacity+1). If the
-    * recounted k-th candidate count exceeds ε, no absent item can beat
-    * it — the top-k is PROVEN exact and returned (as a driver-local
-    * k-row frame; both collects are ≤ capacity rows, index-build-sized
-    * like IVF's). When the data offers no such margin (a near-uniform
-    * corpus whose vocabulary outgrows the capacity — no heavy hitters
-    * to sketch), the method falls back to the full exact aggregate
-    * instead of returning a silently-possibly-wrong answer: correctness
-    * never depends on the data shape, only the speed does. On Zipfian
-    * real corpora the certificate passes with modest capacity at any N
-    * (the head grows with N while ε grows sublinearly in the head). */
+    *  - ε = 0: nothing was ever evicted, the sketch IS the exact
+    *    histogram of its items and holds every item — top-k returned
+    *    from the estimates directly, ONE pass total;
+    *  - k-th largest estimate > ε: certification is guaranteed up
+    *    front (true counts ≥ estimates), so pass 2 exactly recounts
+    *    the ≤ capacity candidates and no absent item (≤ ε) can beat
+    *    the recounted k-th — PROVEN exact;
+    *  - otherwise: the data offers no sketchable margin (near-uniform
+    *    corpus whose vocabulary outgrew the capacity — no heavy
+    *    hitters to find), so pass 2 is the full exact aggregate
+    *    rather than a silently-possibly-wrong answer. Correctness
+    *    never depends on the data shape, only the speed does.
+    *
+    * On Zipfian real corpora the certified path wins with modest
+    * capacity at any N (the head outgrows ε); the margin-less branch
+    * is the price of exactness on adversarially flat data. */
   def topKExact(df: DataFrame, column: String, k: Int,
       capacity: Int): DataFrame = {
     val spark = df.sparkSession
     val first = df.agg(sketch(spark, col(column), capacity).as("s"),
         count(lit(1)).as("n"))
       .selectExpr("transform(s, x -> x.item) AS items",
-        "aggregate(s, 0L, (acc, x) -> acc + x.count) AS est_mass", "n")
+        "transform(s, x -> x.count) AS ests", "n")
       .collect()(0)
-    val (cands, estMass, n) =
-      (first.getSeq[String](0), first.getLong(1), first.getLong(2))
-    val eps = (n - estMass) / (capacity + 1)
-    val exactOverAll = df.groupBy(col(column))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col(column).asc)
-      .limit(k)
-    if (cands.isEmpty) return exactOverAll // empty input: 0 rows either way
-    val recounted = df.filter(col(column).isin(cands: _*))
-      .groupBy(col(column))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col(column).asc)
-      .limit(k)
-      .collect()
-    val certified = eps == 0L ||
-      (recounted.length >= k && recounted.last.getLong(1) > eps)
-    if (certified)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(recounted.toIndexedSeq, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(column,
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("cnt",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-    else exactOverAll
+    val (cands, ests, n) = (first.getSeq[String](0),
+      first.getSeq[Long](1), first.getLong(2))
+    val eps = (n - ests.sum) / (capacity + 1)
+    def local(rows: Seq[(String, Long)]): DataFrame = {
+      import spark.implicits._
+      rows.toDF(column, "cnt")
+        .orderBy(col("cnt").desc, col(column).asc)
+    }
+    if (eps == 0L) { // lossless: estimates are the exact counts
+      lastDecision = "lossless"
+      // eval() ordering is (count desc, item asc) already.
+      local(cands.zip(ests).take(k))
+    } else if (ests.length >= k && ests(k - 1) > eps) {
+      lastDecision = "certified" // recount >= estimate > eps, up front
+      val recounted = df.filter(col(column).isin(cands: _*))
+        .groupBy(col(column))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col(column).asc)
+        .limit(k)
+        .collect()
+      local(recounted.toIndexedSeq
+        .map(r => (r.getString(0), r.getLong(1))))
+    } else {
+      lastDecision = "fallback"
+      df.groupBy(col(column))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col(column).asc)
+        .limit(k)
+    }
   }
 }

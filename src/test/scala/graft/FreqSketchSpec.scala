@@ -95,6 +95,38 @@ class FreqSketchSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("topKExact certifies up front on skewed data with an evicting " +
+      "vocabulary and recounts only the candidates") {
+    // 10 strong heavy hitters over a 3200-item churning tail, capacity
+    // 64 ≪ vocabulary: eviction is constant, but the head's estimates
+    // stay far above ε, so the pre-decision must pick the certified
+    // 2-pass plan — and the result must still be exactly the true
+    // top-k.
+    val strong = rnd.shuffle(
+      (Seq.fill(20000)("hh_" + rnd.nextInt(10)) ++
+        Seq.fill(20000)("tail_" + rnd.nextInt(3200))).toIndexedSeq)
+    val df = strong.toDF("item").repartition(5)
+    val got = FreqSketch.topKExact(df, "item", k = 10, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(FreqSketch.lastDecision == "certified", FreqSketch.lastDecision)
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("topKExact is a single lossless pass when the vocabulary fits") {
+    val small = (0 until 1000).map(i => s"v_${i % 40}")
+    val df = small.toDF("item").repartition(3)
+    val got = FreqSketch.topKExact(df, "item", k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(FreqSketch.lastDecision == "lossless", FreqSketch.lastDecision)
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("topKExact on uniform data (no certifiable heavy hitters) " +
       "falls back to the exact plan and stays correct") {
     // 2000 items, ~3 occurrences each, capacity 32: the certificate
@@ -104,6 +136,7 @@ class FreqSketchSpec extends SparkTestBase {
     val df = uniform.toDF("item").repartition(4)
     val got = FreqSketch.topKExact(df, "item", k = 5, capacity = 32)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(FreqSketch.lastDecision == "fallback", FreqSketch.lastDecision)
     val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item").asc).limit(5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
