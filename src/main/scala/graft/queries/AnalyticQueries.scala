@@ -232,6 +232,30 @@ object AnalyticQueries {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates: EXACT interpolated percentiles (Spark's
+    * `percentile`, the sort-based exact aggregate — same linear
+    * interpolation as DuckDB's `quantile_cont`), sample stddev,
+    * correlation, sample covariance. Skewness is deliberately absent:
+    * Spark computes the population estimator, DuckDB the sample-
+    * adjusted one — a real definitional difference, not a bug to
+    * paper over with tolerance. Scale note: `percentile` collects the
+    * group's values per partition into sorted buffers (exact
+    * quantiles are not mergeable-summary-computable); for billions of
+    * rows per group the approximate `percentile_approx` (KLL-style
+    * mergeable) is the scale path, oracle-incomparable by nature. */
+  def qStatsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("cov_qp"))
+      .orderBy("l_returnflag")
+
   /** GROUP BY ... HAVING. */
   def qHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -365,6 +389,7 @@ object AnalyticQueries {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_distinct_agg" -> (qDistinctAgg _),
+    "q_stats_agg" -> (qStatsAgg _),
     "q_having" -> (qHaving _),
     "q_filters_null" -> (qFiltersNull _),
     "q_scalar_fns" -> (qScalarFns _),
@@ -482,6 +507,14 @@ object AnalyticQueries {
         | COUNT(DISTINCT l_partkey) AS n_parts,
         | COUNT(DISTINCT l_suppkey) AS n_supps,
         | COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_having" ->
       """SELECT l_suppkey, ROUND(SUM(l_quantity), 4) AS sum_qty
