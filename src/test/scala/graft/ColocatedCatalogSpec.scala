@@ -251,4 +251,20 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(err.getMessage.contains("bucket"))
     assert(!engine.sql("SHOW TABLES").collect().map(_.getString(0)).contains("bad"))
   }
+
+  test("V2 CTAS: CREATE TABLE ... PARTITIONED BY (bucket) AS SELECT " +
+      "creates, loads, and hash-places in one statement") {
+    engine
+    // Spark composes this from the catalog's createTable + the table's
+    // SupportsWrite append — both delegate to the engine, so the rows
+    // land in their pmod(murmur3(k), n) buckets and pruning works on
+    // the result immediately.
+    spark.sql("CREATE TABLE mppcat.ctas PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k, id * 2.0 AS v FROM range(0, 100)")
+    assert(spark.table("mppcat.ctas").count() == 100)
+    val q = spark.table("mppcat.ctas").filter(col("k") === 42L)
+    assert(q.count() == 1)
+    assert(q.queryExecution.executedPlan.toString.contains("shards 1/4"))
+    spark.sql("DROP TABLE mppcat.ctas")
+  }
 }
