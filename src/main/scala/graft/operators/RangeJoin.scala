@@ -52,11 +52,19 @@ object RangeJoin {
     * such rows are dropped before the explode (an inverted interval
     * would otherwise make `sequence` throw).
     *
+    * `maxBinsPerInterval` is the OOM guard: a mis-sized `binWidth`
+    * (seconds-wide cells against year-long intervals) would otherwise
+    * silently build multi-million-element replication arrays per row
+    * and kill executors; instead the job fails fast with a codegen'd
+    * `raise_error` naming the fix (same enforcement idiom as the
+    * engine's NOT NULL guard). Zero cost on the sane path.
+    *
     * Output: all columns of `points` then all non-duplicate columns of
     * `intervals` (equality keys appear once). */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       point: String, lo: String, hi: String, binWidth: Long,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
     val l = points
@@ -67,8 +75,8 @@ object RangeJoin {
       .filter(col(lo).isNotNull && col(hi).isNotNull &&
         col(lo) <= col(hi) && keys.map(col(_).isNotNull)
         .foldLeft(lit(true))(_ && _))
-      .withColumn("__bin",
-        explode(sequence(floorDiv(col(lo), w), floorDiv(col(hi), w))))
+      .withColumn("__bin", explode(
+        bins(col(lo), col(hi), w, maxBinsPerInterval)))
     l.join(r, keys :+ "__bin")
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__bin")
@@ -84,7 +92,8 @@ object RangeJoin {
     * pass and no shuffle beyond the one equi-join. */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       loL: String, hiL: String, loR: String, hiR: String,
-      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+      binWidth: Long, keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val w = lit(binWidth)
     def valid(lo: String, hi: String) =
@@ -92,13 +101,29 @@ object RangeJoin {
     def binned(df: DataFrame, lo: String, hi: String) = df
       .filter(valid(lo, hi) && keys.map(col(_).isNotNull)
         .foldLeft(lit(true))(_ && _))
-      .withColumn("__bin",
-        explode(sequence(floorDiv(col(lo), w), floorDiv(col(hi), w))))
+      .withColumn("__bin", explode(
+        bins(col(lo), col(hi), w, maxBinsPerInterval)))
     binned(left, loL, hiL).join(binned(right, loR, hiR), keys :+ "__bin")
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
         col("__bin") ===
           greatest(floorDiv(col(loL), w), floorDiv(col(loR), w)))
       .drop("__bin")
+  }
+
+  /** The interval's cell ids, with the fail-fast replication guard. */
+  private def bins(lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+      maxBins: Int): org.apache.spark.sql.Column = {
+    val s = floorDiv(lo, w)
+    val e = floorDiv(hi, w)
+    val guardedEnd = when(e - s < lit(maxBins.toLong), e)
+      .otherwise(raise_error(concat(
+        lit("RangeJoin: interval replicates into "),
+        (e - s + lit(1L)).cast("string"),
+        lit(s" cells (maxBinsPerInterval=$maxBins): choose a binWidth " +
+          "near the median interval length, or raise the cap")))
+        .cast("long"))
+    sequence(s, guardedEnd)
   }
 
   /** Floor division that stays exact on LongType (no double rounding;

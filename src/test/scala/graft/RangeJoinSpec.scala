@@ -95,6 +95,25 @@ class RangeJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("replication guard fails fast on a mis-sized binWidth") {
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val wide = Seq((10L, 0L, 1000000L)).toDF("iid", "lo", "hi")
+    // A 1M-cell interval at width 1 must raise, not OOM.
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, wide, "p", "lo", "hi",
+        binWidth = 1L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("maxBinsPerInterval")), err)
+    // The same interval passes with a sane width or a raised cap.
+    assert(RangeJoin.pointInInterval(pts, wide, "p", "lo", "hi",
+      binWidth = 1000L).count() == 1)
+    assert(RangeJoin.pointInInterval(pts, wide, "p", "lo", "hi",
+      binWidth = 1L, maxBinsPerInterval = 2000000).count() == 1)
+  }
+
   test("plan has no cartesian/nested-loop operator, keyed or keyless") {
     assertNoNestedLoop(RangeJoin.pointInInterval(points, intervals,
       "p", "lo", "hi", binWidth = 10L))
