@@ -165,6 +165,30 @@ object EventStreams {
         col("amount"))
   }
 
+  /** Per-window heavy hitters over the stream ("top talkers" — the
+    * rate-limit / abuse-detection shape): for each tumbling window, the
+    * [[graft.functions.FreqSketch]] Misra-Gries candidates over
+    * `user_id`, truncated to the top `k` estimates. The sketch is a
+    * TypedImperativeAggregate, so streaming aggregation state per
+    * window is ONE bounded `capacity`-entry buffer — not the
+    * full per-user count map an exact `groupBy(window, user_id)` would
+    * keep — and the watermark reclaims it when the window closes.
+    * Estimates undercount by at most windowRows/(capacity+1) (exact
+    * whenever distinct users per window ≤ capacity); downstream
+    * consumers needing exactness recount the emitted candidates, the
+    * batch [[graft.functions.FreqSketch.topKExact]] protocol. */
+  def topTalkers(events: DataFrame, window: String = "1 hour",
+      k: Int = 10, capacity: Int = 256): DataFrame = {
+    val spark = events.sparkSession
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window))
+      .agg(graft.functions.FreqSketch
+        .sketch(spark, col("user_id").cast("string"), capacity).as("s"))
+      .select(col("window.start").as("window_start"),
+        slice(col("s"), 1, k).as("top_talkers"))
+  }
+
   /** End-to-end wiring: stream → sessionize → parquet sink. Returns the
     * started query (caller stops it); checkpointing makes the pipeline
     * restartable — the production shape of the operator. */

@@ -187,6 +187,37 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("per-window top talkers: bounded sketch state, finalized windows " +
+      "emit heavy users first") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.topTalkers(mem.toDF(), k = 3, capacity = 16)
+      .writeStream.format("memory").queryName("talkers")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Hour window [Base, Base+60): user 7 dominates, user 8 second.
+      val evs = (1 to 20).map(i =>
+        Event(100 + i, ts(i % 50), 7, "click", 1.0)) ++
+        (1 to 8).map(i => Event(200 + i, ts(i), 8, "view", 1.0)) ++
+        Seq(Event(301, ts(2), 9, "view", 1.0))
+      mem.addData(evs: _*)
+      runBatches(q)
+      // Advance the watermark past the window to finalize it.
+      mem.addData(Event(999, ts(200), 1, "click", 1.0))
+      runBatches(q)
+      val rows = spark.table("talkers").collect()
+      assert(rows.length == 1, rows.mkString(";")) // later window still open
+      val top = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      assert(top.size == 3)
+      // 29 distinct-row updates over 3 users, capacity 16: lossless —
+      // exact counts, heavy user first.
+      assert(top.head.getString(0) == "7" && top.head.getLong(1) == 20L,
+        top.mkString(","))
+      assert(top(1).getString(0) == "8" && top(1).getLong(1) == 8L)
+    } finally q.stop()
+  }
+
   test("file-source session pipeline runs end to end with checkpointing") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream")
