@@ -78,6 +78,44 @@ class FreqSketchSpec extends SparkTestBase {
     }
   }
 
+  test("property: tight bound (N - sum est)/(m+1) holds for random " +
+      "streams, capacities, and merge trees") {
+    // Pure-JVM property sweep: the TIGHT invariant topKExact's
+    // certificate relies on — undercount of every item (and the count
+    // of every absent item) is at most (N − Σ estimates)/(m+1) — must
+    // survive random skew mixes, capacities, and random merge shapes.
+    val prnd = new Random(99173L)
+    for (trial <- 0 until 30) {
+      val cap = 8 + prnd.nextInt(120)
+      val agg = mkAgg(cap)
+      val zipfN = prnd.nextInt(3000)
+      val uniN = prnd.nextInt(3000)
+      val items = prnd.shuffle(
+        ((0 until zipfN).map(_ => "z_" + prnd.nextInt(1 + prnd.nextInt(30))) ++
+          (0 until uniN).map(_ => "u_" + prnd.nextInt(2000))).toIndexedSeq)
+      if (items.nonEmpty) {
+        val truth = items.groupBy(identity).view.mapValues(_.size.toLong)
+        // Random merge tree: split into 1..8 chunks, fold in random order.
+        val chunks = prnd.shuffle(items.grouped(
+          math.max(1, items.size / (1 + prnd.nextInt(8)))).toSeq)
+        val merged = chunks.map(updateAll(agg, _))
+          .reduce((a, b) =>
+            agg.merge(a, agg.deserialize(agg.serialize(b))))
+        val eps = (items.size - merged.values.sum) / (cap + 1)
+        merged.foreach { case (k, est) =>
+          val t = truth(k.toString)
+          assert(est <= t && t - est <= eps,
+            s"trial=$trial cap=$cap item=$k est=$est truth=$t eps=$eps")
+        }
+        truth.foreach { case (k, t) =>
+          if (t > eps)
+            assert(merged.contains(UTF8String.fromString(k)),
+              s"trial=$trial cap=$cap lost item $k with truth=$t > eps=$eps")
+        }
+      }
+    }
+  }
+
   test("serialize/deserialize round-trips exactly") {
     val agg = mkAgg(32)
     val buf = updateAll(agg, shuffled.take(500))

@@ -1,0 +1,99 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Property tests for the binned range join: for ANY point/interval
+  * sets, widths, and keys, the binned rewrite returns exactly the rows
+  * of the brute-force cross-join filter — including NULLs, inverted
+  * intervals, negative domains, and bin-boundary geometry the fixed
+  * fixtures in RangeJoinSpec cannot enumerate. Deterministic seeded
+  * generation, same pattern as PruningPropertySpec (scalatestplus is
+  * not in the offline cache, so no ScalaCheck forAll). */
+class RangeJoinPropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val widths = Seq(1L, 3L, 7L, 16L, 64L, 997L)
+
+  private def genPoints(rnd: Random, n: Int) =
+    (1 to n).map { i =>
+      val p = if (rnd.nextInt(12) == 0) None
+        else Some(rnd.nextInt(400).toLong - 100L)
+      val k = if (rnd.nextInt(15) == 0) None
+        else Some(rnd.nextInt(3).toLong)
+      (i.toLong, p, k)
+    }
+
+  private def genIntervals(rnd: Random, n: Int) =
+    (1 to n).map { i =>
+      val lo = rnd.nextInt(400).toLong - 100L
+      val len = rnd.nextInt(60).toLong - 5L // ~8% inverted
+      val loO = if (rnd.nextInt(12) == 0) None else Some(lo)
+      val hiO = if (rnd.nextInt(12) == 0) None else Some(lo + len)
+      val k = if (rnd.nextInt(15) == 0) None
+        else Some(rnd.nextInt(3).toLong)
+      (i.toLong + 1000L, loO, hiO, k)
+    }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("pointInInterval ≡ cross-join oracle for random sets (keyless)") {
+    val rnd = new Random(20260813L)
+    for (trial <- 0 until 6) {
+      val pts = genPoints(rnd, 50).map(t => (t._1, t._2))
+        .toDF("pid", "p")
+      val ivs = genIntervals(rnd, 35).map(t => (t._1, t._2, t._3))
+        .toDF("iid", "lo", "hi")
+      val oracle = rows(pts.crossJoin(ivs)
+        .filter($"p" >= $"lo" && $"p" <= $"hi")
+        .select("pid", "iid"))
+      val w = widths(rnd.nextInt(widths.size))
+      val got = rows(RangeJoin.pointInInterval(pts, ivs,
+        "p", "lo", "hi", binWidth = w).select("pid", "iid"))
+      assert(got == oracle, s"trial=$trial width=$w")
+    }
+  }
+
+  test("pointInInterval ≡ cross-join oracle for random sets (keyed)") {
+    val rnd = new Random(424213L)
+    for (trial <- 0 until 6) {
+      val pts = genPoints(rnd, 50).toDF("pid", "p", "k")
+      val ivs = genIntervals(rnd, 35).toDF("iid", "lo", "hi", "k")
+      val oracle = rows(pts.as("l").crossJoin(ivs.as("r"))
+        .filter($"l.k" === $"r.k" && $"p" >= $"lo" && $"p" <= $"hi")
+        .select("pid", "iid"))
+      val w = widths(rnd.nextInt(widths.size))
+      val got = rows(RangeJoin.pointInInterval(pts, ivs,
+        "p", "lo", "hi", binWidth = w, keys = Seq("k"))
+        .select("pid", "iid"))
+      assert(got == oracle, s"trial=$trial width=$w")
+    }
+  }
+
+  test("intervalOverlap ≡ cross-join oracle for random sets, no dups") {
+    val rnd = new Random(777101L)
+    for (trial <- 0 until 6) {
+      val l = genIntervals(rnd, 30).map(t => (t._1, t._2, t._3))
+        .toDF("lid", "llo", "lhi")
+      val r = genIntervals(rnd, 30).map(t => (t._1 + 5000L, t._2, t._3))
+        .toDF("rid", "rlo", "rhi")
+      val oracle = rows(l.crossJoin(r)
+        .filter($"llo" <= $"lhi" && $"rlo" <= $"rhi" &&
+          $"llo" <= $"rhi" && $"rlo" <= $"lhi")
+        .select("lid", "rid"))
+      val w = widths(rnd.nextInt(widths.size))
+      val got = RangeJoin.intervalOverlap(l, r,
+        "llo", "lhi", "rlo", "rhi", binWidth = w)
+        .select("lid", "rid").collect().map(_.toString).toSeq
+      assert(got.sorted == oracle, s"trial=$trial width=$w")
+      assert(got.distinct.size == got.size,
+        s"duplicate pairs: trial=$trial width=$w")
+    }
+  }
+}
