@@ -91,9 +91,58 @@ object MultimodalQueries {
         explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize planning: the metadata transform of an image resize —
+    * target box fit (longest side → 256, aspect preserved, never
+    * upscaled) computed entirely columnar on the decoded dims. The
+    * pixel work of a real resize happens wherever the codec lives
+    * ([[decodeTyped]]'s partition loop); its SHAPE — per-row pure
+    * arithmetic on metadata, payload untouched and pruned — is this. */
+  def qMmResize(s: SparkSession, dir: String): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val scale = least(lit(1.0), lit(256.0) / longest)
+    decodeColumnar(blobs(s, dir))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * scale).cast("long").as("out_w"),
+        floor(col("height") * scale).cast("long").as("out_h"))
+      .orderBy("doc_id")
+  }
+
+  /** Extracted feature row: fixed-width scalar features (not an array —
+    * the driver oracle compares scalar columns exactly). */
+  final case class MediaFeatures(doc_id: Long, f0: Double, f1: Double,
+      f2: Double, f3: Double)
+
+  /** Feature extraction through the CODEC API: one "model" per
+    * partition (the expensive-init shape a real embedding extractor
+    * amortizes — load weights once, map the partition's rows through
+    * it), features a deterministic pure function of the payload so the
+    * DuckDB oracle mirrors them exactly. A real extractor replaces
+    * `model`; the typed Dataset plumbing, batching, and downstream
+    * relational ops are the production shape. */
+  def featuresTyped(s: SparkSession,
+      blobs: DataFrame): org.apache.spark.sql.Dataset[MediaFeatures] = {
+    import s.implicits._
+    blobs.as[MediaBlob].mapPartitions { it =>
+      val model: MediaBlob => MediaFeatures = { b => // per-partition init
+        val n = b.payload.length.toLong
+        // /1024 (a power of two) is EXACT in binary floating point, so
+        // the oracle computes bit-identical doubles — no rounding-mode
+        // coupling between engines.
+        def f(p: Long): Double = ((n * p) % 997L) / 1024.0
+        MediaFeatures(b.doc_id, f(13L), f(31L), f(61L), f(127L))
+      }
+      it.map(model)
+    }
+  }
+
+  def qMmFeatures(s: SparkSession, dir: String): DataFrame =
+    featuresTyped(s, blobs(s, dir)).toDF().orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode" -> (qMmDecode _),
     "q_mm_frames" -> (qMmFrames _),
+    "q_mm_resize" -> (qMmResize _),
+    "q_mm_features" -> (qMmFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +155,22 @@ object MultimodalQueries {
     "q_mm_frames" ->
       """SELECT doc_id, unnest(range(0, 1 + n_chars % 16, 4)) AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mm_resize" ->
+      """WITH d AS (SELECT doc_id, 64 + n_chars % 577 AS width,
+        |                  64 + (n_chars * 31) % 577 AS height
+        |           FROM documents)
+        |SELECT doc_id, width, height,
+        | CAST(FLOOR(width * LEAST(1.0, 256.0 / GREATEST(width, height)))
+        |      AS BIGINT) AS out_w,
+        | CAST(FLOOR(height * LEAST(1.0, 256.0 / GREATEST(width, height)))
+        |      AS BIGINT) AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_mm_features" ->
+      """SELECT doc_id,
+        | (n_chars * 13) % 997 / 1024.0 AS f0,
+        | (n_chars * 31) % 997 / 1024.0 AS f1,
+        | (n_chars * 61) % 997 / 1024.0 AS f2,
+        | (n_chars * 127) % 997 / 1024.0 AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
