@@ -252,6 +252,30 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(!engine.sql("SHOW TABLES").collect().map(_.getString(0)).contains("bad"))
   }
 
+  test("window functions partitioned on the bucket column run with " +
+      "zero Exchange") {
+    engine
+    // KeyGroupedPartitioning satisfies the window's ClusteredDistribution,
+    // so per-key ranking/sessionization over a co-located table needs no
+    // shuffle at all — each task ranks its own buckets. At 100 TB this
+    // is the difference between a full-table exchange and none for the
+    // extremely common "top-n per key" / "order events per entity" shape.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("q")
+    val df = spark.table("mppcat.li")
+      .withColumn("rn", row_number().over(w))
+    val got = df.filter(col("rn") === 1).select("k", "q")
+      .orderBy("k").collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "co-located window must not shuffle:\n" + plan.take(2000))
+    // Correctness: first row per key == min(q) per key from the engine.
+    val want = engine.table("li").groupBy("k").agg(min("q").as("q"))
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("V2 CTAS: CREATE TABLE ... PARTITIONED BY (bucket) AS SELECT " +
       "creates, loads, and hash-places in one statement") {
     engine
