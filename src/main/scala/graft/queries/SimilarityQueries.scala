@@ -181,9 +181,63 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Deterministic random-hyperplane set (seeded gaussians) — the whole
+    * "index" of the LSH variant: bits×dim doubles, embedded in the plan
+    * as array literals. No training pass, no state to persist. */
+  private[graft] def hyperplanes(dim: Int, bits: Int): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20260813L)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature: bit i = (v · H_i > 0), packed into one int.
+    * Collision probability of two vectors at angle θ is (1 − θ/π)^bits
+    * (Charikar, STOC'02) — near vectors bucket together. Pure codegen:
+    * `bits` [[graft.functions.DotProduct]] kernels + branchless adds. */
+  private[graft] def lshSig(s: SparkSession, v: org.apache.spark.sql.Column,
+      planes: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (h, i) =>
+      when(dot(s, v, typedLit(h)) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k — the scale path WITHOUT a training
+    * pass (the bucketed alternative to [[qAnnIvf]]): corpus rows carry
+    * a signature; each query probes its own bucket plus every 1-bit
+    * flip (multi-probe, bits+1 buckets). The probe set is an equality
+    * join on the int signature, so the corpus is never broadcast and
+    * shuffles only 4-byte keys; a corpus row matches at most one probe
+    * signature per query (probe sigs are distinct), so no dedup pass.
+    * Approximate ⇒ rows-only driver check; the suite pins recall on
+    * clusterable data, mirroring the IVF tests. */
+  def qAnnLsh(s: SparkSession, dir: String, bits: Int = 8): DataFrame = {
+    val corpus = emb(s, dir)
+    val dim = corpus.select(size(col("v"))).head.getInt(0)
+    val planes = hyperplanes(dim, bits)
+    val bucketed = corpus.withColumn("sig", lshSig(s, col("v"), planes))
+    val queries = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("sig").as("qsig"))
+    val probes = queries.withColumn("probe_sig", explode(array(
+        col("qsig") +: (0 until bits)
+          .map(i => col("qsig").bitwiseXOR(lit(1 << i))): _*)))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("probe_sig"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    bucketed.join(broadcast(probes), col("sig") === col("probe_sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(s, col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("cos"), 4).as("cos_sim"), col("rnk"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

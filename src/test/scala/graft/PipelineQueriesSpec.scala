@@ -124,6 +124,59 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall@5 on clusterable data = $recall")
   }
 
+  test("LSH signatures put planted clusters within multi-probe reach: " +
+      "recall ≥ 0.7 on clusterable data") {
+    // Same protocol as the IVF training test: recall is proven where it
+    // is information-theoretically achievable (tight planted clusters);
+    // the driver's uniform corpus has no structure for ANY index.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    val centers = Seq.fill(10)(Array.fill(64)(rnd.nextGaussian()))
+    val pts = for (c <- 0 until 10; i <- 0 until 50) yield {
+      val noisy = centers(c).map(_ + 0.1 * rnd.nextGaussian())
+      ((c * 50 + i).toLong, unit(noisy))
+    }
+    val bits = 8
+    val planes = SimilarityQueries.hyperplanes(64, bits)
+    val sigs = pts.toDF("vec_id", "v")
+      .withColumn("sig",
+        SimilarityQueries.lshSig(spark, col("v"), planes))
+      .select("vec_id", "sig")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = pts.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // Recall@5 under 1-bit multi-probe: a true neighbor is reachable
+    // iff its signature is within hamming distance 1 of the query's.
+    val recalls = pts.take(20).map { case (qid, qv) =>
+      val top5 = vecs.toSeq.filter(_._1 != qid)
+        .sortBy { case (id, v) => (-cos(qv, v), id) }.take(5).map(_._1)
+      top5.count { id =>
+        Integer.bitCount(sigs(id) ^ sigs(qid)) <= 1 } / 5.0
+    }
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.7, s"LSH multi-probe recall@5 = $recall")
+  }
+
+  test("ANN-LSH scores are exact on its candidate set (driver data)") {
+    val bf = SimilarityQueries.qAnnBruteforce(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val lsh = SimilarityQueries.qAnnLsh(spark, sf).collect()
+    // Approximate = may MISS neighbors; every pair it does return must
+    // carry the exact brute-force cosine (pruning only, no estimation).
+    // (Pairs outside the brute-force top-5 have no reference score.)
+    lsh.foreach { r =>
+      bf.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+        assert(math.abs(r.getDouble(2) - exact) < 1e-9,
+          s"score drift for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+  }
+
   test("ANN-IVF on the uniform driver data meets the nprobe/k floor") {
     val bf = SimilarityQueries.qAnnBruteforce(spark, sf)
       .select("q_id", "neighbor_id").collect()
