@@ -18,10 +18,9 @@ import graft.Tables
   *  3. near-dup removal: MinHash-LSH pairs (jaccard ≥ 0.7) among the
   *     survivors via [[DedupQueries.lshPairs]]; a doc is dropped when a
   *     surviving near-duplicate with a smaller doc_id exists (one-hop
-  *     rule — deterministic and SQL-expressible, so the DuckDB oracle
-  *     can assert the exact kept set; full transitive closure would
-  *     need iterative connected components, which no single SQL oracle
-  *     could check).
+  *     rule). The transitive-closure variant [[qCorpusCleanCc]] drops
+  *     whole clusters; BOTH are DuckDB-oracled exactly — the closure
+  *     via a recursive CTE over the jaccard edge set.
   */
 object CorpusQueries {
 
@@ -56,8 +55,11 @@ object CorpusQueries {
   /** Transitive-closure variant: near-dup CLUSTERS via
     * [[graft.operators.ConnectedComponents]] keep exactly one
     * representative each (A~B, B~C ⇒ drop B and C even when A~C is
-    * below threshold). Not single-statement-SQL-expressible → rows-only
-    * driver check; the ScalaTest suite pins the semantics instead. */
+    * below threshold). The distributed operator is iterative label
+    * propagation; the ORACLE expresses the same fixpoint as a DuckDB
+    * recursive CTE (reachability closure → MIN label per component) —
+    * so the driver hash-checks the cluster semantics end to end, on
+    * top of the suite's union-find pin. */
   def qCorpusCleanCc(s: SparkSession, dir: String): DataFrame = {
     val q = Tables(s, dir, "documents").select(
       col("doc_id"), col("lang"),
@@ -113,5 +115,43 @@ object CorpusQueries {
         |       WHERE c * 1.0 / (na.n + nb.n - c) >= 0.7)
         |SELECT doc_id, lang, n_tokens FROM surv
         |WHERE doc_id NOT IN (SELECT d2 FROM nd)
+        |ORDER BY doc_id""".stripMargin,
+    "q_corpus_clean_cc" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    md5(text) AS fp,
+        |    ROUND(0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+        |                 / len(string_split(text, ' ')))
+        |          + 0.5 * LEAST(len(string_split(text, ' ')) / 200.0, 1.0),
+        |          4) AS quality
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id, lang, n_tokens, text FROM q
+        |  WHERE quality >= 0.35 AND n_tokens >= 10
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+        |w AS (SELECT doc_id, string_split(text, ' ') ws FROM surv),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(ws) - 1, 2)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sgl
+        |       FROM w WHERE len(ws) >= 3),
+        |sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+        |           FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM common
+        |          JOIN sizes na ON d1 = na.doc_id
+        |          JOIN sizes nb ON d2 = nb.doc_id
+        |          WHERE c * 1.0 / (na.n + nb.n - c) >= 0.7),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (SELECT a, a FROM (SELECT DISTINCT a FROM edges) s
+        |                UNION
+        |                SELECT r.a, e.b FROM reach r JOIN edges e
+        |                  ON r.b = e.a),
+        |label AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+        |dropset AS (SELECT doc_id FROM label WHERE rep < doc_id)
+        |SELECT doc_id, lang, n_tokens FROM surv
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropset)
         |ORDER BY doc_id""".stripMargin)
 }
