@@ -25,6 +25,11 @@ class MppExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new MppParser(delegate))
     ext.injectOptimizerRule(_ => BucketPruning.rule)
+    // Catalog-path UPDATE: `UPDATE cat.t SET … WHERE …` over a
+    // [[graft.sources.ColocatedTable]] delegates to the engine's COW
+    // update (see Dsv2RowLevelDml's scaladoc for why this beats a
+    // second SupportsRowLevelOperations write path).
+    ext.injectResolutionRule(_ => graft.sources.Dsv2UpdateRule)
   }
 }
 

@@ -100,6 +100,18 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    // The engine's metadata has no property store: silently dropping
+    // TBLPROPERTIES/LOCATION/comment would let a CREATE "succeed" while
+    // losing what it specified. Reject anything beyond the entries
+    // Spark itself injects (round-5 ADVICE).
+    val sparkInjected = Set(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.keys.filterNot(sparkInjected).toSeq.sorted
+    }
+    if (userProps.nonEmpty) throw new UnsupportedOperationException(
+      "MPP tables do not store table properties/comment/location; " +
+        s"unsupported: ${userProps.mkString(", ")}")
     val spec = partitions match {
       case Array(t) if t.name == "bucket" =>
         for {
@@ -207,16 +219,66 @@ final case class GraftBucketBound(keyType: DataType)
   * enforcement, observed-metrics row count) through the V1-write
   * bridge — `INSERT INTO cat.t SELECT …` works on the stock SQL
   * surface without a second write implementation to keep bit-identical
-  * with the dialect path. DDL (CREATE/DROP/ALTER) stays on the engine
-  * dialect, mirroring the reference where only the coordinator mutates
-  * schema (`mpp_schema_entry.cpp:72-128`). */
+  * with the dialect path. `DELETE FROM cat.t [WHERE …]` rides
+  * `SupportsDeleteV2`: the translated condition delegates to the
+  * engine's COW delete ([[MppEngine.delete]] — bucket-pruned,
+  * match-pruned, atomically swapped), and an unconditional DELETE takes
+  * the engine's truncate fast path. UPDATE is bridged by
+  * [[Dsv2UpdateRule]] (see [[Dsv2RowLevelDml]]). DDL (CREATE/DROP/
+  * ALTER) stays on the engine dialect, mirroring the reference where
+  * only the coordinator mutates schema (`mpp_schema_entry.cpp:72-128`). */
 final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
     engine: () => MppEngine)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   override def name(): String = t.name
 
-  override val schema: StructType = StructType.fromDDL(t.schemaDdl)
+  /** Owning engine, for the row-level DML bridge. */
+  private[graft] def owner: MppEngine = engine()
+
+  /** User schema, with the engine's column defaults surfaced as the
+    * standard `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata — so
+    * stock analysis resolves `DEFAULT` in catalog-path INSERT/UPDATE
+    * statements to the ENGINE's default expression (reference
+    * `mpp_physical_insert.cpp:150-181`), not a null literal. */
+  override val schema: StructType = {
+    val base = StructType.fromDDL(t.schemaDdl)
+    if (t.defaults.isEmpty) base
+    else StructType(base.fields.map { f =>
+      t.defaults.get(f.name) match {
+        case Some(d) =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", d)
+            .putString("EXISTS_DEFAULT", d)
+            .build()
+          f.copy(metadata = md)
+        case None => f
+      }
+    })
+  }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => PredicateSql.translate(p).isDefined)
+
+  /** COW delete of the rows matching ALL predicates (Spark passes the
+    * split conjuncts). An empty array is Spark's spelling of
+    * "everything" — routed to the truncate fast path. */
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val conds = predicates.toSeq.map(p => PredicateSql.translate(p)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"cannot delete where: untranslatable predicate $p")))
+    if (conds.isEmpty) engine().delete(t.name, None)
+    else engine().delete(t.name, Some(conds.map(c => s"($c)").mkString(" AND ")))
+    ()
+  }
+
+  /** Unconditional `DELETE FROM cat.t`: the engine's no-rewrite
+    * truncate (count, drop every bucket dir) instead of a COW pass. */
+  override def truncateTable(): Boolean = {
+    engine().delete(t.name, None)
+    true
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -276,6 +276,77 @@ class ColocatedCatalogSpec extends SparkTestBase {
       want.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("DELETE FROM cat.t through stock Spark SQL (SupportsDeleteV2), " +
+      "no extensions required") {
+    engine
+    engine.sql("CREATE TABLE dml(k BIGINT, v DOUBLE) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    engine.insertInto("dml", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    // Conditional delete: the condition reaches the engine's COW delete.
+    spark.sql("DELETE FROM mppcat.dml WHERE k >= 90 AND v < 95.0")
+    assert(spark.table("mppcat.dml").count() == 95)
+    assert(engine.table("dml").count() == 95) // one storage, both surfaces
+    assert(engine.table("dml").filter(col("k") >= 90).count() == 5)
+    // Unconditional DELETE takes the truncate fast path (no rewrite).
+    spark.sql("DELETE FROM mppcat.dml")
+    assert(spark.table("mppcat.dml").count() == 0)
+    assert(engine.table("dml").count() == 0)
+  }
+
+  test("UPDATE cat.t through stock Spark SQL delegates to the engine's " +
+      "COW update (extensions session)") {
+    engine
+    engine.sql("CREATE TABLE upd(k BIGINT, v DOUBLE DEFAULT 7.5) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    engine.insertInto("upd", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.mpp.MppExtensions()(_))
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.sql.catalog.mppdml", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.mppdml.warehouse", engine.warehouse)
+      // Arbitrary SET expressions + WHERE, same COW semantics as the
+      // dialect path (one code path: MppEngine.update).
+      s2.sql("UPDATE mppdml.upd SET v = v * 2 + 1 WHERE k < 10")
+      val low = engine.table("upd").filter(col("k") < 10)
+        .select(sum("v")).head().getDouble(0)
+      assert(low == (0 until 10).map(_ * 2.0 + 1).sum, low)
+      // DEFAULT resolves to the ENGINE's declared default (surfaced as
+      // CURRENT_DEFAULT field metadata), not a null literal.
+      s2.sql("UPDATE mppdml.upd SET v = DEFAULT WHERE k = 42")
+      assert(engine.table("upd").filter(col("k") === 42)
+        .head().getDouble(1) == 7.5)
+      // Partition-column SET moves the row to its new bucket: a pruned
+      // point lookup on the NEW key finds it.
+      s2.sql("UPDATE mppdml.upd SET k = 1000 WHERE k = 55")
+      val moved = spark.table("mppcat.upd").filter(col("k") === 1000L)
+      assert(moved.count() == 1)
+      assert(moved.queryExecution.executedPlan.toString.contains("shards 1/4"))
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("CREATE TABLE with TBLPROPERTIES/COMMENT is rejected, nothing created") {
+    engine
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE mppcat.props (k BIGINT) " +
+        "PARTITIONED BY (bucket(2, k)) TBLPROPERTIES ('a'='b')")
+    }
+    assert(err.getMessage.contains("propert"), err.getMessage)
+    assert(!engine.sql("SHOW TABLES").collect()
+      .map(_.getString(0)).contains("props"))
+  }
+
   test("V2 CTAS: CREATE TABLE ... PARTITIONED BY (bucket) AS SELECT " +
       "creates, loads, and hash-places in one statement") {
     engine
