@@ -174,40 +174,81 @@ object FreqSketch {
     call_function("freq_sketch", col, lit(capacity))
   }
 
-  /** Which plan the last [[topKExact]] call chose — test introspection
-    * only ("lossless" | "certified" | "fallback"). */
-  @volatile private[graft] var lastDecision: String = ""
-
   /** Exact distributed top-k, SELF-CERTIFYING, ≤ 2 data passes on every
-    * path. Pass 1 aggregates the sketch plus a row count (shuffles one
-    * ≤ capacity-entry summary per partition, never the keys; the
-    * collect is ≤ capacity rows, index-build-sized like IVF's). The
-    * tight mergeable MG bound — every decrement burns capacity+1 units
-    * of mass, so any item ABSENT from the sketch has true count ≤
-    * ε = (N − Σ estimates)/(capacity+1), and every estimate undercounts
-    * by ≤ ε — then decides the plan BEFORE any second pass:
-    *
-    *  - ε = 0: nothing was ever evicted, the sketch IS the exact
-    *    histogram of its items and holds every item — top-k returned
-    *    from the estimates directly, ONE pass total;
-    *  - k-th largest estimate > ε: certification is guaranteed up
-    *    front (true counts ≥ estimates), so pass 2 exactly recounts
-    *    the ≤ capacity candidates and no absent item (≤ ε) can beat
-    *    the recounted k-th — PROVEN exact;
-    *  - otherwise: the data offers no sketchable margin (near-uniform
-    *    corpus whose vocabulary outgrew the capacity — no heavy
-    *    hitters to find), so pass 2 is the full exact aggregate
-    *    rather than a silently-possibly-wrong answer. Correctness
-    *    never depends on the data shape, only the speed does.
-    *
-    * On Zipfian real corpora the certified path wins with modest
-    * capacity at any N (the head outgrows ε); the margin-less branch
-    * is the price of exactness on adversarially flat data. */
+    * path. Convenience wrapper over [[topKExactDecided]] for callers
+    * that only want the result. */
   def topKExact(df: DataFrame, column: String, k: Int,
-      capacity: Int): DataFrame = {
+      capacity: Int): DataFrame =
+    topKExactDecided(df, column, k, capacity)._1
+
+  /** Rows of the certifiability probe — a prefix window this size is
+    * scanned (two driver-cheap jobs) before committing to a sketch
+    * pass. 64k is large enough to see a head if one exists and small
+    * enough to be planning-noise at any scale. */
+  private val ProbeRows = 65536
+
+  /** Exact distributed top-k with the chosen plan returned alongside
+    * ("lossless" | "certified" | "fallback" | "probed-fallback") — the
+    * decision is per-call state, not a shared var, so concurrent
+    * callers cannot misreport each other (round-5 ADVICE).
+    *
+    * NULL semantics: NULL items are NOT candidates on ANY path — the
+    * sketch never stores them, `n` counts only non-null rows, and the
+    * exact fallback filters them — so the result is identical
+    * whichever plan fires (round-5 ADVICE: previously the fallback
+    * could seat a NULL group the sketch paths could never return, and
+    * `count(lit(1))` inflated ε with rows the sketch never saw).
+    *
+    * Plan choice:
+    *
+    *  0. PROBE: a ≤ [[ProbeRows]] prefix is exactly counted and the
+    *     certificate below is projected onto it with a 2× safety
+    *     margin. If even the probe's k-th heaviest item cannot beat
+    *     2× its projected ε while the probe's vocabulary already
+    *     outgrew the capacity, the data is flat — the sketch pass
+    *     cannot certify and would be pure overhead on top of the
+    *     exact aggregate, so go straight to the exact plan (ONE full
+    *     pass instead of two). The probe is a plan heuristic only:
+    *     a wrong "flat" call costs speed never correctness (the
+    *     exact plan is always right), and a wrong "skewed" call just
+    *     restores the old sketch-then-fallback behavior.
+    *  1. Sketch pass: aggregates the sketch plus the non-null count
+    *     (shuffles one ≤ capacity-entry summary per partition, never
+    *     the keys). The tight mergeable MG bound — every decrement
+    *     burns capacity+1 units of mass, so any item ABSENT from the
+    *     sketch has true count ≤ ε = (N − Σ estimates)/(capacity+1),
+    *     and every estimate undercounts by ≤ ε — then decides:
+    *     ε = 0 → the sketch IS the exact histogram, top-k returned
+    *     directly (one pass total); k-th estimate > ε → pass 2
+    *     exactly recounts the ≤ capacity candidates, PROVEN exact;
+    *     otherwise the full exact aggregate (correctness never
+    *     depends on the data shape, only the speed does). */
+  def topKExactDecided(df: DataFrame, column: String, k: Int,
+      capacity: Int, probeRows: Int = ProbeRows): (DataFrame, String) = {
     val spark = df.sparkSession
+    val nonNull = df.filter(col(column).isNotNull)
+    def exactPlan: DataFrame = nonNull
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(column).asc)
+      .limit(k)
+    // --- 0. certifiability probe ------------------------------------
+    val window = nonNull.select(col(column).as("__v")).limit(probeRows)
+    val topCounts = window.groupBy(col("__v"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc).limit(capacity)
+      .collect().map(_.getLong(1))
+    val windowN = window.count()
+    if (windowN >= probeRows) {
+      val windowEps = (windowN - topCounts.sum) / (capacity + 1)
+      val certifiable = topCounts.length >= k &&
+        topCounts(k - 1) > 2 * windowEps
+      val vocabOutgrown = windowEps > 0
+      if (vocabOutgrown && !certifiable) return (exactPlan, "probed-fallback")
+    }
+    // --- 1. sketch pass ----------------------------------------------
     val first = df.agg(sketch(spark, col(column), capacity).as("s"),
-        count(lit(1)).as("n"))
+        count(col(column)).as("n"))
       .selectExpr("transform(s, x -> x.item) AS items",
         "transform(s, x -> x.count) AS ests", "n")
       .collect()(0)
@@ -220,25 +261,20 @@ object FreqSketch {
         .orderBy(col("cnt").desc, col(column).asc)
     }
     if (eps == 0L) { // lossless: estimates are the exact counts
-      lastDecision = "lossless"
       // eval() ordering is (count desc, item asc) already.
-      local(cands.zip(ests).take(k))
+      (local(cands.zip(ests).take(k)), "lossless")
     } else if (ests.length >= k && ests(k - 1) > eps) {
-      lastDecision = "certified" // recount >= estimate > eps, up front
+      // certified: recount >= estimate > eps, known up front
       val recounted = df.filter(col(column).isin(cands: _*))
         .groupBy(col(column))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col(column).asc)
         .limit(k)
         .collect()
-      local(recounted.toIndexedSeq
-        .map(r => (r.getString(0), r.getLong(1))))
+      (local(recounted.toIndexedSeq
+        .map(r => (r.getString(0), r.getLong(1)))), "certified")
     } else {
-      lastDecision = "fallback"
-      df.groupBy(col(column))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col(column).asc)
-        .limit(k)
+      (exactPlan, "fallback")
     }
   }
 }

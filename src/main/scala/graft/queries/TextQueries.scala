@@ -95,8 +95,12 @@ object TextQueries {
     * the exact aggregate when the margin is gone — which the scaled
     * driver mirrors trigger by design (their per-copy token suffixing
     * grows the vocabulary while keeping counts flat: no heavy hitters
-    * to find), so the result is exact at every SF either way
-    * (FreqSketchSpec pins both paths under adversarial eviction). */
+    * to find). Since round 6 the flat case costs ONE exact aggregate,
+    * not sketch-plus-aggregate: the 64k-row certifiability probe
+    * detects the missing margin before the sketch pass runs
+    * (FreqSketchSpec pins every path under adversarial eviction;
+    * [[qHeavyHittersZipf]] is the head-heavy row where the certified
+    * plan is the one measured). */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     val bigrams = docs(s, dir)
       .select(toks.as("tk"))
@@ -107,6 +111,36 @@ object TextQueries {
     graft.functions.FreqSketch.topKExact(bigrams, "bigram",
         k = 20, capacity = 2048)
       .orderBy(col("cnt").desc, col("bigram"))
+  }
+
+  /** Deterministic Zipf-shaped item stream derived from `events`:
+    * u = multiplicative-hash(event_id) ∈ (0, 1] uniform, item =
+    * ⌊u^-1.25⌋ capped — inverse-CDF sampling giving P(item ≥ r) =
+    * r^-0.8, the head-heavy shape of real token/URL/user-id
+    * distributions. Pure integer-then-double arithmetic both engines
+    * compute bit-identically (no engine hash functions involved). */
+  private val zipfItem = {
+    val u = (((col("event_id") % 1000003L) * 2654435761L) % 1000003L +
+      lit(1L)) / lit(1000003.0)
+    concat(lit("it_"),
+      least(floor(pow(u, lit(-1.25))), lit(100000.0)).cast("long")
+        .cast("string"))
+  }
+
+  /** Exact top-20 heavy hitters on HEAD-HEAVY data — the plan
+    * [[qHeavyHitters]]'s flat-vocabulary corpus can never exercise:
+    * here the Zipf head towers over ε, so `topKExact` takes the
+    * CERTIFIED 2-pass route (sketch summary shuffle + ≤ 256-key exact
+    * recount) at every scale factor, never the full-vocabulary
+    * aggregate. This is the 100 TB plan for real corpora: shuffle
+    * bytes are O(partitions × capacity), independent of the billions
+    * of distinct items (suite-pinned certified on the driver's own
+    * data in FreqSketchSpec). */
+  def qHeavyHittersZipf(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables(s, dir, "events").select(zipfItem.as("item"))
+    graft.functions.FreqSketch.topKExact(items, "item",
+        k = 20, capacity = 256)
+      .orderBy(col("cnt").desc, col("item"))
   }
 
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
@@ -124,6 +158,7 @@ object TextQueries {
     "q_lang_id" -> (qLangId _),
     "q_token_freq" -> (qTokenFreq _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_heavy_hitters_zipf" -> (qHeavyHittersZipf _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -173,6 +208,14 @@ object TextQueries {
         |      FROM t)
         |SELECT bigram, COUNT(1) AS cnt FROM b
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+    "q_heavy_hitters_zipf" ->
+      """WITH z AS (
+        |  SELECT 'it_' || CAST(CAST(LEAST(FLOOR(POWER(
+        |    (((event_id % 1000003) * 2654435761) % 1000003 + 1) / 1000003.0,
+        |    -1.25)), 100000.0) AS BIGINT) AS VARCHAR) AS item
+        |  FROM events)
+        |SELECT item, COUNT(1) AS cnt FROM z
+        |GROUP BY item ORDER BY cnt DESC, item LIMIT 20""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp

@@ -144,9 +144,10 @@ class FreqSketchSpec extends SparkTestBase {
       (Seq.fill(20000)("hh_" + rnd.nextInt(10)) ++
         Seq.fill(20000)("tail_" + rnd.nextInt(3200))).toIndexedSeq)
     val df = strong.toDF("item").repartition(5)
-    val got = FreqSketch.topKExact(df, "item", k = 10, capacity = 64)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(FreqSketch.lastDecision == "certified", FreqSketch.lastDecision)
+    val (res, decision) =
+      FreqSketch.topKExactDecided(df, "item", k = 10, capacity = 64)
+    val got = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(decision == "certified", decision)
     val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item").asc).limit(10)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -156,9 +157,10 @@ class FreqSketchSpec extends SparkTestBase {
   test("topKExact is a single lossless pass when the vocabulary fits") {
     val small = (0 until 1000).map(i => s"v_${i % 40}")
     val df = small.toDF("item").repartition(3)
-    val got = FreqSketch.topKExact(df, "item", k = 5, capacity = 64)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(FreqSketch.lastDecision == "lossless", FreqSketch.lastDecision)
+    val (res, decision) =
+      FreqSketch.topKExactDecided(df, "item", k = 5, capacity = 64)
+    val got = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(decision == "lossless", decision)
     val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item").asc).limit(5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -172,13 +174,72 @@ class FreqSketchSpec extends SparkTestBase {
     // and the answer must still be the exact top-k.
     val uniform = (0 until 6000).map(i => s"u_${i % 2000}")
     val df = uniform.toDF("item").repartition(4)
-    val got = FreqSketch.topKExact(df, "item", k = 5, capacity = 32)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(FreqSketch.lastDecision == "fallback", FreqSketch.lastDecision)
+    val (res, decision) =
+      FreqSketch.topKExactDecided(df, "item", k = 5, capacity = 32)
+    val got = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(decision == "fallback", decision)
     val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item").asc).limit(5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
+  }
+
+  test("certifiability probe skips the sketch pass entirely on flat " +
+      "data (probed-fallback) and stays correct") {
+    // Same flat shape, but the probe window covers >= probeRows rows:
+    // the projected certificate fails up front, so the plan is ONE
+    // exact aggregate — no sketch pass — and still the exact top-k.
+    val uniform = (0 until 6000).map(i => s"u_${i % 2000}")
+    val df = uniform.toDF("item").repartition(4)
+    val (res, decision) = FreqSketch.topKExactDecided(
+      df, "item", k = 5, capacity = 32, probeRows = 1000)
+    val got = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(decision == "probed-fallback", decision)
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("NULL items are excluded identically on every plan") {
+    // Round-5 ADVICE: the sketch paths can never return NULL (the
+    // aggregate skips null inputs), so the fallback/probed plans must
+    // not seat a NULL group either — and n must count only non-null
+    // rows so eps stays tight on null-bearing columns.
+    val values = Seq.fill(300)("a") ++ Seq.fill(200)("b") ++
+      Seq.fill(100)("c") ++ Seq.fill(1000)(null.asInstanceOf[String])
+    val df = rnd.shuffle(values).toDF("item").repartition(3)
+    for ((cap, probe) <- Seq((64, 65536), (64, 500), (2, 65536))) {
+      val (res, decision) = FreqSketch.topKExactDecided(
+        df, "item", k = 3, capacity = cap, probeRows = probe)
+      val got = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("a", 300L), ("b", 200L), ("c", 100L)),
+        s"decision=$decision got=$got")
+    }
+  }
+
+  test("q_heavy_hitters_zipf takes the certified plan on the driver's " +
+      "own events data (sf0.01)") {
+    // The head-heavy row exists precisely so the bench measures the
+    // certified 2-pass plan; pin that it actually fires on the real
+    // input, and that the result equals the exact aggregate.
+    val items = Tables(spark, "/root/testdata/sf0.01", "events")
+      .select(expr("concat('it_', cast(cast(least(floor(power(" +
+        "(((event_id % 1000003) * 2654435761) % 1000003 + 1) / 1000003.0," +
+        " -1.25)), 100000.0d) as long) as string))").as("item"))
+    val (res, decision) =
+      FreqSketch.topKExactDecided(items, "item", k = 20, capacity = 256)
+    assert(decision == "certified", decision)
+    val got = res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // And the registered query row agrees with itself end-to-end.
+    val viaQuery = graft.queries.TextQueries
+      .qHeavyHittersZipf(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaQuery == want)
   }
 
   test("sketch aggregate handles NULLs and empty input") {
