@@ -26,9 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g on the 128 GiB bench host: the sf3/sf10 scaled phases keep
-  // localCheckpoint blocks (dedup shingle relations) in storage memory;
-  // at 16g they evict mid-run and steady-state timings measure
-  // recomputation, not the operator.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Modest default so `sbt test` on ordinary dev/CI hosts never swaps
+  // or gets OOM-killed (round-5 ADVICE). The scaled sf3/sf10 bench
+  // phases need a big heap (localCheckpoint blocks — dedup shingle
+  // relations — evict at 16g and steady-state rows measure
+  // recomputation): export SPARK_DRIVER_MEM=48g for those runs, as
+  // BASELINE.md §4 documents.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -46,6 +46,18 @@ object AsofJoin {
     val rightPayload = right.columns.filter(c => c != key && c != time)
     require(rightPayload.nonEmpty, "right side has no payload columns")
     val leftCols = left.columns
+    // Payload names must not collide with non-key left columns: the
+    // output aliases both sides verbatim, and a duplicate column name
+    // is a confusing downstream error (ambiguous reference) instead of
+    // a join-time one. Fail fast with the fix (round-5 verdict).
+    val collisions = rightPayload.toSet
+      .intersect(leftCols.filterNot(c => c == key || c == time).toSet)
+    require(collisions.isEmpty,
+      s"asof: right payload column(s) ${collisions.mkString(", ")} " +
+        "collide with left columns — rename one side before joining")
+    // Internal tags would likewise be silently overwritten.
+    require(!(leftCols ++ right.columns).exists(Set("__side", "__r")),
+      "asof: __side/__r are reserved internal column names")
     val payloadStruct = struct(rightPayload.map(col): _*)
     // Union schema: key, time, side, left columns, one payload struct.
     val taggedLeft = left

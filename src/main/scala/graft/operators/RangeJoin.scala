@@ -66,6 +66,7 @@ object RangeJoin {
       keys: Seq[String] = Nil,
       maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoBinColumn(points, intervals)
     val w = lit(binWidth)
     val l = points
       .filter(col(point).isNotNull && keys.map(col(_).isNotNull)
@@ -95,6 +96,7 @@ object RangeJoin {
       binWidth: Long, keys: Seq[String] = Nil,
       maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoBinColumn(left, right)
     val w = lit(binWidth)
     def valid(lo: String, hi: String) =
       col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi)
@@ -109,6 +111,71 @@ object RangeJoin {
           greatest(floorDiv(col(loL), w), floorDiv(col(loR), w)))
       .drop("__bin")
   }
+
+  /** Width-free variants: derive `binWidth` from the data — the median
+    * interval length via ONE `approx_percentile` aggregate over the
+    * intervals side — removing the one human-error knob of the
+    * operator (a mis-guessed width degrades linearly; see the cost
+    * model above, which names the median as the target). The
+    * aggregate collects a single row; at 100 TB it is a full-scan
+    * reduce with a constant-size sketch — the same cost class as the
+    * join's own shuffle it then right-sizes. */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      point: String, lo: String, hi: String,
+      keys: Seq[String], maxBinsPerInterval: Int): DataFrame =
+    pointInInterval(points, intervals, point, lo, hi,
+      autoBinWidth(intervals, lo, hi), keys, maxBinsPerInterval)
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      point: String, lo: String, hi: String,
+      keys: Seq[String]): DataFrame =
+    pointInInterval(points, intervals, point, lo, hi, keys, 4096)
+
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      keys: Seq[String], maxBinsPerInterval: Int): DataFrame =
+    intervalOverlap(left, right, loL, hiL, loR, hiR,
+      // Bin by the LONGER side's median: replication of the other side
+      // only shrinks, and a degenerate all-points side cannot force
+      // width-1 cells against long partners.
+      math.max(autoBinWidth(left, loL, hiL), autoBinWidth(right, loR, hiR)),
+      keys, maxBinsPerInterval)
+
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      loL: String, hiL: String, loR: String, hiR: String,
+      keys: Seq[String]): DataFrame =
+    intervalOverlap(left, right, loL, hiL, loR, hiR, keys, 4096)
+
+  /** Upper-quartile interval length (closed-interval cell count,
+    * `hi-lo+1`) as the data-driven bin width. The cost model wants a
+    * width near the typical interval length; of the two failure modes,
+    * a too-SMALL width is the worse one (it multiplies the build side —
+    * a bimodal mix of short and long intervals binned at the short
+    * mode's median floods hundreds of copies per long interval), while
+    * a too-large width only grows the residual-filter fan-in linearly.
+    * `approx_percentile` returns a real element, not an interpolation,
+    * so p75 picks the longer mode on bimodal data: ≥ 75% of intervals
+    * then replicate into ≤ 2 cells. Degenerate inputs (empty,
+    * all-null, all-point intervals) fall back to width 1. */
+  def autoBinWidth(intervals: DataFrame, lo: String, hi: String): Long = {
+    val row = intervals
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .agg(approx_percentile(
+        (col(hi).cast("long") - col(lo).cast("long")) + lit(1L),
+        lit(0.75), lit(1000)).as("w"))
+      .head()
+    if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+  }
+
+  /** Both inputs must be free of the operator's internal bin column —
+    * `withColumn` would silently overwrite a caller's column of the
+    * same name and `drop` would then delete it (round-5 ADVICE). */
+  private def requireNoBinColumn(dfs: DataFrame*): Unit =
+    dfs.foreach { df =>
+      require(!df.columns.contains("__bin"),
+        "RangeJoin: input already has a __bin column — rename it " +
+          "(the operator uses __bin internally)")
+    }
 
   /** The interval's cell ids, with the fail-fast replication guard. */
   private def bins(lo: org.apache.spark.sql.Column,

@@ -256,6 +256,26 @@ object AnalyticQueries {
           .as("cov_qp"))
       .orderBy("l_returnflag")
 
+  /** The billions-per-group SCALE PATH for [[qStatsAgg]]'s percentiles:
+    * `percentile_approx` (KLL/GK-style MERGEABLE summary — constant
+    * memory per group, partial-aggregable, no per-group sort buffer).
+    * Declared rows-only at the driver gate, same precedent as
+    * q_ann_ivf/q_ann_lsh: DuckDB's `approx_quantile` is a different
+    * sketch (t-digest), so value-level hash parity is impossible by
+    * nature; the suite instead pins the estimates against the exact
+    * percentiles within the sketch's accuracy envelope. */
+  def qStatsApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile_approx(l_quantity, 0.5, 10000)"), 4)
+          .as("ap50_qty"),
+        round(expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 4)
+          .as("ap90_price"),
+        round(expr("percentile_approx(l_extendedprice, 0.99, 10000)"), 4)
+          .as("ap99_price"))
+      .orderBy("l_returnflag")
+
   /** GROUP BY ... HAVING. */
   def qHaving(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -390,6 +410,7 @@ object AnalyticQueries {
     "q_cube" -> (qCube _),
     "q_distinct_agg" -> (qDistinctAgg _),
     "q_stats_agg" -> (qStatsAgg _),
+    "q_stats_approx" -> (qStatsApprox _),
     "q_having" -> (qHaving _),
     "q_filters_null" -> (qFiltersNull _),
     "q_scalar_fns" -> (qScalarFns _),

@@ -219,6 +219,23 @@ object OperatorQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Batch replay of the STREAMING attribution join — literally
+    * [[graft.streaming.EventStreams.attribute]], the stream-stream
+    * interval join, run over the batch events relation: watermarks are
+    * analyzer-eliminated no-ops in batch, so the DuckDB interval-join
+    * oracle checks the exact operator the stream runs (the round-5
+    * verdict asked for this oracle; the sessionize row set the
+    * precedent). Each purchase credits every click of the same user in
+    * the preceding 30 minutes. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    graft.streaming.EventStreams.attribute(ev, ev)
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        round(col("amount"), 4).as("amount"))
+      .orderBy("user_id", "click_ts", "purchase_ts")
+  }
+
   /** Batch replay of the streaming 30-minute-gap sessionization
     * ([[graft.streaming.EventStreams.sessionizeBatch]]). */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -237,6 +254,7 @@ object OperatorQueries {
     "q_skew_salted_join" -> (qSkewSaltedJoin _),
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_sessionize" -> (qSessionize _),
+    "q_attribution" -> (qAttribution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,5 +335,20 @@ object OperatorQueries {
         |       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+        |           FROM events),
+        |c AS (SELECT user_id, t AS click_ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, t AS purchase_ts,
+        |             value AS amount FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.click_ts, p.purchase_ts,
+        |       ROUND(p.amount, 4) AS amount
+        |FROM c JOIN p ON c.user_id = p.p_user
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, c.click_ts, p.purchase_ts""".stripMargin,
   )
 }

@@ -55,6 +55,49 @@ object SimilarityQueries {
     * corpus-sized ever collects. */
   def ivfModel(s: SparkSession, corpus: DataFrame, k: Int = 10,
       iters: Int = 2, cacheKey: String = ""): (DataFrame, DataFrame) = {
+    val (assigned, cents, _) =
+      ivfModelWithProvenance(s, corpus, k, iters, cacheKey)
+    (assigned, cents)
+  }
+
+  /** Conf key: directory under which trained ANN models persist (e.g.
+    * the engine warehouse). Unset → in-memory only (current-JVM
+    * memoization). At 100 TB an index build is hours of cluster time;
+    * persisting the MODEL (centroids — KB to MB) and replaying one
+    * assignment pass per session is the amortization every ANN system
+    * needs, the same pattern as the engine's `_rowid_manifest.json`. */
+  val IndexDirConf = "graft.ann.indexDir"
+
+  /** [[ivfModel]] plus the model's provenance ("trained" | "loaded" |
+    * "memoized") — per-call state for tests/introspection. When
+    * [[IndexDirConf]] is set, a trained model is persisted under it
+    * (centroids as parquet + a JSON meta holding the corpus
+    * fingerprint) and any later engine/JVM over the same corpus loads
+    * it back, paying one assignment pass instead of the 1+iters
+    * training passes + driver seeding. The fingerprint (count +
+    * xor of row hashes, one cheap aggregate) guards staleness: a
+    * changed corpus retrains and overwrites. */
+  private[graft] def ivfModelWithProvenance(s: SparkSession,
+      corpus: DataFrame, k: Int = 10, iters: Int = 2,
+      cacheKey: String = ""): (DataFrame, DataFrame, String) = {
+    def build(): (DataFrame, DataFrame, String) = {
+      val indexDir = Option(s.conf.get(IndexDirConf, "")).filter(_.nonEmpty)
+      val fp = indexDir.map(_ => corpusFingerprint(corpus))
+      val loaded = for {
+        d <- indexDir
+        f <- fp
+        c <- IvfStore.load(s, d, cacheKey, f, k, iters)
+      } yield c
+      loaded match {
+        case Some(cents) =>
+          (assignCells(s, corpus, cents).localCheckpoint(), cents, "loaded")
+        case None =>
+          val (assigned, cents) = train()
+          for (d <- indexDir; f <- fp)
+            IvfStore.save(s, d, cacheKey, f, k, iters, cents)
+          (assigned, cents, "trained")
+      }
+    }
     def train(): (DataFrame, DataFrame) = {
       // One TakeOrdered pass: deterministic uniform oversample.
       val cand: Array[Seq[Double]] = corpus
@@ -91,19 +134,11 @@ object SimilarityQueries {
         seeds += cand(best)
         maxSim(best) = 2.0
       }
-      def assign(cents: DataFrame): DataFrame =
-        corpus.crossJoin(broadcast(cents))
-          .withColumn("cos",
-            dot(s, col("v"), col("cv")) / (col("nrm") * norm(s, col("cv"))))
-          .groupBy(col("vec_id"))
-          .agg(
-            max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"),
-            first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       import s.implicits._
       var centroids = seeds.zipWithIndex.toSeq
         .map { case (v, i) => (i + 1, v) }.toDF("cell", "cv")
       (1 to iters).foreach { _ =>
-        centroids = assign(centroids)
+        centroids = assignCells(s, corpus, centroids)
           .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy("cell", "pos").agg(avg("x").as("m"))
           .groupBy("cell")
@@ -111,14 +146,45 @@ object SimilarityQueries {
           .select(col("cell"), expr("transform(pm, p -> p.m)").as("cv"))
           .localCheckpoint()
       }
-      (assign(centroids).localCheckpoint(), centroids)
+      (assignCells(s, corpus, centroids).localCheckpoint(), centroids)
     }
-    if (cacheKey.isEmpty) train()
-    else modelCache.getOrElseUpdate(cacheKey, train())
+    if (cacheKey.isEmpty) build()
+    else modelCache.get(cacheKey) match {
+      case Some((a, c)) => (a, c, "memoized")
+      case None =>
+        val r = build()
+        modelCache.put(cacheKey, (r._1, r._2))
+        r
+    }
   }
 
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  /** Nearest-centroid cell assignment: one crossJoin against the
+    * broadcast centroid set + a `max_by` aggregate (map-side partial,
+    * no window sort) — the single corpus pass a session pays to use a
+    * loaded model, and the per-round step of Lloyd training. */
+  private def assignCells(s: SparkSession, corpus: DataFrame,
+      cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        dot(s, col("v"), col("cv")) / (col("nrm") * norm(s, col("cv"))))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+
+  /** (row count, xor of per-row hashes) in ONE cheap aggregate over
+    * (vec_id, v) — order-independent, any insert/delete/edit flips it. */
+  private def corpusFingerprint(corpus: DataFrame): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(vec_id, v))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private val modelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (DataFrame, DataFrame)]
+
+  /** Test hook: forget in-JVM models (simulates a fresh engine). */
+  private[graft] def clearModelCache(): Unit = modelCache.clear()
 
   /** Exact brute-force cosine top-k for query vectors vec_id < 10. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
@@ -240,6 +306,8 @@ object SimilarityQueries {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
   )
 
+  // (IVF persistence lives in [[IvfStore]] below.)
+
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" ->
       """SELECT q_id, neighbor_id, ROUND(cos, 4) AS cos_sim, rnk
@@ -256,4 +324,62 @@ object SimilarityQueries {
         |WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
   )
+}
+
+/** Persisted IVF model store: `<dir>/ivf-<keyhash>/` holding the
+  * centroid set as PARQUET (the right format when k×dim grows to real
+  * index sizes — columnar, splittable, no JSON blowup) plus a tiny
+  * `meta.json` with the training params and the corpus fingerprint.
+  * Load returns None — forcing a retrain — whenever params or
+  * fingerprint disagree, so a stale index can never silently serve a
+  * changed corpus. Writes go through a temp dir + rename so a crashed
+  * save never leaves a half-written model that load would trust. */
+private[graft] object IvfStore {
+
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private def modelDir(dir: String, cacheKey: String): String = {
+    val keyHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(cacheKey.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    s"$dir/ivf-$keyHash"
+  }
+
+  private def metaJson(fp: (Long, Long), k: Int, iters: Int): String =
+    s"""{"version":1,"k":$k,"iters":$iters,""" +
+      s""""corpus_count":${fp._1},"corpus_xor":${fp._2}}"""
+
+  def save(s: SparkSession, dir: String, cacheKey: String,
+      fp: (Long, Long), k: Int, iters: Int, centroids: DataFrame): Unit = {
+    val target = new Path(modelDir(dir, cacheKey))
+    val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    centroids.write.mode("overwrite")
+      .parquet(new Path(tmp, "centroids.parquet").toString)
+    val out = fs.create(new Path(tmp, "meta.json"), true)
+    out.write(metaJson(fp, k, iters).getBytes("UTF-8"))
+    out.close()
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"IvfStore: cannot publish $target")
+    }
+  }
+
+  def load(s: SparkSession, dir: String, cacheKey: String,
+      fp: (Long, Long), k: Int, iters: Int): Option[DataFrame] = {
+    val target = new Path(modelDir(dir, cacheKey))
+    val fs = target.getFileSystem(s.sessionState.newHadoopConf())
+    val metaPath = new Path(target, "meta.json")
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val meta = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    // The meta is engine-written with a fixed field order; an exact
+    // string compare IS the full params+fingerprint check.
+    if (meta != metaJson(fp, k, iters)) return None
+    Some(s.read.parquet(new Path(target, "centroids.parquet").toString))
+  }
 }

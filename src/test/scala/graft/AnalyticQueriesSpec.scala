@@ -50,6 +50,38 @@ class AnalyticQueriesSpec extends SparkTestBase {
     assert(AnalyticQueries.qCrossJoin(spark, sf).count() == 5L * 25L)
   }
 
+  test("q_stats_approx estimates sit inside the exact percentile envelope") {
+    // The rows-only scale-path row: DuckDB's t-digest cannot hash-match,
+    // so pin the KLL/GK estimates against the EXACT percentiles — each
+    // approx value must land within the [p-2, p+2] exact-rank band
+    // (accuracy 10000 bounds rank error at N/10000 ≪ 2% here).
+    import org.apache.spark.sql.functions._
+    val approx = AnalyticQueries.qStatsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.48)").as("q_lo"),
+        expr("percentile(l_quantity, 0.52)").as("q_hi"),
+        expr("percentile(l_extendedprice, 0.88)").as("p_lo"),
+        expr("percentile(l_extendedprice, 0.92)").as("p_hi"),
+        expr("percentile(l_extendedprice, 0.97)").as("t_lo"))
+      .collect()
+    assert(exact.nonEmpty && approx.nonEmpty)
+    exact.foreach { e =>
+      val a = approx(e.getString(0))
+      assert(a.getDouble(1) >= e.getDouble(1) - 1e-9 &&
+        a.getDouble(1) <= e.getDouble(2) + 1e-9,
+        s"${e.getString(0)} ap50_qty=${a.getDouble(1)} outside " +
+          s"[${e.getDouble(1)}, ${e.getDouble(2)}]")
+      assert(a.getDouble(2) >= e.getDouble(3) - 1e-9 &&
+        a.getDouble(2) <= e.getDouble(4) + 1e-9,
+        s"${e.getString(0)} ap90_price outside envelope")
+      assert(a.getDouble(3) >= e.getDouble(5) - 1e-9,
+        s"${e.getString(0)} ap99_price below exact p97")
+    }
+  }
+
   test("broadcast hint survives into q5 physical plan") {
     val plan = AnalyticQueries.q5RegionRevenue(spark, sf)
       .queryExecution.executedPlan.toString()

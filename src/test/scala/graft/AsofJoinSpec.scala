@@ -80,4 +80,22 @@ class AsofJoinSpec extends SparkTestBase {
       .filter(col("t") < col("first_rt"))
     assert(bad.count() == 0)
   }
+
+  test("asof rejects right payload columns colliding with left columns") {
+    // Both sides carry a non-key `px`: the output would otherwise hold
+    // TWO `px` columns and fail only on the first downstream reference.
+    val left = Seq(("A", 1L, 1.0)).toDF("sym", "t", "px")
+    val right = Seq(("A", 1L, 2.0)).toDF("sym", "t", "px")
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, "sym", "t")
+    }
+    assert(err.getMessage.contains("px"), err.getMessage)
+    assert(err.getMessage.contains("rename"), err.getMessage)
+    // Reserved internal names are guarded too.
+    val err2 = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left.withColumnRenamed("px", "__side"),
+        Seq(("A", 1L, 2.0)).toDF("sym", "t", "bid"), "sym", "t")
+    }
+    assert(err2.getMessage.contains("reserved"), err2.getMessage)
+  }
 }

@@ -124,6 +124,53 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall@5 on clusterable data = $recall")
   }
 
+  test("IVF model persists under graft.ann.indexDir: a fresh engine " +
+      "loads it instead of retraining; a changed corpus retrains") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.norm
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val pts = for (c <- 0 until 4; i <- 0 until 12) yield {
+      val v = Seq.tabulate(8)(d =>
+        (if (d == c * 2) 1.0 else 0.0) + (i * 7 + d) * 1e-3)
+      ((c * 12 + i).toLong, v)
+    }
+    val corpus = pts.toDF("vec_id", "v")
+      .withColumn("nrm", norm(spark, col("v")))
+    spark.conf.set(SimilarityQueries.IndexDirConf, idx)
+    try {
+      SimilarityQueries.clearModelCache()
+      val (a1, c1, src1) = SimilarityQueries.ivfModelWithProvenance(
+        spark, corpus, k = 4, iters = 1, cacheKey = "persist-test")
+      assert(src1 == "trained", src1)
+      // Same JVM, same key: memoized (no disk read, no passes).
+      val (_, _, srcM) = SimilarityQueries.ivfModelWithProvenance(
+        spark, corpus, k = 4, iters = 1, cacheKey = "persist-test")
+      assert(srcM == "memoized", srcM)
+      // Fresh engine (JVM cache gone): the model LOADS — no training
+      // pass — and is bit-identical to what was trained.
+      SimilarityQueries.clearModelCache()
+      val (a2, c2, src2) = SimilarityQueries.ivfModelWithProvenance(
+        spark, corpus, k = 4, iters = 1, cacheKey = "persist-test")
+      assert(src2 == "loaded", src2)
+      val cents = (df: org.apache.spark.sql.DataFrame) => df
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSet
+      assert(cents(c1) == cents(c2))
+      val cells = (df: org.apache.spark.sql.DataFrame) => df
+        .select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(cells(a1) == cells(a2))
+      // Stale guard: a changed corpus must NOT be served the old model.
+      SimilarityQueries.clearModelCache()
+      val (_, _, src3) = SimilarityQueries.ivfModelWithProvenance(
+        spark, corpus.filter(col("vec_id") =!= 0L), k = 4, iters = 1,
+        cacheKey = "persist-test")
+      assert(src3 == "trained", src3)
+    } finally {
+      spark.conf.unset(SimilarityQueries.IndexDirConf)
+      SimilarityQueries.clearModelCache()
+    }
+  }
+
   test("LSH signatures put planted clusters within multi-probe reach: " +
       "recall ≥ 0.7 on clusterable data") {
     // Same protocol as the IVF training test: recall is proven where it

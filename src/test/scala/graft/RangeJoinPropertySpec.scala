@@ -76,6 +76,59 @@ class RangeJoinPropertySpec extends SparkTestBase {
     }
   }
 
+  test("stats-driven default binWidth: correct results and a width " +
+      "inside the linear-degradation envelope at adversarial geometries") {
+    val rnd = new Random(99820613L)
+    // Adversarial interval populations: all-point (len 0), uniform
+    // short, heavy-tailed (a few year-long outliers over many short),
+    // constant-long, bimodal.
+    val geometries: Seq[(String, Int => Long)] = Seq(
+      ("all-point", _ => 0L),
+      ("uniform-short", _ => rnd.nextInt(20).toLong),
+      ("heavy-tail", i => if (i % 50 == 0) 50000L else rnd.nextInt(10).toLong),
+      ("constant-long", _ => 5000L),
+      ("bimodal", i => if (i % 2 == 0) 2L else 2000L))
+    for ((name, lenOf) <- geometries) {
+      val ivs = (1 to 200).map { i =>
+        val lo = rnd.nextInt(100000).toLong
+        (i.toLong, Some(lo), Some(lo + lenOf(i)))
+      }.toDF("iid", "lo", "hi")
+      val pts = (1 to 200).map(i =>
+        (i.toLong, Some(rnd.nextInt(100000).toLong))).toDF("pid", "p")
+      val w = RangeJoin.autoBinWidth(ivs, "lo", "hi")
+      // Envelope, measured directly: with the derived width, at least
+      // 75% of the build side replicates into <= 3 cells — the
+      // replication flood (the multiplicative failure mode) is bounded
+      // on every geometry, leaving only linear fan-in.
+      val n = ivs.count().toDouble
+      val bounded = ivs.filter(
+        floor(col("hi") / w) - floor(col("lo") / w) + 1 <= 3).count()
+      assert(w >= 1L, s"$name: width must be positive, got $w")
+      assert(bounded / n >= 0.75,
+        s"$name: width $w leaves only ${bounded / n} of intervals " +
+          "within 3 cells — replication flood")
+      // And the width-free overload returns exactly the oracle rows.
+      val oracle = rows(pts.crossJoin(ivs)
+        .filter($"p" >= $"lo" && $"p" <= $"hi").select("pid", "iid"))
+      // Raised replication cap: the heavy-tail geometry's outliers
+      // legitimately replicate into many cells of a median-sized grid —
+      // linear extra rows, which is exactly the documented degradation
+      // (the default cap is an OOM guard, not a semantic limit).
+      val got = rows(RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi",
+        keys = Nil, maxBinsPerInterval = 200000).select("pid", "iid"))
+      assert(got == oracle, s"$name: width-free join diverged (w=$w)")
+    }
+  }
+
+  test("inputs carrying a __bin column are rejected up front") {
+    val pts = Seq((1L, 5L, 9L)).toDF("pid", "p", "__bin")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val err = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi", binWidth = 4L)
+    }
+    assert(err.getMessage.contains("__bin"), err.getMessage)
+  }
+
   test("intervalOverlap ≡ cross-join oracle for random sets, no dups") {
     val rnd = new Random(777101L)
     for (trial <- 0 until 6) {
