@@ -98,14 +98,28 @@ object AnalyticQueries {
         col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val li = t(s, dir, "lineitem")
     // ASIA nations -> ASIA suppliers: tiny broadcasts that cut the fact
-    // side by the region selectivity before anything shuffles.
+    // side by the region selectivity before anything shuffles. Only the
+    // FIXED-cardinality dims (region: 5 rows, nation: 25 — constants at
+    // any scale factor) and the region-pruned supplier set pin a
+    // broadcast (the pin also keeps the toy-scale optimizer from ever
+    // building the fact side — the PlanQualitySpec invariant). The
+    // customer join is left to the optimizer/AQE, which broadcasts the
+    // 2-column projection while it fits and falls back to a shuffle
+    // join when scale outgrows it: the round-6 sf10 audit measured the
+    // previously pinned shuffle_hash customer join at 4-10× the AQE
+    // plan (it forced orders AND customer exchanges where the
+    // broadcast erases both), and a pinned broadcast would be equally
+    // wrong at 1000× when customer is tens of GB. The FINAL join stays
+    // pinned shuffle-hash: both sides are fact-proportional
+    // (lineitem, orders), where broadcast is only ever viable at toy
+    // scale.
     val asiaNation = nation.join(broadcast(region),
       nation("n_regionkey") === region("r_regionkey"))
     val asiaSupp = supp.join(broadcast(asiaNation),
       supp("s_nationkey") === asiaNation("n_nationkey"))
       .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-    val ordc = ord.join(cust.hint("shuffle_hash"),
-        ord("o_custkey") === cust("c_custkey"))
+    val ordc = ord.join(cust.select(col("c_custkey"), col("c_nationkey")),
+        ord("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey"))
     li.join(broadcast(asiaSupp), li("l_suppkey") === asiaSupp("s_suppkey"))
       .join(ordc.hint("shuffle_hash"),

@@ -21,7 +21,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try graft.queries.MppQueries.warm(spark, dir) catch { case _: Throwable => }
+    // The mpp warm-up builds distributed tables for the q_mpp_* rows —
+    // skip it when profiling pure-parquet queries (GRAFT_PROFILE_NOWARM).
+    if (!sys.env.contains("GRAFT_PROFILE_NOWARM")) {
+      try graft.queries.MppQueries.warm(spark, dir)
+      catch { case _: Throwable => }
+    }
     val qs = graft.SparkEntry.queries
     names.foreach { n =>
       val fn = qs(n)
@@ -29,7 +34,8 @@ object Profile {
         println(s"===== $n =====")
         fn(spark, dir).explain("formatted")
       } else {
-        (1 to 3).foreach { i =>
+        val reps = sys.env.getOrElse("GRAFT_PROFILE_REPS", "3").toInt
+        (1 to reps).foreach { i =>
           val t0 = System.nanoTime()
           fn(spark, dir).count()
           println(f"$n rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
