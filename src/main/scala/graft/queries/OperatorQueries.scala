@@ -243,6 +243,63 @@ object OperatorQueries {
       .orderBy("user_id", "click_ts", "purchase_ts")
   }
 
+  /** Batch replay of the streaming dedup
+    * ([[graft.streaming.EventStreams.dedupStreamBatch]], the twin of
+    * `dropDuplicatesWithinWatermark("event_id")`, which Spark rejects
+    * on batch relations). The raw events carry no duplicate event_ids,
+    * so the row injects them deterministically — a second copy of
+    * every event_id ≡ 0 (mod 10) — and checks the dedup restores
+    * exactly the original relation. Duplicates are bit-identical rows,
+    * so the arbitrary-survivor semantics of key dedup stay
+    * deterministic. */
+  def qDedupStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("t"),
+        round(col("value"), 4).as("value"))
+    val dupes = ev.filter(col("event_id") % 10 === 0)
+    graft.streaming.EventStreams.dedupStreamBatch(ev.unionAll(dupes))
+      .orderBy("event_id")
+  }
+
+  /** Batch replay of the stream-static enrichment join
+    * ([[graft.streaming.EventStreams.enrich]]): events ⋈ a customer-
+    * derived dimension on user_id. Exactly the operator the stream
+    * runs — the broadcast left join is the same plan per micro-batch;
+    * only the source is batch here. Unmatched users (none in this
+    * data, but the join is outer) keep NULL segments. */
+  def qEnrichStream(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 4).as("value"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    graft.streaming.EventStreams.enrich(ev, dim, "user_id")
+      .select("event_id", "user_id", "segment", "value")
+      .orderBy("event_id")
+  }
+
+  /** Batch replay of the per-window streaming heavy hitters
+    * ([[graft.streaming.EventStreams.topTalkers]]): top-5 users per
+    * hourly window via the Misra-Gries sketch aggregate. The driver's
+    * events hold ≤ a few dozen distinct users per hour — far under the
+    * 256-entry capacity — so the sketch provably never evicts and its
+    * counts are EXACT, letting this row hash-match an exact DuckDB
+    * top-k oracle (count DESC, user_id ASC tie-break, the sketch
+    * eval's own deterministic order). At bench scale the same row
+    * honestly times whichever path the scaled user cardinality
+    * induces. */
+  def qTopTalkers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    graft.streaming.EventStreams.topTalkers(ev, "1 hour", k = 5)
+      .select(col("window_start"),
+        posexplode(col("top_talkers")).as(Seq("i", "t")))
+      .select(col("window_start"), (col("i") + lit(1L)).as("rank"),
+        col("t.item").as("user_id"), col("t.count").as("n_events"))
+      .orderBy("window_start", "rank")
+  }
+
   /** Batch replay of the streaming 30-minute-gap sessionization
     * ([[graft.streaming.EventStreams.sessionizeBatch]]). */
   def qSessionize(s: SparkSession, dir: String): DataFrame =
@@ -262,6 +319,9 @@ object OperatorQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_attribution" -> (qAttribution _),
+    "q_dedup_stream" -> (qDedupStream _),
+    "q_enrich_stream" -> (qEnrichStream _),
+    "q_top_talkers" -> (qTopTalkers _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -357,5 +417,30 @@ object OperatorQueries {
         | AND p.purchase_ts >= c.click_ts
         | AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, c.click_ts, p.purchase_ts""".stripMargin,
+    "q_dedup_stream" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,
+        |             ROUND(value, 4) AS value
+        |           FROM events),
+        |u AS (SELECT * FROM e
+        |      UNION ALL SELECT * FROM e WHERE event_id % 10 = 0)
+        |SELECT DISTINCT event_id, user_id, event_type, t, value
+        |FROM u ORDER BY event_id""".stripMargin,
+    "q_enrich_stream" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |       ROUND(e.value, 4) AS value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+    "q_top_talkers" ->
+      """WITH c AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |             AS window_start,
+        |             CAST(user_id AS VARCHAR) AS user_id,
+        |             COUNT(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+        |        ORDER BY n_events DESC, user_id) AS rank FROM c)
+        |SELECT window_start, rank, user_id, n_events
+        |FROM r WHERE rank <= 5
+        |ORDER BY window_start, rank""".stripMargin,
   )
 }

@@ -59,6 +59,17 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Batch twin of [[dedupStream]] — Spark rejects
+    * `dropDuplicatesWithinWatermark` on batch relations outright, so
+    * (unlike [[attribute]], which replays as-is) the replay twin is
+    * plain key dedup: on any replay whose duplicates arrive within the
+    * watermark, the streaming operator emits exactly one row per
+    * event_id, which is this relation. The driver-gate `q_dedup_stream`
+    * oracles it against DuckDB over duplicate-injected events; a suite
+    * test pins batch ≡ streaming emissions on the same input. */
+  def dedupStreamBatch(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
   private val SessionGapMs: Long = 30 * 60 * 1000L
 
   /** Gap-based sessionization via flatMapGroupsWithState: a session per

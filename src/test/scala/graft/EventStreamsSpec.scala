@@ -184,6 +184,17 @@ class EventStreamsSpec extends SparkTestBase {
       mem.addData(Event(1, ts(3), 1, "click", 9.0)) // dup again
       runBatches(q)
       assert(spark.table("dedup").count() == 2)
+      // Batch twin emits the same event_id set (the replay-equivalence
+      // the driver-gate q_dedup_stream row relies on).
+      val batchIds = EventStreams.dedupStreamBatch(Seq(
+          Event(1, ts(0), 1, "click", 1.0),
+          Event(1, ts(1), 1, "click", 1.0),
+          Event(2, ts(2), 1, "view", 2.0),
+          Event(1, ts(3), 1, "click", 9.0)).toDF())
+        .select("event_id").as[Long].collect().toSet
+      val streamIds = spark.table("dedup")
+        .select("event_id").as[Long].collect().toSet
+      assert(batchIds == streamIds)
     } finally q.stop()
   }
 
