@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, CorpusQueries, DedupQueries, MppQueries, MultimodalQueries, OperatorQueries, SimilarityQueries, TextQueries}
+import graft.queries.{AnalyticQueries, CorpusQueries, DedupQueries, MppQueries, MultimodalQueries, OperatorQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,7 @@ object SparkEntry {
       (MultimodalQueries.queries, MultimodalQueries.oracles),
       (CorpusQueries.queries, CorpusQueries.oracles),
       (OperatorQueries.queries, OperatorQueries.oracles),
+      (SamplingQueries.queries, SamplingQueries.oracles),
       (MppQueries.queries, MppQueries.oracles),
     )
 
