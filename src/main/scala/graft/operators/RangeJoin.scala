@@ -78,7 +78,13 @@ object RangeJoin {
         .foldLeft(lit(true))(_ && _))
       .withColumn("__bin", explode(
         bins(col(lo), col(hi), w, maxBinsPerInterval)))
-    l.join(r, keys :+ "__bin")
+    // Strategy pinned to shuffle-hash: the planner's size estimate for
+    // the exploded side misses the per-interval replication (up to
+    // maxBinsPerInterval×), so a statically-planned broadcast of it can
+    // be arbitrarily over budget at runtime (see Skew.saltedJoin for
+    // the measured failure). AQE's runtime conversion from TRUE
+    // exchange sizes may still upgrade genuinely small sides.
+    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), keys :+ "__bin")
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__bin")
   }
@@ -105,7 +111,8 @@ object RangeJoin {
         .foldLeft(lit(true))(_ && _))
       .withColumn("__bin", explode(
         bins(col(lo), col(hi), w, maxBinsPerInterval)))
-    binned(left, loL, hiL).join(binned(right, loR, hiR), keys :+ "__bin")
+    binned(left, loL, hiL).hint("shuffle_hash")
+      .join(binned(right, loR, hiR).hint("shuffle_hash"), keys :+ "__bin")
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
         col("__bin") ===
           greatest(floorDiv(col(loL), w), floorDiv(col(loR), w)))

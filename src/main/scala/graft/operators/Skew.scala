@@ -36,14 +36,28 @@ object Skew {
     * spread over `salt` sub-partitions. `small` is replicated `salt`×
     * via a literal-range explode (no extra shuffle of `big` beyond the
     * join's own). Use when one key's row count ≫ a task's capacity and
-    * the small side is too big to broadcast outright. */
+    * the small side is too big to broadcast outright.
+    *
+    * The join strategy is PINNED to shuffle-hash: Catalyst's size
+    * estimate for the replicated side does not model the explode's
+    * `salt`× multiplication, so on a column-pruned scan the planner
+    * can statically decide the post-explode relation fits a broadcast
+    * and then materialize `salt`× that at runtime — measured at the
+    * 300× probe as a 9.7 GiB broadcast attempt dying on Spark's 8 GiB
+    * hard cap. (Broadcast is never the right static plan here anyway:
+    * a broadcastable `small` means the plain broadcast join is already
+    * skew-immune and salting is pure overhead.) AQE may still convert
+    * to broadcast at runtime from the TRUE materialized exchange size,
+    * which is exactly the safe version of that decision. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0, "salt must be positive")
     val bigS = big.withColumn("__salt", spread(salt))
     val smallS = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+    bigS.hint("shuffle_hash")
+      .join(smallS.hint("shuffle_hash"), Seq(key, "__salt"))
+      .drop("__salt")
   }
 
   /** Two-phase grouped aggregation: phase 1 on (keys…, salt) with

@@ -114,6 +114,18 @@ class RangeJoinSpec extends SparkTestBase with AdaptiveSparkPlanHelper {
       binWidth = 1L, maxBinsPerInterval = 2000000).count() == 1)
   }
 
+  test("no static broadcast of the bin-replicated side") {
+    // Same estimate hole as Skew.saltedJoin: the explode's replication
+    // (up to maxBinsPerInterval×) is invisible to the planner, so a
+    // statically-chosen broadcast can blow the broadcast cap at scale.
+    // Strategy is pinned shuffle-hash; AQE may upgrade from true sizes.
+    val plan = RangeJoin.pointInInterval(points, intervals,
+        "p", "lo", "hi", binWidth = 10L)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("plan has no cartesian/nested-loop operator, keyed or keyless") {
     assertNoNestedLoop(RangeJoin.pointInInterval(points, intervals,
       "p", "lo", "hi", binWidth = 10L))

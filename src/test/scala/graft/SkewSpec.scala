@@ -31,6 +31,19 @@ class SkewSpec extends SparkTestBase {
     assert(plain.nonEmpty)
   }
 
+  test("saltedJoin never plans a static broadcast of the replicated side") {
+    // Catalyst's estimate for the salt-explode misses the salt×
+    // multiplication, so without the pinned strategy a column-pruned
+    // small side under the broadcast threshold gets statically
+    // broadcast — and materializes salt× bigger at runtime (the 300×
+    // probe measured a 9.7 GiB attempt against the 8 GiB cap). The
+    // small side here is KBs — the exact shape the estimate mis-plans.
+    val plan = Skew.saltedJoin(big, small, "k", salt = 8)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+  }
+
   test("saltedJoin spreads the hot key over multiple sub-keys") {
     // Internal shape check: the salted big side must place the hot key
     // in >1 salt bucket, otherwise nothing was gained.
