@@ -143,6 +143,27 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("item"))
   }
 
+  /** BPE-ish pre-tokenization (the split-before-merges step of a BPE
+    * tokenizer): letter runs | digit runs | single punctuation marks,
+    * whitespace dropped — per doc, the subword-token count, type count,
+    * and fertility (BPE tokens per whitespace word, the standard
+    * tokenizer-cost metric a corpus budget is priced in). Pure
+    * `regexp_extract_all` over disjoint character classes, so Java and
+    * RE2 regex engines match identically and the row stays codegen'd —
+    * at 100 TB this is a narrow map with no shuffle before the final
+    * ordering. */
+  def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(bpe).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(bpe)).cast("long").as("n_bpe_types"),
+        round(size(bpe) / (size(toks) * lit(1.0)), 4).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -159,6 +180,7 @@ object TextQueries {
     "q_token_freq" -> (qTokenFreq _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_hitters_zipf" -> (qHeavyHittersZipf _),
+    "q_bpe_tokens" -> (qBpeTokens _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -216,6 +238,16 @@ object TextQueries {
         |  FROM events)
         |SELECT item, COUNT(1) AS cnt FROM z
         |GROUP BY item ORDER BY cnt DESC, item LIMIT 20""".stripMargin,
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text),
+        |     '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        | len(list_distinct(regexp_extract_all(lower(text),
+        |     '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_bpe_types,
+        | ROUND(len(regexp_extract_all(lower(text),
+        |     '[a-z]+|[0-9]+|[^a-z0-9\s]')) * 1.0
+        |   / len(string_split(text, ' ')), 4) AS fertility
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
