@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.array.ByteArrayMethods
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused byte-level text kernels: tokenize-and-consume in ONE pass over
+  * the raw UTF-8 buffer, never materializing the token array.
+  *
+  * The composed formulation — `split(text, " ")` feeding `size`,
+  * `array_distinct`, [[ShingleHashes3]], [[SimHash64]] — pays a steep
+  * allocation tax per row: Spark's `split` converts the UTF-8 bytes to a
+  * `java.lang.String` (full decode), runs a regex split, then re-encodes
+  * every token into a fresh `UTF8String`. On a 100 TB text corpus that is
+  * the dominant CPU cost of the dedup/quality pipeline (measured: the
+  * round-6 host does corpus_clean's string work 3–5× slower than its
+  * joins). These kernels scan the value buffer once with zero decode and
+  * zero per-token allocation; token boundaries are byte offsets (the
+  * separator 0x20 never occurs inside a UTF-8 multi-byte sequence, so
+  * byte-splitting ≡ character-splitting).
+  *
+  * Semantics are EXACTLY `split(text, " ")` with Spark's default
+  * limit = -1: every space starts a new token, empty tokens (leading /
+  * consecutive / trailing separators) are kept, so n_tokens = spaces + 1.
+  * The hash chains match [[ShingleKernel]] / [[SimHashKernel]] seed-for-
+  * seed, so fused and composed plans produce bit-identical results
+  * (TextKernelsSpec pins the equivalence property-style, including
+  * multi-byte UTF-8 and degenerate whitespace shapes).
+  */
+object TextKernel {
+
+  /** Byte offsets of token starts in `s`, under split-on-0x20 semantics.
+    * Returns n+1 ints: token i spans [st(i), st(i+1)-1) — the sentinel
+    * st(n) = numBytes+1 makes every token's end uniform (one virtual
+    * trailing separator), so callers never special-case the last token. */
+  private def tokenStarts(s: UTF8String): Array[Int] = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val st = new Array[Int](spaces + 2)
+    var t = 1
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) { st(t) = i + 1; t += 1 }
+      i += 1
+    }
+    st(spaces + 1) = len + 1
+    st
+  }
+
+  /** (n_tokens, n_types) in one pass. Distinctness is EXACT: the open-
+    * addressing probe compares token bytes on hash equality (slots hold
+    * token indices, not just hashes), so a 64-bit collision cannot
+    * miscount — required because the driver hash-compares `n_types`
+    * against DuckDB's `list_distinct` to the last row. */
+  def tokenStats(s: UTF8String): InternalRow = {
+    val st = tokenStarts(s)
+    val n = st.length - 1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val slot = new Array[Int](cap)
+    java.util.Arrays.fill(slot, -1)
+    val hs = new Array[Long](cap)
+    var types = 0
+    var i = 0
+    while (i < n) {
+      val ts = st(i)
+      val tl = st(i + 1) - 1 - ts
+      val h = XXH64.hashUnsafeBytes(base, off + ts, tl, 42L)
+      var p = (h & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        val o = slot(p)
+        if (o < 0) { slot(p) = i; hs(p) = h; types += 1; done = true }
+        else if (hs(p) == h && {
+          val os = st(o)
+          st(o + 1) - 1 - os == tl &&
+            ByteArrayMethods.arrayEquals(base, off + ts, base, off + os, tl)
+        }) done = true
+        else p = (p + 1) & (cap - 1)
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](n, types))
+  }
+
+  /** Fused `split` + [[ShingleKernel.hashes3]]: distinct sorted 64-bit
+    * hashes of the word-3-gram shingles, hashed straight off the value
+    * buffer (chained XXH64, seed 42 — identical to the array kernel).
+    * Empty result when the document has fewer than three tokens, which
+    * lets callers replace `filter(size(split) >= 3)` with
+    * `filter(size(sha) >= 1)` — same surviving rows, no split. */
+  def shingle3(s: UTF8String): ArrayData = {
+    val st = tokenStarts(s)
+    val n = st.length - 1
+    val m = n - 2
+    if (m <= 0) {
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    }
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 42L
+      var j = 0
+      while (j < 3) {
+        val ts = st(i + j)
+        h = XXH64.hashUnsafeBytes(base, off + ts, st(i + j + 1) - 1 - ts, h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Fused `split` + [[SimHashKernel.compute]]: per-token ±1 votes on the
+    * 64 signature bits, tokens hashed in place (seed 42 = `xxhash64`'s
+    * default, same as the array kernel). */
+  def simhash(s: UTF8String): Long = {
+    val st = tokenStarts(s)
+    val n = st.length - 1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val ts = st(i)
+      val h = XXH64.hashUnsafeBytes(base, off + ts, st(i + 1) - 1 - ts, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+private[functions] trait StringKernelExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${t.sql}")
+  }
+}
+
+/** `token_stats(text)` → struct<n_tokens:int, n_types:int>. */
+case class TokenStats(child: Expression) extends StringKernelExpression {
+
+  override def dataType: DataType = TokenStats.schema
+
+  override def prettyName: String = "token_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.tokenStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernel.tokenStats($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+object TokenStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_types", IntegerType, nullable = false)))
+}
+
+/** `shingle3_hashes_text(text)` → array<long> (fused split + shingle). */
+case class ShingleHashes3Text(child: Expression) extends StringKernelExpression {
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle3_hashes_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.shingle3(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernel.shingle3($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes3Text = copy(child = newChild)
+}
+
+/** `simhash64_text(text)` → long (fused split + simhash). */
+case class SimHash64Text(child: Expression) extends StringKernelExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.simhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernel.simhash($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64Text = copy(child = newChild)
+}
+
+/** Column-API entry points (mirrors [[VectorFunctions]]' registry style). */
+object TextFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_stats", exprs => TokenStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle3_hashes_text", exprs => ShingleHashes3Text(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_text", exprs => SimHash64Text(exprs.head), "built-in")
+  }
+
+  /** struct(n_tokens, n_types) of `text` in one fused byte pass. */
+  def tokenStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("token_stats", text)
+  }
+
+  /** Distinct hashed word-3-gram shingles of `text`, fused split+hash. */
+  def shingle3Text(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("shingle3_hashes_text", text)
+  }
+
+  /** One-pass 64-bit simhash of `text`, fused split+vote. */
+  def simhashText(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("simhash64_text", text)
+  }
+}

@@ -24,22 +24,32 @@ import graft.Tables
   */
 object CorpusQueries {
 
-  private val toks = split(col("text"), " ")
-
-  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables(s, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      size(toks).cast("long").as("n_tokens"),
-      md5(col("text")).as("fp"),
-      round(
-        lit(0.5) * (size(array_distinct(toks)) / (size(toks) * lit(1.0))) +
-          lit(0.5) * least(size(toks) / lit(200.0), lit(1.0)),
-        4).as("quality"))
-    val filtered = q.filter(col("quality") >= 0.35 && col("n_tokens") >= 10)
-    val surv = filtered
+  /** Quality-scored survivor set (score → filter → exact dedup), shared
+    * by both pipeline variants. Token counts come from the fused
+    * [[graft.functions.TokenStats]] byte kernel — same arithmetic as the
+    * former `split`-based projection (int n_types / double, round 4) with
+    * no token-array materialization, so the scoring pass over the FULL
+    * corpus is one codegen'd byte scan per document. */
+  private def survivors(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"),
+        graft.functions.TextFunctions.tokenStats(s, col("text")).as("ts"))
+      .select(
+        col("doc_id"), col("lang"),
+        col("ts.n_tokens").cast("long").as("n_tokens"),
+        col("fp"),
+        round(
+          lit(0.5) * (col("ts.n_types") / (col("ts.n_tokens") * lit(1.0))) +
+            lit(0.5) * least(col("ts.n_tokens") / lit(200.0), lit(1.0)),
+          4).as("quality"))
+    q.filter(col("quality") >= 0.35 && col("n_tokens") >= 10)
       .withColumn("mn", min("doc_id").over(Window.partitionBy("fp")))
       .filter(col("doc_id") === col("mn"))
       .select("doc_id", "lang", "n_tokens")
+  }
+
+  def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
+    val surv = survivors(s, dir)
     // Near-dup pairs restricted to survivors (both endpoints).
     // localCheckpoint: the survivor shingle set feeds band generation
     // plus BOTH verification probes — materialize the window-dedup +
@@ -61,19 +71,7 @@ object CorpusQueries {
     * so the driver hash-checks the cluster semantics end to end, on
     * top of the suite's union-find pin. */
   def qCorpusCleanCc(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables(s, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      size(toks).cast("long").as("n_tokens"),
-      md5(col("text")).as("fp"),
-      round(
-        lit(0.5) * (size(array_distinct(toks)) / (size(toks) * lit(1.0))) +
-          lit(0.5) * least(size(toks) / lit(200.0), lit(1.0)),
-        4).as("quality"))
-    val filtered = q.filter(col("quality") >= 0.35 && col("n_tokens") >= 10)
-    val surv = filtered
-      .withColumn("mn", min("doc_id").over(Window.partitionBy("fp")))
-      .filter(col("doc_id") === col("mn"))
-      .select("doc_id", "lang", "n_tokens")
+    val surv = survivors(s, dir)
     val da = DedupQueries.shingleArrays(s, dir)
       .join(surv.select("doc_id"), "doc_id").localCheckpoint()
     val pairs = DedupQueries.lshPairs(s, da, 0.7).select("d1", "d2")

@@ -56,10 +56,13 @@ object DedupQueries {
   private[queries] def shingleArrays(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(dir,
       docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
+        // Fused split+shingle kernel: one byte pass over the raw UTF-8,
+        // no token-array materialization (see [[graft.functions.TextKernel]]).
+        // Empty sha ⟺ fewer than 3 tokens, so the size filter keeps the
+        // exact same rows as the former filter(size(split(text)) >= 3).
         .select(col("doc_id"),
-          graft.functions.VectorFunctions.shingle3(s, col("w")).as("sha"))
+          graft.functions.TextFunctions.shingle3Text(s, col("text")).as("sha"))
+        .filter(size(col("sha")) >= 1)
         .cache())
 
   /** Unpersist the memoized shingle cache for `dir` (all dirs when
@@ -174,13 +177,14 @@ object DedupQueries {
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // One codegen'd pass per document — no explode, no shuffle until the
-    // (tiny) signature table below; see [[graft.functions.SimHash64]].
-    // coalesce makes the signature non-nullable: otherwise the join-key
-    // null filter inlines `isnotnull(simhash64(...))` below the Project
-    // and the kernel runs twice per row.
+    // (tiny) signature table below; fused split+vote kernel, see
+    // [[graft.functions.SimHash64Text]]. coalesce makes the signature
+    // non-nullable: otherwise the join-key null filter inlines
+    // `isnotnull(simhash64_text(...))` below the Project and the kernel
+    // runs twice per row.
     val sig = docs(s, dir).select(col("doc_id"),
-      graft.functions.VectorFunctions.simhash(s,
-        split(coalesce(col("text"), lit("")), " ")).as("sig"))
+      graft.functions.TextFunctions.simhashText(s,
+        coalesce(col("text"), lit(""))).as("sig"))
     // Pigeonhole blocking: hamming ≤ 3 with 4 chunks ⇒ ≥1 identical
     // 16-bit chunk. posexplode (not a 4-way union) so the signature is
     // computed once per document, then verify with bit_count.

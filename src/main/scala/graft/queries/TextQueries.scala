@@ -30,18 +30,24 @@ object TextQueries {
     size(filter(toks, t => t === lit(word))).cast("long")
 
   /** Per-document token counts + quality heuristics (length, type-token
-    * ratio, repetition) — the "quality scoring" pass of a data pipeline. */
+    * ratio, repetition) — the "quality scoring" pass of a data pipeline.
+    * Counts come from the fused [[graft.functions.TokenStats]] byte
+    * kernel (one scan, no token array); arithmetic is unchanged (int
+    * counts / double, round 4), so results are bit-identical to the
+    * former `split`-based projection and the DuckDB oracle. */
   def qTextStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("clen"),
+        graft.functions.TextFunctions.tokenStats(s, col("text")).as("ts"))
       .select(
         col("doc_id"), col("lang"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_types"),
-        round(size(array_distinct(toks)) / (size(toks) * lit(1.0)), 4).as("ttr"),
-        round(length(col("text")) / (size(toks) * lit(1.0)), 4).as("avg_tok_len"),
+        col("ts.n_tokens").cast("long").as("n_tokens"),
+        col("ts.n_types").cast("long").as("n_types"),
+        round(col("ts.n_types") / (col("ts.n_tokens") * lit(1.0)), 4).as("ttr"),
+        round(col("clen") / (col("ts.n_tokens") * lit(1.0)), 4).as("avg_tok_len"),
         round(
-          lit(0.5) * (size(array_distinct(toks)) / (size(toks) * lit(1.0))) +
-            lit(0.5) * least(size(toks) / lit(200.0), lit(1.0)),
+          lit(0.5) * (col("ts.n_types") / (col("ts.n_tokens") * lit(1.0))) +
+            lit(0.5) * least(col("ts.n_tokens") / lit(200.0), lit(1.0)),
           4).as("quality"))
       .orderBy("doc_id")
 

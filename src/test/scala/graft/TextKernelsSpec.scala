@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins the fused byte-level text kernels ([[graft.functions.TextKernel]])
+  * to the composed `split`-based formulations they replace: identical
+  * results on every string shape, including the degenerate whitespace
+  * cases where `split(text, " ")` semantics are subtle (empty string →
+  * [""], consecutive/leading/trailing spaces → empty tokens kept) and
+  * multi-byte UTF-8 where byte-splitting must equal character-splitting. */
+class TextKernelsSpec extends SparkTestBase {
+
+  import graft.functions.{TextFunctions, VectorFunctions}
+
+  private val edgeCases = Seq(
+    "", " ", "  ", "a", " a", "a ", "a b", "a  b", "a b c", " a b c ",
+    "a a a a", "a  b   c d", "é ü 语言 模型 é", "日本語 テスト 日本語",
+    "x " * 200 + "y", "tok" + "en " * 5)
+
+  private val rng = new scala.util.Random(20260813L)
+  private val alphabet = "ab cd 语 é  "
+  private val randomCases = Seq.fill(300) {
+    val n = rng.nextInt(60)
+    (0 until n).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+  }
+
+  private lazy val df = {
+    import spark.implicits._
+    (edgeCases ++ randomCases).toDF("text")
+  }
+
+  test("token_stats matches size(split) / size(array_distinct(split))") {
+    val toks = split(col("text"), " ")
+    val rows = df.select(
+      TextFunctions.tokenStats(spark, col("text")).as("ts"),
+      size(toks).as("nt"), size(array_distinct(toks)).as("ny"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val ts = r.getStruct(0)
+      assert(ts.getInt(0) == r.getInt(1), s"n_tokens for '${r.getString(3)}'")
+      assert(ts.getInt(1) == r.getInt(2), s"n_types for '${r.getString(3)}'")
+    }
+  }
+
+  test("shingle3_hashes_text matches shingle3_hashes(split) incl. <3-token docs") {
+    val toks = split(col("text"), " ")
+    val rows = df.select(
+      TextFunctions.shingle3Text(spark, col("text")).as("fused"),
+      when(size(toks) >= 3, VectorFunctions.shingle3(spark, toks))
+        .otherwise(array().cast("array<long>")).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"shingles for '${r.getString(2)}'")
+    }
+  }
+
+  test("simhash64_text matches simhash64(split)") {
+    val rows = df.select(
+      TextFunctions.simhashText(spark, col("text")).as("fused"),
+      VectorFunctions.simhash(spark, split(col("text"), " ")).as("composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"simhash for '${r.getString(2)}'")
+    }
+  }
+
+  test("null text maps to null through all three kernels") {
+    import spark.implicits._
+    val nd = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+    val r = nd.select(
+      TextFunctions.tokenStats(spark, col("text")),
+      TextFunctions.shingle3Text(spark, col("text")),
+      TextFunctions.simhashText(spark, col("text"))).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("kernels stay inside whole-stage codegen") {
+    // Over the parquet-backed table: a local relation would be
+    // constant-folded into a LocalTableScan with no codegen at all.
+    val plan = Tables(spark, sf, "documents").select(
+      TextFunctions.tokenStats(spark, col("text")),
+      TextFunctions.shingle3Text(spark, col("text")),
+      TextFunctions.simhashText(spark, col("text")))
+      .queryExecution.executedPlan.toString
+    // A `*(n)` operator prefix marks the WholeStageCodegen span.
+    assert("""\*\(\d+\) Project \[[^\n]*token_stats""".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+  }
+}
