@@ -46,6 +46,31 @@ class ConnectedComponentsSpec extends SparkTestBase {
       s"diff: ${cc.toSet.diff(oracle.toSet).take(5)}")
   }
 
+  test("small/large-star matches label propagation on random graphs") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(200)((rnd.nextInt(80).toLong,
+      rnd.nextInt(80).toLong)).filter(e => e._1 != e._2).toDF("src", "dst")
+    val lp = ConnectedComponents.run(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = ConnectedComponents.runStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == lp, star.toSet.diff(lp.toSet).take(5))
+  }
+
+  test("pathological chain: star converges in O(log n) rounds; run escalates") {
+    // A 600-vertex path has diameter 599 — label propagation's default
+    // 20-round budget cannot converge; the escalation path must hand the
+    // SAME answer back via small/large-star (which needs only ~log²n
+    // rounds, so the tight maxRounds below proves the round complexity).
+    val chain = (0L until 599L).map(i => (i, i + 1)).toDF("src", "dst")
+    val star = ConnectedComponents.runStar(chain, maxRounds = 15).collect()
+    assert(star.length == 600)
+    assert(star.forall(_.getLong(1) == 0L))
+    val escalated = ConnectedComponents.run(chain).collect()
+    assert(escalated.length == 600)
+    assert(escalated.forall(_.getLong(1) == 0L))
+  }
+
   test("near-dup clusters from LSH pairs keep one representative each") {
     val pairs = DedupQueries.qDedupMinhashLsh(spark, sf)
       .select("d1", "d2")
