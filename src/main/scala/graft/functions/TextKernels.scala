@@ -106,10 +106,20 @@ object TextKernel {
     * Empty result when the document has fewer than three tokens, which
     * lets callers replace `filter(size(split) >= 3)` with
     * `filter(size(sha) >= 1)` — same surviving rows, no split. */
-  def shingle3(s: UTF8String): ArrayData = {
+  def shingle3(s: UTF8String): ArrayData = shingleK(s, 3)
+
+  /** Generalized word-k-gram form of [[shingle3]]: distinct sorted
+    * chained-XXH64 hashes of every k consecutive tokens. The chain is
+    * injective over word boundaries (tokens contain no separator), so
+    * distinct-hash arithmetic — overlap counts, document frequencies —
+    * equals the same arithmetic on the concatenated string k-grams an
+    * ANSI oracle computes (modulo the 2^-64 collision rate). k = 8 is
+    * the standard benchmark-decontamination window, k = 5 the
+    * boilerplate-phrase window. */
+  def shingleK(s: UTF8String, k: Int): ArrayData = {
     val st = tokenStarts(s)
     val n = st.length - 1
-    val m = n - 2
+    val m = n - k + 1
     if (m <= 0) {
       return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     }
@@ -120,7 +130,7 @@ object TextKernel {
     while (i < m) {
       var h = 42L
       var j = 0
-      while (j < 3) {
+      while (j < k) {
         val ts = st(i + j)
         h = XXH64.hashUnsafeBytes(base, off + ts, st(i + j + 1) - 1 - ts, h)
         j += 1
@@ -219,6 +229,30 @@ case class ShingleHashes3Text(child: Expression) extends StringKernelExpression 
       newChild: Expression): ShingleHashes3Text = copy(child = newChild)
 }
 
+/** `shinglek_hashes_text(text, k)` → array<long>: distinct hashes of the
+  * word-k-gram shingles, k a foldable literal (fixed per plan, so the
+  * generated code inlines it). */
+case class ShingleHashesKText(child: Expression, k: Int)
+    extends StringKernelExpression {
+  require(k >= 1, s"shingle window must be >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shinglek_hashes_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.shingleK(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernel.shingleK($a, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashesKText = copy(child = newChild)
+}
+
 /** `simhash64_text(text)` → long (fused split + simhash). */
 case class SimHash64Text(child: Expression) extends StringKernelExpression {
 
@@ -247,6 +281,15 @@ object TextFunctions {
       "shingle3_hashes_text", exprs => ShingleHashes3Text(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_text", exprs => SimHash64Text(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shinglek_hashes_text", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"shinglek_hashes_text expects a literal int window, got $other")
+        }
+        ShingleHashesKText(exprs.head, k)
+      }, "built-in")
   }
 
   /** struct(n_tokens, n_types) of `text` in one fused byte pass. */
@@ -265,5 +308,11 @@ object TextFunctions {
   def simhashText(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("simhash64_text", text)
+  }
+
+  /** Distinct hashed word-k-gram shingles of `text` (k fixed per plan). */
+  def shingleKText(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("shinglek_hashes_text", text, lit(k))
   }
 }

@@ -79,11 +79,102 @@ object CorpusQueries {
     surv.join(drop, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the overlap check every LLM training
+    * pipeline runs before shipping a corpus: flag training documents
+    * sharing any word-8-gram with the evaluation set (the 8-token
+    * window is the standard published choice). Here the "benchmark" is
+    * the deterministic doc_id % 7 slice so the oracle can reproduce it;
+    * in production it is the eval-suite table.
+    *
+    * Scale shape: 8-grams are hashed per-row by the fused
+    * [[graft.functions.ShingleHashesKText]] kernel (distinct within doc,
+    * 8-byte keys). The eval side aggregates to a DISTINCT hash set that
+    * is tiny relative to the corpus (benchmarks are MBs, corpora TBs) —
+    * AQE broadcasts it, so the contamination join never shuffles the
+    * corpus; the only corpus-sized shuffle is the per-doc count
+    * aggregate, keyed by doc_id (even). Chained-XXH64 injectivity over
+    * word boundaries makes hash-overlap counts equal string-overlap
+    * counts (2^-64 caveat), which is what the DuckDB oracle computes. */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.shingleKText(s, col("text"), 8).as("g"))
+    val evalGrams = d.filter(col("doc_id") % 7 === 0)
+      .select(explode(col("g")).as("h")).distinct()
+    val train = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("h"))
+    train.join(evalGrams, "h")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap",
+        round(col("n_shared") * lit(1.0) / col("n_grams"), 4))
+      .select("doc_id", "n_grams", "n_shared", "overlap")
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate-phrase scoring (RefinedWeb/CCNet-style): the fraction
+    * of a document's word-5-grams that are corpus-common (document
+    * frequency ≥ 5) — a high fraction marks templated/boilerplate text.
+    * Per-doc grams are distinct, so the df aggregate counts DOCUMENTS
+    * per gram directly. The hot-gram set (df ≥ threshold) is a sliver of
+    * the gram space — AQE broadcasts the semi join at this scale and
+    * falls back to shuffle at corpus scale; every doc is scored (left
+    * join, zero-fill), keeping the output a total quality signal rather
+    * than a contaminated-only subset. */
+  def qBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.shingleKText(s, col("text"), 5).as("g"))
+      .filter(size(col("g")) >= 1)
+    val grams = d.select(col("doc_id"), explode(col("g")).as("h"))
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 5).select("h")
+    val boiler = grams.join(hot, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    d.select(col("doc_id"), size(col("g")).cast("long").as("n_grams"))
+      .join(boiler, Seq("doc_id"), "left")
+      .withColumn("n_boiler", coalesce(col("n_boiler"), lit(0L)))
+      .withColumn("boiler_frac",
+        round(col("n_boiler") * lit(1.0) / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_clean" -> (qCorpusClean _),
-    "q_corpus_clean_cc" -> (qCorpusCleanCc _))
+    "q_corpus_clean_cc" -> (qCorpusCleanCc _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_boilerplate" -> (qBoilerplate _))
 
   val oracles: Map[String, String] = Map(
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, greatest(len(ws) - 6, 1)),
+        |        i -> array_to_string(ws[i:i+7], ' '))) gs
+        |      FROM w WHERE len(ws) >= 8),
+        |ev AS (SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS h
+        |       FROM g WHERE doc_id % 7 <> 0)
+        |SELECT tr.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  COUNT(1) AS n_shared,
+        |  ROUND(COUNT(1) * 1.0 / n_grams, 4) AS overlap
+        |FROM tr JOIN ev USING (h)
+        |GROUP BY tr.doc_id, n_grams
+        |ORDER BY doc_id""".stripMargin,
+    "q_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, greatest(len(ws) - 3, 1)),
+        |        i -> array_to_string(ws[i:i+4], ' '))) gs
+        |      FROM w WHERE len(ws) >= 5),
+        |gr AS (SELECT doc_id, unnest(gs) AS h FROM g),
+        |hot AS (SELECT h FROM gr GROUP BY h HAVING COUNT(1) >= 5),
+        |nb AS (SELECT doc_id, COUNT(1) AS n_boiler
+        |       FROM gr JOIN hot USING (h) GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  COALESCE(nb.n_boiler, 0) AS n_boiler,
+        |  ROUND(COALESCE(nb.n_boiler, 0) * 1.0 / len(gs), 4) AS boiler_frac
+        |FROM g LEFT JOIN nb ON g.doc_id = nb.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q_corpus_clean" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text,

@@ -56,6 +56,28 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("shinglek_hashes_text matches composed xxhash64 k-gram chains") {
+    // Spark's variadic xxhash64 chains h = hash(field, h) from seed 42 —
+    // the exact chain the kernel computes — so the composed formulation
+    // is an independent cross-check of the fused one.
+    for (k <- Seq(2, 5, 8)) {
+      val args = (0 until k).map(j => s"w[i + $j]").mkString(", ")
+      val composed = expr(
+        s"""CASE WHEN size(w) >= $k THEN array_sort(array_distinct(
+           |  transform(sequence(0, size(w) - $k), i -> xxhash64($args))))
+           |ELSE array() END""".stripMargin).cast("array<long>")
+      val rows = df
+        .select(col("text"), split(col("text"), " ").as("w"))
+        .select(col("text"),
+          TextFunctions.shingleKText(spark, col("text"), k).as("fused"),
+          composed.as("composed")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"k=$k for '${r.getString(0)}'")
+      }
+    }
+  }
+
   test("simhash64_text matches simhash64(split)") {
     val rows = df.select(
       TextFunctions.simhashText(spark, col("text")).as("fused"),
