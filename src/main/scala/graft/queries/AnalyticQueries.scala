@@ -338,6 +338,29 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Semi-structured extraction: parse the JSON `props` payload once
+    * per row into a typed struct (`from_json` with an explicit schema —
+    * the single-parse path; `get_json_object` would re-parse per field)
+    * and aggregate the extracted metric by event type. The 100 TB shape
+    * of every event/log pipeline: the parse is a per-row map fused into
+    * the scan stage, the only shuffle is the low-cardinality final
+    * aggregate, and the projection reaches parquet as (event_type,
+    * props) only. The oracle computes the identical extraction with
+    * DuckDB's JSON operators. */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))).getField("k")
+    t(s, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+  }
+
   /** Scalar subquery through SQL (Catalyst subquery rewrite). */
   def qSubqueryScalar(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("g_orders_sub")
@@ -430,6 +453,7 @@ object AnalyticQueries {
     "q_scalar_fns" -> (qScalarFns _),
     "q_date_agg" -> (qDateAgg _),
     "q_events_hourly" -> (qEventsHourly _),
+    "q_json_extract" -> (qJsonExtract _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_correlated_exists" -> (qCorrelatedExists _),
     "q_cte" -> (qCte _),
@@ -580,6 +604,13 @@ object AnalyticQueries {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour,
         | event_type, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(1) AS n_events,
+        | CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        | MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        | ROUND(AVG(CAST(props->>'k' AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_subquery_scalar" ->
       """SELECT o_orderkey, ROUND(o_totalprice, 4) AS o_totalprice
         |FROM orders

@@ -151,12 +151,18 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // Verification: shuffled hash joins that BUILD on the candidate
-    // side and stream the (doc_id, sha) relation. Never broadcast the
-    // array-heavy side: serializing every shingle array through the
-    // driver is a single-threaded choke (and unboundedly large in
-    // production); a hash-partitioned join moves the same bytes once,
-    // in parallel, executor-to-executor.
+    verifyJaccard(da, cand, thresh)
+  }
+
+  /** Exact-jaccard verification of an LSH candidate (d1, d2) set against
+    * the (doc_id, sha) relation: shuffled hash joins that BUILD on the
+    * candidate side and stream the (doc_id, sha) relation. Never
+    * broadcast the array-heavy side: serializing every shingle array
+    * through the driver is a single-threaded choke (and unboundedly
+    * large in production); a hash-partitioned join moves the same bytes
+    * once, in parallel, executor-to-executor. */
+  private def verifyJaccard(da: DataFrame, cand: DataFrame,
+      thresh: Double): DataFrame = {
     val withA = cand.hint("shuffle_hash")
       .join(da.as("sa"), col("d1") === col("sa.doc_id"))
       .select(col("d1"), col("d2"), col("sa.sha").as("sha1"))
@@ -168,6 +174,45 @@ object DedupQueries {
         (size(col("sha1")) + size(col("sb.sha")) - col("c")))
       .filter(col("jac") >= thresh)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jaccard"))
+  }
+
+  /** Incremental (cross-snapshot) dedup — the ingestion-time pattern at
+    * 100 TB: dedup TODAY'S batch against the already-ingested corpus
+    * without ever re-pairing corpus×corpus (which a full re-dedup would
+    * — quadratic in history, and the reason production pipelines keep a
+    * fingerprint/signature index of the corpus rather than its text).
+    * Batch = `doc_id % 5 = 0` (a deterministic slice the oracle can
+    * reproduce; in production, the new partition).
+    *
+    * Two asymmetric passes, both corpus-sized only on the INDEX side:
+    *  1. exact: anti join of batch md5 against corpus md5 — 16-byte
+    *     keys, never text;
+    *  2. near-dup: batch LSH bands equality-join corpus bands (8-byte
+    *     keys, 32 rows/doc), candidates exact-verified at jaccard ≥ 0.7
+    *     via [[verifyJaccard]]. Both sides reuse the session shingle
+    *     relation; nothing batch×batch or corpus×corpus is generated.
+    * Output: surviving batch doc_ids. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+    val isBatch = col("doc_id") % 5 === 0
+    val batch = d.filter(isBatch)
+    val corpus = d.filter(!isBatch)
+    val exactSurv = batch
+      .join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select("doc_id")
+    val da = shingleArrays(s, dir)
+    def bandsOf(ids: DataFrame) = da.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
+          .as(Seq("band", "bv")))
+    val cand = bandsOf(exactSurv).as("x")
+      .join(bandsOf(corpus.select("doc_id")).hint("shuffle_hash").as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    val nearDrop = verifyJaccard(da, cand, 0.7).select("d1").distinct()
+    exactSurv.join(nearDrop, col("doc_id") === col("d1"), "left_anti")
+      .orderBy("doc_id")
   }
 
   /** 64-bit SimHash near-dup pairs at hamming distance ≤ 3.
@@ -247,6 +292,7 @@ object DedupQueries {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
   )
 
   /** Shared DuckDB shingle CTE (word 3-grams, distinct, per doc). */
@@ -285,5 +331,24 @@ object DedupQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY v1, v2""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""$shingleCte,
+        |batch AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |          WHERE doc_id % 5 = 0),
+        |corpus AS (SELECT doc_id, md5(text) AS fp FROM documents
+        |           WHERE doc_id % 5 <> 0),
+        |ex AS (SELECT b.doc_id FROM batch b
+        |       WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)),
+        |xc AS (SELECT a.doc_id d1, b.doc_id d2, count(*) c
+        |       FROM sh a JOIN sh b ON a.s = b.s
+        |       WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |       GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT d1 FROM xc
+        |       JOIN sizes na ON d1 = na.doc_id
+        |       JOIN sizes nb ON d2 = nb.doc_id
+        |       WHERE c * 1.0 / (na.n + nb.n - c) >= 0.7)
+        |SELECT doc_id FROM ex
+        |WHERE doc_id NOT IN (SELECT d1 FROM nd)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

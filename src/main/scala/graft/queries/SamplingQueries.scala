@@ -60,9 +60,43 @@ object SamplingQueries {
       .orderBy("source", "rn")
   }
 
+  /** Concatenate-and-chunk sequence packing — the step that turns a
+    * document corpus into fixed-length training sequences: documents are
+    * concatenated in a deterministic order and cut into 512-token
+    * windows, and each document is mapped to the range of sequence ids
+    * it lands in (a doc spanning a cut boundary contributes to both
+    * neighbors — the standard pretraining packing, no padding waste).
+    *
+    * Scale design: packing is PER SOURCE, not global — the running
+    * token-offset window partitions by the mixing key, exactly how a
+    * sharded pipeline packs each shard independently, so there is no
+    * single-partition global cumsum (the thing that would serialize at
+    * 100 TB; a pathologically hot source is again the documented
+    * [[graft.operators.Skew]] case). Token counts come from the fused
+    * [[graft.functions.TokenStats]] byte kernel; the offsets are one
+    * running-sum window over (source, doc_id) and the sequence-id
+    * arithmetic is branch-free integer division — everything downstream
+    * of the scan stays in whole-stage codegen. */
+  def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenStats(s, col("text"))
+          .getField("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("cum0", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr("cum0 DIV 512").as("start_seq"),
+        expr("(cum0 + n_tokens - 1) DIV 512").as("end_seq"))
+      .withColumn("n_seqs", col("end_seq") - col("start_seq") + lit(1L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_split" -> (qHashSplit _),
     "q_quota_sample" -> (qQuotaSample _),
+    "q_pack_chunks" -> (qPackChunks _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -82,5 +116,18 @@ object SamplingQueries {
         |           FROM documents)
         |SELECT doc_id, source, n_chars, rn FROM r
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    "q_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, source, n,
+        |        CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cum0
+        |      FROM t)
+        |SELECT doc_id, source, CAST(n AS BIGINT) AS n_tokens,
+        |  cum0 // 512 AS start_seq,
+        |  (cum0 + n - 1) // 512 AS end_seq,
+        |  (cum0 + n - 1) // 512 - cum0 // 512 + 1 AS n_seqs
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -300,10 +300,42 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding outlier scoring — the curation pass that flags vectors
+    * far from their label centroid (mislabeled / garbage embeddings;
+    * the embedding-space analogue of the text quality filter): per
+    * label, the element-wise mean vector, then every vector's cosine
+    * to its own centroid, worst 50 reported.
+    *
+    * Scale shape, two passes: (1) the centroid aggregate runs over
+    * posexploded (label, dim) cells — map-side partial avg reduces the
+    * shuffle to |labels|×dim rows regardless of corpus size; (2) the
+    * assembled centroid arrays (KBs) broadcast back and every vector is
+    * scored with ONE codegen'd [[graft.functions.DotProduct]] — the
+    * corpus is never shuffled, never broadcast, and the only full-size
+    * data movement is the top-50 TakeOrdered. The oracle computes the
+    * identical per-cell average and cosine in DuckDB via zipped
+    * unnest. */
+  def qEmbedOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        t => t.getField("cx")).as("cv"))
+      .withColumn("cnrm", norm(s, col("cv")))
+    e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(dot(s, col("v"), col("cv")) / (col("nrm") * col("cnrm")), 4)
+          .as("cos_centroid"))
+      .orderBy(col("cos_centroid"), col("vec_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
+    "q_embed_outliers" -> (qEmbedOutliers _),
   )
 
   // (IVF persistence lives in [[IvfStore]] below.)
@@ -323,6 +355,21 @@ object SimilarityQueries {
         |    WHERE a.vec_id < 10) p) r
         |WHERE rnk <= 5
         |ORDER BY q_id, rnk""".stripMargin,
+    "q_embed_outliers" ->
+      """WITH u AS (SELECT label, vec_id,
+        |             unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |             unnest(range(1, len(embedding) + 1)) AS i
+        |           FROM embeddings),
+        |c AS (SELECT label, i, AVG(x) AS cx FROM u GROUP BY label, i),
+        |d AS (SELECT u.vec_id, u.label,
+        |        SUM(u.x * c.cx) AS dotp,
+        |        SUM(u.x * u.x) AS nv,
+        |        SUM(c.cx * c.cx) AS nc
+        |      FROM u JOIN c ON u.label = c.label AND u.i = c.i
+        |      GROUP BY u.vec_id, u.label)
+        |SELECT vec_id, label,
+        |  ROUND(dotp / (SQRT(nv) * SQRT(nc)), 4) AS cos_centroid
+        |FROM d ORDER BY cos_centroid, vec_id LIMIT 50""".stripMargin,
   )
 }
 

@@ -170,6 +170,36 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition scoring (the Gopher/MassiveText
+    * duplicate-n-gram family, Rae et al. 2021 §A1.1): the fraction of a
+    * document's word bigrams that are repeats of an earlier bigram in
+    * the SAME document — flagging the looping/stuttering generations
+    * and templated spam a pretraining filter drops. (Production runs
+    * the rule at n = 2..4; the window is a parameter of the kernel —
+    * this row pins n = 2, the strongest signal on this corpus.)
+    *
+    * total bigrams come from the fused [[graft.functions.TokenStats]]
+    * byte kernel (n_tokens − 1) and distinct bigrams from the fused
+    * [[graft.functions.ShingleHashesKText]] kernel, so the whole score
+    * is two codegen'd byte scans per row with NO token-array
+    * materialization and no shuffle — at 100 TB it is a pure map the
+    * parquet scan streams through. Distinct-hash counts equal
+    * distinct-string counts by the chained-XXH64 word-boundary
+    * injectivity argument (2^-64 caveat), same as q_decontaminate. */
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenStats(s, col("text")).as("ts"),
+        graft.functions.TextFunctions.shingleKText(s, col("text"), 2).as("g"))
+      .filter(col("ts.n_tokens") >= 2)
+      .select(col("doc_id"),
+        (col("ts.n_tokens") - 1).cast("long").as("total_grams"),
+        size(col("g")).cast("long").as("distinct_grams"),
+        round(lit(1.0) -
+          size(col("g")) / ((col("ts.n_tokens") - 1) * lit(1.0)), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -187,6 +217,7 @@ object TextQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_heavy_hitters_zipf" -> (qHeavyHittersZipf _),
     "q_bpe_tokens" -> (qBpeTokens _),
+    "q_repetition" -> (qRepetition _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -254,6 +285,16 @@ object TextQueries {
         |     '[a-z]+|[0-9]+|[^a-z0-9\s]')) * 1.0
         |   / len(string_split(text, ' ')), 4) AS fertility
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |g AS (SELECT doc_id, len(ws) - 1 AS total,
+        |        len(list_distinct(list_transform(range(1, len(ws)),
+        |          i -> ws[i] || ' ' || ws[i + 1]))) AS dis
+        |      FROM w WHERE len(ws) >= 2)
+        |SELECT doc_id, CAST(total AS BIGINT) AS total_grams,
+        |  CAST(dis AS BIGINT) AS distinct_grams,
+        |  ROUND(1 - dis * 1.0 / total, 4) AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp

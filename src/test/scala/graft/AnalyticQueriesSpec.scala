@@ -23,6 +23,16 @@ class AnalyticQueriesSpec extends SparkTestBase {
     assert(total == expected)
   }
 
+  test("json extraction accounts for every event exactly once") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val out = AnalyticQueries.qJsonExtract(spark, sf)
+    assert(out.agg(sum("n_events")).head().getLong(0) ==
+      Tables(spark, sf, "events").count())
+    // Every extracted k parsed (no null-poisoned groups): bounds hold.
+    assert(out.filter(col("min_k") < 0 || col("max_k") > 99 ||
+      col("sum_k").isNull).count() == 0)
+  }
+
   test("semi + anti join partition the customer table w.r.t. predicate") {
     val semi = AnalyticQueries.qSemiJoin(spark, sf).count()
     val urgentCusts = Tables(spark, sf, "orders")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.queries.{CorpusQueries, DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CorpusQueries, DedupQueries, MultimodalQueries, SamplingQueries, SimilarityQueries, TextQueries}
 
 /** Specs for the training-data pipeline operators (text analysis, dedup,
   * similarity search, multimodal plumbing). */
@@ -11,7 +11,7 @@ class PipelineQueriesSpec extends SparkTestBase {
   private val allModules = Seq(
     TextQueries.queries, DedupQueries.queries,
     SimilarityQueries.queries, MultimodalQueries.queries,
-    CorpusQueries.queries)
+    CorpusQueries.queries, SamplingQueries.queries)
 
   for (m <- allModules; (name, fn) <- m.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
@@ -45,11 +45,68 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(preds.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
 
+  test("repetition score: planted repeated bigrams are counted exactly") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    // "a b a b a b": 5 bigrams, 2 distinct → dup_frac 0.6; the clean
+    // doc has all-distinct bigrams → 0.0.
+    val df = Seq((1L, "a b a b a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.tokenStats(spark, col("text"))
+        .getField("n_tokens").as("n"),
+      size(TextFunctions.shingleKText(spark, col("text"), 2)).as("dis"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(1L) == ((6, 2)))
+    assert(out(2L) == ((4, 3)))
+  }
+
+  test("sequence packing is gapless and contiguous within each source") {
+    // Replays the running-offset arithmetic per source: every doc's
+    // sequence range must be exactly the 512-token windows its
+    // concatenated span covers — no gaps, no overlap drift.
+    val rows = SamplingQueries.qPackChunks(spark, sf)
+      .orderBy("source", "doc_id").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      var cum = 0L
+      rs.foreach { r =>
+        val n = r.getLong(2)
+        assert(r.getLong(3) == cum / 512, s"$src start_seq drift")
+        assert(r.getLong(4) == (cum + n - 1) / 512, s"$src end_seq drift")
+        assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1)
+        cum += n
+      }
+    }
+  }
+
   test("exact dedup keeps every distinct text exactly once") {
     val docs = Tables(spark, sf, "documents")
     val kept = DedupQueries.qDedupExact(spark, sf)
     assert(kept.agg(sum("n_dups")).head().getLong(0) == docs.count())
     assert(kept.count() == docs.select(md5(col("text"))).distinct().count())
+  }
+
+  test("incremental dedup: survivors share no fingerprint and no " +
+      "jaccard>=0.7 near-dup with the corpus") {
+    val docs = Tables(spark, sf, "documents")
+    val surv = DedupQueries.qDedupIncremental(spark, sf)
+    assert(surv.count() > 0)
+    val fps = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+    val corpusFps = fps.filter(col("doc_id") % 5 =!= 0).select("fp")
+    assert(surv.join(fps, "doc_id").join(corpusFps, Seq("fp"), "left_semi")
+      .count() == 0, "a survivor exactly matches a corpus doc")
+    // No survivor appears as d1 in a batch×corpus exact-jaccard pair:
+    // recompute pairs from the exact baseline (both orientations of the
+    // d1<d2 normal form) and intersect.
+    val pairs = DedupQueries.qDedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.7)
+    val crossPair = pairs
+      .select(col("d1").as("b"), col("d2").as("c"))
+      .union(pairs.select(col("d2").as("b"), col("d1").as("c")))
+      .filter(col("b") % 5 === 0 && col("c") % 5 =!= 0)
+      .select(col("b").as("doc_id")).distinct()
+    assert(surv.join(crossPair, Seq("doc_id"), "left_semi").count() == 0,
+      "a survivor has a corpus near-duplicate")
   }
 
   test("minhash-LSH pairs equal exact-jaccard pairs at the 0.7 threshold") {
