@@ -338,6 +338,20 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** PIVOT — long-to-wide reshaping (source rows × language columns).
+    * The value list is EXPLICIT, which is the 100 TB-correct form: with
+    * it the pivot is a single pass (one hash aggregate whose grouping
+    * emits fixed columns); without it Spark must first run a distinct
+    * scan over the pivot column to discover the schema. Absent cells
+    * zero-filled (the oracle's FILTER form never yields NULL). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("source")
+
   /** Cohort retention — the canonical product-analytics matrix: users
     * grouped by first-seen date (their cohort), counted on each later
     * active day as an offset from that cohort date. The distinct
@@ -480,6 +494,7 @@ object AnalyticQueries {
     "q_date_agg" -> (qDateAgg _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_retention" -> (qRetention _),
+    "q_pivot" -> (qPivot _),
     "q_json_extract" -> (qJsonExtract _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_correlated_exists" -> (qCorrelatedExists _),
@@ -631,6 +646,14 @@ object AnalyticQueries {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour,
         | event_type, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT source,
+        | COUNT(1) FILTER (lang = 'de') AS de,
+        | COUNT(1) FILTER (lang = 'en') AS en,
+        | COUNT(1) FILTER (lang = 'es') AS es,
+        | COUNT(1) FILTER (lang = 'fr') AS fr,
+        | COUNT(1) FILTER (lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
         |             FROM events),

@@ -200,6 +200,44 @@ object EventStreams {
         slice(col("s"), 1, k).as("top_talkers"))
   }
 
+  /** Streaming corpus ingestion with incremental dedup — the streaming
+    * twin of [[graft.queries.DedupQueries.qDedupIncremental]]'s exact
+    * stage, the shape of a continuously-ingesting corpus builder:
+    * arriving documents are deduped within the stream (fingerprint
+    * state bounded by the watermark) and against the STATIC
+    * already-ingested corpus fingerprint index. The index join is
+    * expressed as stream-static left_outer + IS NULL filter — the
+    * supported Structured Streaming form of an anti join (stream-static
+    * left_anti is not in Spark's support matrix). At scale the index is
+    * a bucketed fingerprint table re-read per micro-batch; only the
+    * 16-byte keys join, never document bodies.
+    *
+    * @param docs stream of (doc_id, text, ingest_ts)
+    * @param corpusFps static index with a single `fp` column (md5). */
+  def ingestDedup(docs: DataFrame, corpusFps: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ingest_ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .join(corpusFps.select(col("fp"), lit(true).as("__in_corpus")),
+        Seq("fp"), "left_outer")
+      .filter(col("__in_corpus").isNull)
+      .drop("__in_corpus", "fp")
+
+  /** Batch twin of [[ingestDedup]] (same caveat as
+    * [[dedupStreamBatch]]: `dropDuplicatesWithinWatermark` is
+    * stream-only, so the replay twin dedups per key): within-batch
+    * fingerprint dedup keeping the minimum doc_id, then the anti join
+    * against the corpus index. */
+  def ingestDedupBatch(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    docs.withColumn("fp", md5(col("text")))
+      .withColumn("mn", min("doc_id").over(w))
+      .filter(col("doc_id") === col("mn")).drop("mn")
+      .join(corpusFps.select("fp"), Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** End-to-end wiring: stream → sessionize → parquet sink. Returns the
     * started query (caller stops it); checkpointing makes the pipeline
     * restartable — the production shape of the operator. */

@@ -198,6 +198,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup drops corpus matches and stream dups") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val corpus = Seq("old doc one", "old doc two").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text")).as("fp"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = EventStreams.ingestDedup(docs, corpus)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        (10L, "old doc one", ts(0)),   // in corpus → dropped
+        (11L, "fresh doc a", ts(1)),   // kept
+        (12L, "fresh doc a", ts(2)),   // stream dup → dropped
+        (13L, "fresh doc b", ts(3)))   // kept
+      runBatches(q)
+      mem.addData((14L, "fresh doc a", ts(4))) // dup within watermark
+      runBatches(q)
+      val streamIds = spark.table("ingest")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamIds == Set(11L, 13L))
+      // Batch twin keeps the same documents on the full replay.
+      val batchIds = EventStreams.ingestDedupBatch(
+        Seq((10L, "old doc one", ts(0)), (11L, "fresh doc a", ts(1)),
+          (12L, "fresh doc a", ts(2)), (13L, "fresh doc b", ts(3)),
+          (14L, "fresh doc a", ts(4))).toDF("doc_id", "text", "ingest_ts"),
+        corpus).select("doc_id").as[Long].collect().toSet
+      assert(batchIds == streamIds)
+    } finally q.stop()
+  }
+
   test("per-window top talkers: bounded sketch state, finalized windows " +
       "emit heavy users first") {
     import spark.implicits._
