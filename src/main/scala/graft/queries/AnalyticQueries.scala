@@ -338,6 +338,30 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Time-series gap-fill / resampling: densify the hourly counts to a
+    * complete hour × event_type grid, zero-filling hours with no
+    * events — the step every downstream time-series model (anomaly
+    * detection, forecasting, rate alerting) needs before a window
+    * function can be trusted (a lag over sparse rows silently skips
+    * the empty periods). Scale shape: the grid is generated AFTER
+    * aggregation (hours × types — calendar-bounded, never data-sized),
+    * via `sequence` + `explode` off the 1-row bounds aggregate; the
+    * left join back is grid-sized. The raw scan cost is exactly
+    * [[qEventsHourly]]'s aggregate. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = hourly.agg(min("hour").as("lo"), max("hour").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+      .crossJoin(hourly.select("event_type").distinct())
+    grid.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour").cast("string").as("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** PIVOT — long-to-wide reshaping (source rows × language columns).
     * The value list is EXPLICIT, which is the 100 TB-correct form: with
     * it the pivot is a single pass (one hash aggregate whose grouping
@@ -495,6 +519,7 @@ object AnalyticQueries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_retention" -> (qRetention _),
     "q_pivot" -> (qPivot _),
+    "q_gap_fill" -> (qGapFill _),
     "q_json_extract" -> (qJsonExtract _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_correlated_exists" -> (qCorrelatedExists _),
@@ -646,6 +671,20 @@ object AnalyticQueries {
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour,
         | event_type, COUNT(1) AS n, ROUND(SUM(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_gap_fill" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |             event_type, COUNT(1) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(hour) lo, MAX(hour) hi FROM h),
+        |grid AS (SELECT g.hour, t.event_type
+        |         FROM (SELECT unnest(generate_series(lo, hi,
+        |                 INTERVAL 1 HOUR)) AS hour FROM b) g
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM h) t)
+        |SELECT CAST(grid.hour AS VARCHAR) AS hour, grid.event_type,
+        |  COALESCE(h.n, 0) AS n
+        |FROM grid LEFT JOIN h
+        |  ON grid.hour = h.hour AND grid.event_type = h.event_type
+        |ORDER BY grid.hour, grid.event_type""".stripMargin,
     "q_pivot" ->
       """SELECT source,
         | COUNT(1) FILTER (lang = 'de') AS de,

@@ -200,6 +200,31 @@ object TextQueries {
           .as("dup_frac"))
       .orderBy("doc_id")
 
+  /** Overlapping chunk windows (the RAG / long-context chunking step):
+    * per document, the token-offset ranges of size-32 windows at
+    * stride 16 — adjacent chunks share half their tokens, the standard
+    * retrieval-chunking overlap that keeps a fact straddling a cut
+    * inside at least one chunk. Offsets, not texts, are emitted
+    * (downstream substring extraction is positional); the final chunk
+    * clips to the document end, and every document produces ≥ 1 chunk.
+    *
+    * Scale shape: one fused [[graft.functions.TokenStats]] byte scan
+    * per row, then a `sequence`+`explode` whose fan-out is
+    * ⌈n_tokens/stride⌉ — output-proportional, no shuffle at all before
+    * the result ordering. Spark's inclusive `sequence(0, E−1, s)`
+    * mirrors the oracle's exclusive `range(0, E, s)` exactly. */
+  def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenStats(s, col("text"))
+          .getField("n_tokens").cast("long").as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), greatest(col("n") - 17, lit(0L)),
+          lit(16L))).as("start_tok"))
+      .select(col("doc_id"), col("start_tok"),
+        least(col("start_tok") + 32, col("n")).as("end_tok"))
+      .orderBy("doc_id", "start_tok")
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -218,6 +243,7 @@ object TextQueries {
     "q_heavy_hitters_zipf" -> (qHeavyHittersZipf _),
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_repetition" -> (qRepetition _),
+    "q_chunk_overlap" -> (qChunkOverlap _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -295,6 +321,15 @@ object TextQueries {
         |  CAST(dis AS BIGINT) AS distinct_grams,
         |  ROUND(1 - dis * 1.0 / total, 4) AS dup_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        unnest(range(0, greatest(n - 16, 1), 16)) AS start_tok
+        |      FROM t)
+        |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(LEAST(start_tok + 32, n) AS BIGINT) AS end_tok
+        |FROM c ORDER BY doc_id, start_tok""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
