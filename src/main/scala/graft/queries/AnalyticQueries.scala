@@ -348,7 +348,16 @@ object AnalyticQueries {
     * via `sequence` + `explode` off the 1-row bounds aggregate; the
     * left join back is grid-sized. The raw scan cost is exactly
     * [[qEventsHourly]]'s aggregate. */
-  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+  def qGapFill(s: SparkSession, dir: String): DataFrame =
+    hourlyGrid(s, dir)
+      .select(col("hour").cast("string").as("hour"), col("event_type"),
+        col("n"))
+      .orderBy("hour", "event_type")
+
+  /** Shared dense hour × event_type grid (timestamp-typed hour, zero-
+    * filled counts) — [[qGapFill]]'s output before stringification, and
+    * [[qAnomaly]]'s input. */
+  private def hourlyGrid(s: SparkSession, dir: String): DataFrame = {
     val hourly = t(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -357,8 +366,37 @@ object AnalyticQueries {
         expr("interval 1 hour"))).as("hour"))
       .crossJoin(hourly.select("event_type").distinct())
     grid.join(hourly, Seq("hour", "event_type"), "left")
-      .select(col("hour").cast("string").as("hour"), col("event_type"),
+      .select(col("hour"), col("event_type"),
         coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Rolling z-score anomaly detection over the gap-filled hourly series
+    * — the rate-alerting pass the gap-fill exists for: each hour's count
+    * is scored against the trailing 24 COMPLETE hours (zero-filled, so a
+    * silent outage is a legitimate −z, not a missing row), and hours with
+    * |z| ≥ 2.5 are flagged. The first 24 hours per series have no full
+    * baseline and are skipped, as is any window with zero variance.
+    *
+    * Scale shape: the grid is calendar-sized (never data-sized), so the
+    * window runs over hours × types rows — one exchange on event_type,
+    * each series' frame a bounded 24-row buffer. The raw-event cost is
+    * the same single aggregate as [[qEventsHourly]]. Both engines
+    * evaluate avg/stddev over the identical deterministic 24-row frame;
+    * z is rounded to 4 decimals BEFORE the threshold test so the flag
+    * set cannot disagree on a last-ulp difference. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-24, -1)
+    val series = Window.partitionBy("event_type").orderBy("hour")
+    hourlyGrid(s, dir)
+      .withColumn("mu", avg("n").over(frame))
+      .withColumn("sd", stddev_samp("n").over(frame))
+      .withColumn("rn", row_number().over(series))
+      .where(col("rn") > 24 && col("sd") > 0)
+      .withColumn("z", round((col("n") - col("mu")) / col("sd"), 4))
+      .where(abs(col("z")) >= 2.5)
+      .select(col("hour").cast("string").as("hour"), col("event_type"),
+        col("n"), round(col("mu"), 4).as("mu"), col("z"))
       .orderBy("hour", "event_type")
   }
 
@@ -520,6 +558,7 @@ object AnalyticQueries {
     "q_retention" -> (qRetention _),
     "q_pivot" -> (qPivot _),
     "q_gap_fill" -> (qGapFill _),
+    "q_anomaly" -> (qAnomaly _),
     "q_json_extract" -> (qJsonExtract _),
     "q_subquery_scalar" -> (qSubqueryScalar _),
     "q_correlated_exists" -> (qCorrelatedExists _),
@@ -685,6 +724,30 @@ object AnalyticQueries {
         |FROM grid LEFT JOIN h
         |  ON grid.hour = h.hour AND grid.event_type = h.event_type
         |ORDER BY grid.hour, grid.event_type""".stripMargin,
+    "q_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |             event_type, COUNT(1) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(hour) lo, MAX(hour) hi FROM h),
+        |grid AS (SELECT g.hour, t.event_type
+        |         FROM (SELECT unnest(generate_series(lo, hi,
+        |                 INTERVAL 1 HOUR)) AS hour FROM b) g
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM h) t),
+        |f AS (SELECT grid.hour, grid.event_type, COALESCE(h.n, 0) AS n
+        |      FROM grid LEFT JOIN h
+        |        ON grid.hour = h.hour AND grid.event_type = h.event_type),
+        |z AS (SELECT hour, event_type, n,
+        |        AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sd,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY hour) AS rn
+        |      FROM f
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT CAST(hour AS VARCHAR) AS hour, event_type, n,
+        |  ROUND(mu, 4) AS mu, ROUND((n - mu) / sd, 4) AS z
+        |FROM z WHERE rn > 24 AND sd > 0
+        |  AND ABS(ROUND((n - mu) / sd, 4)) >= 2.5
+        |ORDER BY hour, event_type""".stripMargin,
     "q_pivot" ->
       """SELECT source,
         | COUNT(1) FILTER (lang = 'de') AS de,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -225,6 +226,79 @@ object TextQueries {
         least(col("start_tok") + 32, col("n")).as("end_tok"))
       .orderBy("doc_id", "start_tok")
 
+  /** PII redaction — the scrub pass every released training corpus runs:
+    * mask emails, international-format phone numbers, and SSN-shaped ids,
+    * and count what was masked (the audit trail). The corpus is synthetic
+    * word salad with no real PII, so the row first derives a dirty text
+    * DETERMINISTICALLY from doc_id (both engines compute the identical
+    * string), then redacts it — the redaction logic is what's under test.
+    *
+    * Patterns use only character classes + bounded repetition — the
+    * common subset Java regex (Spark, codegen'd) and RE2 (DuckDB)
+    * evaluate identically: no lookaround, no backreferences, no `\b`.
+    * The three patterns are mutually non-overlapping on any input
+    * (`@`-anchored / `+`-prefixed / bare 3-2-4 digits), so replacement
+    * order cannot change the result.
+    *
+    * Scale shape: a pure per-row map — no shuffle before the result
+    * ordering, scan-streamed at 100 TB like the other text kernels. */
+  def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val dirty = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" call +1-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" id "),
+        lpad((id % 900 + 100).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 90 + 10).cast("string"), 2, "0"), lit("-"),
+        lpad((id % 9000 + 1000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    docs(s, dir)
+      .select(id, dirty.as("t"))
+      .select(id,
+        regexp_count(col("t"), lit(email)).cast("long").as("n_email"),
+        regexp_count(col("t"), lit(phone)).cast("long").as("n_phone"),
+        regexp_count(col("t"), lit(ssn)).cast("long").as("n_id"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ssn, "<ID>")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document top-5 keywords by TF-IDF — the keyword-extraction /
+    * topic-tagging pass (and the relevance score BM25 generalizes).
+    * tfidf = tf × ln(N / df), rounded to 4 decimals BEFORE ranking so
+    * the two engines' `ln` cannot disagree on a last-ulp tie; residual
+    * ties break alphabetically.
+    *
+    * Scale shape: explode → (doc, token) hash agg (map-side combine
+    * shrinks the shuffle to distinct pairs) → token-keyed df agg —
+    * vocabulary-sized, so AQE broadcasts it back when small and
+    * shuffle-joins when not — → doc-keyed window top-5. N comes from a
+    * 1-row aggregate crossJoined in (never a driver round-trip). Three
+    * shuffles total, each on the natural key of its stage; nothing is
+    * ever collected. */
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, "token").crossJoin(n)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4))
+      .withColumn("rk", row_number().over(rk))
+      .where(col("rk") <= 5)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -244,6 +318,8 @@ object TextQueries {
     "q_bpe_tokens" -> (qBpeTokens _),
     "q_repetition" -> (qRepetition _),
     "q_chunk_overlap" -> (qChunkOverlap _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_tfidf" -> (qTfidf _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -330,6 +406,49 @@ object TextQueries {
         |SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok,
         |  CAST(LEAST(start_tok + 32, n) AS BIGINT) AS end_tok
         |FROM c ORDER BY doc_id, start_tok""".stripMargin,
+    "q_pii_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+        |      CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' id ' ||
+        |      lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<ID>', 'g')) AS fp
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(1) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(1) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(1) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |             ROUND(tf.tf * ln(n.n * 1.0 / df.df), 4) AS tfidf
+        |           FROM tf JOIN df USING (token) CROSS JOIN n),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |         ORDER BY tfidf DESC, token) AS rk FROM scored)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, tfidf
+        |FROM rk WHERE rk <= 5 ORDER BY doc_id, tfidf DESC, token""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
