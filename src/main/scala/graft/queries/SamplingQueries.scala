@@ -29,9 +29,26 @@ object SamplingQueries {
     * ANSI-SQL oracle produce bit-identical buckets — the property that
     * makes the split auditable from outside the engine. (A keyed
     * cryptographic hash is the adversarial-input variant; the
-    * arithmetic form is the portable, codegen-friendly default.) */
-  private def hashBucket(key: org.apache.spark.sql.Column) =
-    pmod(pmod(key * lit(2654435761L), lit(4294967296L)), lit(100L))
+    * arithmetic form is the portable, codegen-friendly default.)
+    *
+    * Overflow-safe for the full BIGINT key range: a naive
+    * `key * 2654435761` exceeds 2^63 once key ≳ 3.47e9 — Spark wraps
+    * silently while an ANSI oracle raises, breaking the bit-identity
+    * claim exactly at production id ranges. Since
+    * `(key*C) mod 2^32 = ((key mod 2^32)*C) mod 2^32`, we first reduce
+    * the key mod 2^32 and then split the multiply into 16-bit halves
+    * (only the low 16 bits of the high half's product survive the
+    * final mod), keeping every intermediate < 2^49 — exact in signed
+    * 64-bit on both engines, no wrap anywhere. */
+  private[graft] def hashBucket(key: org.apache.spark.sql.Column) = {
+    val c = lit(2654435761L)
+    val k = pmod(key, lit(4294967296L))
+    val kHi = shiftright(k, 16) // k in [0, 2^32) so this is k DIV 2^16
+    val kLo = k.bitwiseAND(lit(65535L))
+    val mix = pmod(pmod(kHi * c, lit(65536L)) * lit(65536L) + kLo * c,
+      lit(4294967296L))
+    pmod(mix, lit(100L))
+  }
 
   /** Reproducible train/val/test split (80/10/10) as a pure function
     * of doc_id: stable under resharding, appends, and reruns — no RNG
@@ -101,14 +118,16 @@ object SamplingQueries {
 
   val oracles: Map[String, String] = Map(
     "q_hash_split" ->
-      """SELECT doc_id,
-        |       (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
-        |       CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80
-        |              THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
-        |              THEN 'val'
+      """WITH k AS (SELECT doc_id, doc_id % 4294967296 AS kk FROM documents),
+        |b AS (SELECT doc_id,
+        |        ((kk // 65536 * 2654435761) % 65536 * 65536
+        |          + kk % 65536 * 2654435761) % 4294967296 % 100 AS bucket
+        |      FROM k)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
         |            ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM b ORDER BY doc_id""".stripMargin,
     "q_quota_sample" ->
       """WITH r AS (SELECT doc_id, source, n_chars,
         |             ROW_NUMBER() OVER (PARTITION BY source

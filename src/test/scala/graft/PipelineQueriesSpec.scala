@@ -334,4 +334,23 @@ class PipelineQueriesSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("Broadcast"), "ANN query set should broadcast")
   }
+
+  test("hashBucket is exact (no 64-bit wrap) across the full BIGINT id range") {
+    import spark.implicits._
+    // BigInt model of the mathematical definition: (key * C) mod 2^32 mod 100.
+    // Includes ids beyond 3.47e9 where the naive key*C overflows signed
+    // 64-bit (Spark wraps, ANSI oracles raise) — the split-parity claim
+    // requires the overflow-safe form to still match exact arithmetic.
+    val c = BigInt(2654435761L)
+    val ids = Seq(0L, 1L, 99L, 123456789L, 3470000000L, 1L << 40,
+      (1L << 40) + 12345L, 1L << 62, Long.MaxValue - 1)
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        SamplingQueries.hashBucket(col("doc_id")).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = ((BigInt(id) * c).mod(BigInt(1) << 32) % 100).toLong
+      assert(got(id) == want, s"doc_id=$id: got ${got(id)}, want $want")
+    }
+  }
 }
