@@ -60,6 +60,7 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       // OLAP engines build hash tables; Spark's sort-merge default exists
       // for giant-build-side safety, which AQE's size estimates already

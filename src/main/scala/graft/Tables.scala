@@ -16,18 +16,26 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark's
-      // TimestampType (micros) rejects: read nanos as long and
-      // floor-convert. Synthesized events (graft.tools.ScaleData) are
-      // written as TIMESTAMP(micros) already — branch on the read type.
+      // events.ts has varied across driver generations: TIMESTAMP(NANOS)
+      // (unreadable by Spark's micros TimestampType — read nanos as long
+      // and floor-convert) and, since round 7, plain TIMESTAMP(micros)
+      // with isAdjustedToUTC=false (arrives as TimestampNTZType).
+      // Normalize every shape to the session-zone TimestampType so all
+      // downstream arithmetic (casts to long/date, window buckets) is
+      // uniform; sessions pin UTC, so the NTZ wall-clock is preserved
+      // verbatim and matches the DuckDB oracle's reading byte for byte.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
-      else raw
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

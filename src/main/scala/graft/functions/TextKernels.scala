@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.Platform
@@ -148,6 +148,37 @@ object TextKernel {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
   }
 
+  /** ALL word-k-gram strings of `s` (non-distinct, in document order) as
+    * zero-decode byte slices. Because the separator is the single byte
+    * 0x20, the composed gram `concat(tk[i], ' ', …, ' ', tk[i+k-1])` is
+    * EXACTLY the contiguous byte range [st(i), st(i+k)−1) of the
+    * original buffer — including every empty-token / consecutive-space
+    * shape — so one `copyMemory` per gram replaces the composed plan's
+    * split → sequence → transform → per-gram concat chain (a token
+    * array, a lambda frame, and two UTF8String allocations per gram).
+    * Empty result below k tokens, so `explode` drops exactly the rows
+    * `filter(size(split) >= k)` would. Feeds the exact heavy-hitter
+    * aggregate, whose oracle groups the identical strings. */
+  def gramSlices(s: UTF8String, k: Int): ArrayData = {
+    val st = tokenStarts(s)
+    val n = st.length - 1
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val ts = st(i)
+      val len = st(i + k) - 1 - ts
+      val b = new Array[Byte](len)
+      Platform.copyMemory(base, off + ts, b, Platform.BYTE_ARRAY_OFFSET, len)
+      out(i) = UTF8String.fromBytes(b)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused `split` + [[SimHashKernel.compute]]: per-token ±1 votes on the
     * 64 signature bits, tokens hashed in place (seed 42 = `xxhash64`'s
     * default, same as the array kernel). */
@@ -253,6 +284,29 @@ case class ShingleHashesKText(child: Expression, k: Int)
       newChild: Expression): ShingleHashesKText = copy(child = newChild)
 }
 
+/** `gram_slices_text(text, k)` → array<string>: all word-k-gram strings
+  * as zero-decode byte slices, k a foldable literal. */
+case class GramSlicesText(child: Expression, k: Int)
+    extends StringKernelExpression {
+  require(k >= 1, s"gram window must be >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "gram_slices_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.gramSlices(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernel.gramSlices($a, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramSlicesText = copy(child = newChild)
+}
+
 /** `simhash64_text(text)` → long (fused split + simhash). */
 case class SimHash64Text(child: Expression) extends StringKernelExpression {
 
@@ -290,6 +344,15 @@ object TextFunctions {
         }
         ShingleHashesKText(exprs.head, k)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_slices_text", exprs => {
+        val k = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_slices_text expects a literal int window, got $other")
+        }
+        GramSlicesText(exprs.head, k)
+      }, "built-in")
   }
 
   /** struct(n_tokens, n_types) of `text` in one fused byte pass. */
@@ -314,5 +377,12 @@ object TextFunctions {
   def shingleKText(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("shinglek_hashes_text", text, lit(k))
+  }
+
+  /** All word-k-gram strings of `text` (non-distinct, document order),
+    * one fused byte pass. */
+  def gramSlicesText(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("gram_slices_text", text, lit(k))
   }
 }

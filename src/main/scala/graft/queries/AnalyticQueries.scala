@@ -329,13 +329,19 @@ object AnalyticQueries {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("total"))
       .orderBy("month")
 
-  /** Hourly tumbling-window aggregate over the events table. */
+  /** Hourly tumbling-window aggregate over the events table. The
+    * group key is the 8-byte truncated TIMESTAMP; the string form the
+    * driver compares is produced AFTER aggregation, so the per-row
+    * work and the shuffle keys never touch timestamp→string
+    * formatting (grid-sized, not data-sized — same result, the cast
+    * commutes with the grouping because it is injective per group). */
   def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .groupBy(
-        date_trunc("hour", col("ts")).cast("string").as("hour"),
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("hour_ts").cast("string").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
 
   /** Time-series gap-fill / resampling: densify the hourly counts to a

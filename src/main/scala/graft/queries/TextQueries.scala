@@ -109,44 +109,51 @@ object TextQueries {
     * [[qHeavyHittersZipf]] is the head-heavy row where the certified
     * plan is the one measured). */
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    // Bigrams come from the fused gram_slices_text byte kernel: each
+    // bigram is a contiguous byte slice of the original text (the
+    // separator is one byte), so the extraction is one copyMemory per
+    // gram instead of split → sequence → transform → concat — the
+    // strings are bit-identical to the composed form the oracle groups.
+    // Documents with < 2 tokens yield an empty array, which explode
+    // drops — same rows as the former filter(size(tk) >= 2).
     val bigrams = docs(s, dir)
-      .select(toks.as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(tk) - 2), " +
-          "i -> concat(tk[i], ' ', tk[i + 1]))")).as("bigram"))
+      .select(explode(graft.functions.TextFunctions
+        .gramSlicesText(s, col("text"), 2)).as("bigram"))
     graft.functions.FreqSketch.topKExact(bigrams, "bigram",
         k = 20, capacity = 2048)
       .orderBy(col("cnt").desc, col("bigram"))
   }
 
   /** Deterministic Zipf-shaped item stream derived from `events`:
-    * u = multiplicative-hash(event_id) ∈ (0, 1] uniform, item =
-    * ⌊u^-1.25⌋ capped — inverse-CDF sampling giving P(item ≥ r) =
-    * r^-0.8, the head-heavy shape of real token/URL/user-id
-    * distributions. Pure integer-then-double arithmetic both engines
-    * compute bit-identically (no engine hash functions involved). */
-  private val zipfItem = {
-    val u = (((col("event_id") % 1000003L) * 2654435761L) % 1000003L +
-      lit(1L)) / lit(1000003.0)
-    concat(lit("it_"),
-      least(floor(pow(u, lit(-1.25))), lit(100000.0)).cast("long")
-        .cast("string"))
-  }
+    * m = multiplicative-hash(event_id) ∈ [1, 1000003] uniform, item =
+    * ⌊1000003 / m⌋ capped — integer inverse-CDF sampling giving
+    * P(item ≥ r) = 1/r (a Zipf(1) tail, pmf ~ r^-2), the head-heavy
+    * shape of real token/URL/user-id distributions. PURE INTEGER
+    * arithmetic end to end: the former ⌊u^-1.25⌋ form relied on Java
+    * Math.pow and the oracle's libm pow agreeing to the last ulp at a
+    * floor boundary — neither is correctly rounded, so the comparison
+    * could flip an item on a different platform (round-6 ADVICE);
+    * integer division is exact everywhere by definition. */
+  private val zipfItem = expr(
+    "concat('it_', cast(least(1000003 DIV " +
+      "(((event_id % 1000003) * 2654435761) % 1000003 + 1), " +
+      "100000) as string))")
 
   /** Exact top-20 heavy hitters on HEAD-HEAVY data — the plan
     * [[qHeavyHitters]]'s flat-vocabulary corpus can never exercise:
     * here the Zipf head towers over ε, so `topKExact` takes the
-    * CERTIFIED 2-pass route (sketch summary shuffle + ≤ 256-key exact
-    * recount) at every scale factor, never the full-vocabulary
-    * aggregate. This is the 100 TB plan for real corpora: shuffle
-    * bytes are O(partitions × capacity), independent of the billions
-    * of distinct items (suite-pinned certified on the driver's own
-    * data in FreqSketchSpec). */
+    * CERTIFIED 2-pass route (16-byte-entry sketch summary shuffle +
+    * ≤ 128-hash exact recount) at every scale factor, never the
+    * full-vocabulary aggregate. This is the 100 TB plan for real
+    * corpora: shuffle bytes are O(partitions × capacity), independent
+    * of the billions of distinct items (suite-pinned certified on the
+    * driver's own data in FreqSketchSpec; capacity 128 keeps the
+    * vocabulary genuinely outgrowing the sketch from sf0.01 up, so
+    * the measured plan is the evicting one). */
   def qHeavyHittersZipf(s: SparkSession, dir: String): DataFrame = {
     val items = Tables(s, dir, "events").select(zipfItem.as("item"))
     graft.functions.FreqSketch.topKExact(items, "item",
-        k = 20, capacity = 256)
+        k = 20, capacity = 128)
       .orderBy(col("cnt").desc, col("item"))
   }
 
@@ -371,9 +378,9 @@ object TextQueries {
         |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
     "q_heavy_hitters_zipf" ->
       """WITH z AS (
-        |  SELECT 'it_' || CAST(CAST(LEAST(FLOOR(POWER(
-        |    (((event_id % 1000003) * 2654435761) % 1000003 + 1) / 1000003.0,
-        |    -1.25)), 100000.0) AS BIGINT) AS VARCHAR) AS item
+        |  SELECT 'it_' || CAST(LEAST(1000003 //
+        |    (((event_id % 1000003) * 2654435761) % 1000003 + 1),
+        |    100000) AS VARCHAR) AS item
         |  FROM events)
         |SELECT item, COUNT(1) AS cnt FROM z
         |GROUP BY item ORDER BY cnt DESC, item LIMIT 20""".stripMargin,

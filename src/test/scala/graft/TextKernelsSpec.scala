@@ -88,6 +88,30 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("gram_slices_text matches composed split → transform → concat " +
+      "bigrams and trigrams on every string shape") {
+    // The kernel's claim is byte-slice ≡ concat(tk[i], ' ', …): exact
+    // on empty tokens, consecutive/leading/trailing spaces, and
+    // multi-byte UTF-8, with the sub-k-token docs yielding [] (the
+    // rows filter(size >= k) would drop).
+    for (k <- Seq(2, 3)) {
+      val toks = split(col("text"), " ")
+      val parts = (0 until k).map(j => s"split(text, ' ')[i + $j]")
+        .mkString(", ' ', ")
+      val composed = when(size(toks) >= k,
+        expr(s"transform(sequence(0, size(split(text, ' ')) - $k), " +
+          s"i -> concat($parts))"))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(
+        TextFunctions.gramSlicesText(spark, col("text"), k).as("fused"),
+        composed.as("composed"), col("text")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k grams for '${r.getString(2)}'")
+      }
+    }
+  }
+
   test("null text maps to null through all three kernels") {
     import spark.implicits._
     val nd = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
