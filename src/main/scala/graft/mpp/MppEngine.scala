@@ -566,6 +566,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       else changedBuckets
     val work = scanOf(affected)
     val out = transform(work)
+    stageAndSwap(t, affected, out)
+    matchedRows
+  }
+
+  /** Staging write + atomic per-bucket swap shared by every COW writer
+    * (UPDATE/DELETE rewrites and MERGE): write `out` (user columns +
+    * bucket) under a leased staging dir, then swap each affected bucket
+    * directory in with move-aside rollback safety. */
+  private def stageAndSwap(t: TableInfo, affected: Set[Int],
+      out: DataFrame): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(conf)
@@ -627,7 +637,139 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     fs.delete(new Path(staging), true)
     fs.delete(lease, false)
     refreshView(t)
-    matchedRows
+  }
+
+  // --- MERGE (capability superset: the reference has no MERGE — same
+  // precedent as CTAS, which it rejects at mpp_catalog.cpp:109-112) ----
+
+  /** MERGE INTO … USING source ON target.pc = source.pc — the upsert
+    * that completes the DSv2/dialect DML story: incremental corpus
+    * ingestion is `MERGE INTO corpus USING batch ON fingerprint WHEN
+    * NOT MATCHED THEN INSERT *` instead of a hand-rolled anti-join +
+    * insert. The join key IS the partition column, so every source row
+    * lands in exactly the bucket that may hold its match: affected
+    * buckets = the source keys' bucket set (one small aggregate over
+    * the batch), each rewritten as ONE bucket-parallel full-outer join
+    * — matched rows take the update, target-only rows pass through,
+    * source-only rows become the inserts. At 100 TB the rewrite cost
+    * is proportional to the touched buckets, never the table.
+    *
+    * `matchedSets`: None = no WHEN MATCHED clause (matched target rows
+    * pass through untouched); Some(Nil) = `UPDATE SET *` (every
+    * non-key column from the source); Some(list) = explicit
+    * assignments whose value SQL may reference target columns bare and
+    * source columns as `__src_<name>` (the dialect/DSv2 layers
+    * translate aliases). Updating the partition column via MERGE is
+    * rejected (the ON equality pins it; standard MERGE agrees).
+    * `insertNotMatched`: whether a WHEN NOT MATCHED THEN INSERT *
+    * clause is present.
+    *
+    * Insert-only merges (no WHEN MATCHED clause) never rewrite a
+    * bucket: the inserts are an anti-join against the affected
+    * buckets' keys and a plain parallel APPEND — at scale the
+    * dominant ingest shape costs a batch-sized join plus the new
+    * files, zero write amplification.
+    *
+    * ANSI cardinality check: a source with duplicate join keys would
+    * update the same target row twice nondeterministically — rejected
+    * up front (SQLSTATE 21000 semantics), from the same aggregate that
+    * derives the bucket set. Returns matched + inserted row count. */
+  def merge(name: String, source0: DataFrame,
+      matchedSets: Option[Seq[(String, String)]],
+      insertNotMatched: Boolean): Long = {
+    val t = info(name)
+    val pc = t.partitionColumn
+    val schema = userSchema(t)
+    require(matchedSets.isDefined || insertNotMatched,
+      s"MERGE ${t.name}: at least one WHEN clause is required")
+    matchedSets.foreach { ss =>
+      val known = schema.fieldNames.map(_.toLowerCase).toSet
+      val unknown = ss.map(_._1.toLowerCase).filterNot(known)
+      require(unknown.isEmpty,
+        s"MERGE ${t.name}: no such column(s): ${unknown.mkString(", ")}")
+      require(!ss.exists(_._1.equalsIgnoreCase(pc)),
+        s"MERGE ${t.name}: cannot update the partition column $pc")
+    }
+    // Align the source to the target schema by name (insertInto's
+    // idiom): missing columns resolve to declared defaults, so
+    // INSERT * behaves exactly like a partial-column INSERT.
+    val byName = source0.columns.map(c => c.toLowerCase -> c).toMap
+    require(byName.contains(pc.toLowerCase),
+      s"MERGE ${t.name}: source must provide the partition column $pc")
+    val aligned = schema.fields.map { f =>
+      byName.get(f.name.toLowerCase) match {
+        case Some(c) => source0(c).cast(f.dataType).as(f.name)
+        case None => expr(t.defaults.getOrElse(f.name, "NULL"))
+          .cast(f.dataType).as(f.name)
+      }
+    }
+    val src = source0.select(aligned: _*)
+    // One aggregate over the (batch-sized) source: total rows, max key
+    // multiplicity (cardinality check), and the affected bucket set.
+    val srcStats = src.groupBy(col(pc)).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n"),
+        coalesce(max("c"), lit(0L)).as("maxc"),
+        collect_set(pmod(hash(col(pc)), lit(t.buckets))).as("bks"))
+      .collect()(0)
+    val nSrc = srcStats.getLong(0)
+    if (nSrc == 0L) return 0L
+    require(srcStats.getLong(1) <= 1L,
+      s"MERGE ${t.name}: source has duplicate join keys on $pc — a " +
+        "target row would be updated by more than one source row " +
+        "(ANSI MERGE cardinality violation)")
+    val affected = srcStats.getSeq[Int](2).toSet
+    def affectedScan: DataFrame =
+      if (affected.size == t.buckets) readWithBucket(t)
+      else readWithBucket(t).filter(col(BucketCol).isin(affected.toSeq: _*))
+    if (matchedSets.isEmpty) {
+      // Insert-only fast path: anti-join the batch against the touched
+      // buckets' KEYS (column-pruned scan), append the survivors —
+      // no COW rewrite, no swap.
+      val obs = Observation()
+      val inserts = src
+        .join(affectedScan.select(col(pc).as(s"__t_$pc")),
+          col(pc) === col(s"__t_$pc"), "left_anti")
+        .withColumn(BucketCol, pmod(hash(col(pc)), lit(t.buckets)))
+      enforceNotNull(t, inserts)
+        .observe(obs, count(lit(1)).as("n"))
+        .repartition(affected.size, col(BucketCol))
+        .write.mode(SaveMode.Append).partitionBy(BucketCol)
+        .parquet(dataPath(t.name))
+      refreshView(t)
+      return observedLong(obs)
+    }
+    val tgt = affectedScan.withColumn("__t_present", lit(1))
+    val srcR = src.select(schema.fields.map(f =>
+        col(f.name).as(s"__src_${f.name}")): _*)
+      .withColumn("__src_present", lit(1))
+    val joined = tgt.join(srcR, col(pc) === col(s"__src_$pc"), "full_outer")
+      .filter(col("__t_present").isNotNull || lit(insertNotMatched))
+    val obs = Observation()
+    val observed = joined.observe(obs,
+      count(when(col("__t_present").isNotNull &&
+        col("__src_present").isNotNull, 1)).as("n"),
+      count(when(col("__t_present").isNull, 1)).as("ins"))
+    def matchedVal(f: StructField): org.apache.spark.sql.Column =
+      matchedSets.get match {
+        case Nil => col(s"__src_${f.name}") // UPDATE SET *
+        case ss => ss.find(_._1.equalsIgnoreCase(f.name))
+          .map(a => expr(a._2)).getOrElse(col(f.name))
+      }
+    val outCols = schema.fields.map { f =>
+      when(col("__t_present").isNotNull && col("__src_present").isNotNull,
+        matchedVal(f).cast(f.dataType))
+        .when(col("__t_present").isNotNull, col(f.name))
+        .otherwise(col(s"__src_${f.name}"))
+        .as(f.name)
+    }
+    val out = enforceNotNull(t, observed.select(outCols :+
+      coalesce(col(BucketCol),
+        pmod(hash(col(s"__src_$pc")), lit(t.buckets))).as(BucketCol): _*))
+    stageAndSwap(t, affected, out)
+    observedLong(obs) + (obs.get.get("ins") match {
+      case Some(x: Long) => x
+      case _ => 0L
+    })
   }
 
   // --- transactions (metadata-only, reference T1 semantics) -------------
@@ -822,6 +964,51 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       case DeleteRe(name, whereStr)
           if catalog.state.liveTable(localKey(name)).isDefined =>
         val n = delete(name, Option(whereStr).map(_.trim))
+        Seq(n).toDF("Count")
+      case MergeRe(name, tAliasRaw, sourceStr, sAlias, q1, c1, q2, c2,
+          whenTail) if catalog.state.liveTable(localKey(name)).isDefined =>
+        val t = info(name)
+        val pc = t.partitionColumn
+        val tAlias = Option(tAliasRaw).getOrElse(name)
+        def isTgt(q: String) =
+          q.equalsIgnoreCase(tAlias) || q.equalsIgnoreCase(name)
+        require((isTgt(q1) && q2.equalsIgnoreCase(sAlias)) ||
+          (isTgt(q2) && q1.equalsIgnoreCase(sAlias)),
+          s"MERGE ${t.name}: ON must join the target and source aliases")
+        require(c1.equalsIgnoreCase(pc) && c2.equalsIgnoreCase(pc),
+          s"MERGE ${t.name}: ON must equate the partition column $pc " +
+            "on both sides (bucket-local merge)")
+        // Alias translation into the engine's joined-frame namespace:
+        // source refs → __src_<col>, target refs → bare.
+        def xlate(e: String): String = {
+          def q(a: String) = java.util.regex.Pattern.quote(a)
+          e.replaceAll("(?i)\\b" + q(sAlias) + "\\.(\\w+)", "__src_$1")
+            .replaceAll("(?i)\\b" + q(tAlias) + "\\.(\\w+)", "$1")
+            .replaceAll("(?i)\\b" + q(name) + "\\.(\\w+)", "$1")
+        }
+        val srcSql =
+          if (sourceStr.trim.startsWith("("))
+            sourceStr.trim.drop(1).dropRight(1)
+          else s"SELECT * FROM $sourceStr"
+        val (sets, ins) = whenTail.trim match {
+          case MergeInsertOnlyRe() => (None, true)
+          case MergeMatchedRe(setsStr, insOpt) =>
+            val parsed =
+              if (setsStr.trim == "*") Nil
+              else splitTopLevel(setsStr).map { a =>
+                val Array(c, e) = a.split("=", 2)
+                val key = c.trim.replaceFirst(
+                  "(?i)^(" + java.util.regex.Pattern.quote(tAlias) + "|" +
+                    java.util.regex.Pattern.quote(name) + ")\\.", "")
+                (key, xlate(e.trim))
+              }
+            (Some(parsed), insOpt != null)
+          case other => throw new UnsupportedOperationException(
+            "MERGE clause not supported: '" + other.take(60) + "' " +
+              "(supported: WHEN MATCHED THEN UPDATE SET */assignments, " +
+              "WHEN NOT MATCHED THEN INSERT *)")
+        }
+        val n = merge(name, MppEngine.readSql(spark, srcSql), sets, ins)
         Seq(n).toDF("Count")
       case DropRe(name) if catalog.state.liveTable(localKey(name)).isDefined =>
         dropTable(name)
@@ -1077,6 +1264,18 @@ object MppEngine {
     """(?is)^DELETE\s+FROM\s+((?:\w+\.){0,2}\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)$""".r
+  /** MERGE INTO t [AS a] USING (query)|table [AS] s ON x.c = y.c WHEN …
+    * (clause tail parsed by [[MergeMatchedRe]]/[[MergeInsertOnlyRe]]). */
+  private[mpp] val MergeRe =
+    ("""(?is)^MERGE\s+INTO\s+((?:\w+\.){0,2}\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
+      """\s+USING\s+(\(.*\)|(?:\w+\.){0,2}\w+)\s+(?:AS\s+)?(\w+)""" +
+      """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
+      """\s+(WHEN\s+.+)$""").r
+  private[mpp] val MergeMatchedRe =
+    ("""(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)""" +
+      """(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*$""").r
+  private[mpp] val MergeInsertOnlyRe =
+    """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
   private val CtasRe =
     """(?is)^CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)\s+AS\s+(.*)$""".r
   private val CreateSchemaRe =

@@ -30,6 +30,9 @@ class MppExtensions extends (SparkSessionExtensions => Unit) {
     // update (see Dsv2RowLevelDml's scaladoc for why this beats a
     // second SupportsRowLevelOperations write path).
     ext.injectResolutionRule(_ => graft.sources.Dsv2UpdateRule)
+    // Catalog-path MERGE: bridges the analyzed MergeIntoTable onto the
+    // engine's bucket-local COW upsert (same one-write-path argument).
+    ext.injectResolutionRule(_ => graft.sources.Dsv2MergeRule)
   }
 }
 
@@ -84,7 +87,7 @@ object MppParser {
   private[mpp] val UseDialect =
     """(?is)^\s*USE\s+(\w+)\s*;?\s*$""".r
   private[mpp] val DmlHead =
-    """(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+((?:\w+\.){0,2}\w+)\b.*""".r
+    """(?is)^\s*(?:INSERT\s+INTO|UPDATE|DELETE\s+FROM|MERGE\s+INTO|DROP\s+TABLE(?:\s+IF\s+EXISTS)?)\s+((?:\w+\.){0,2}\w+)\b.*""".r
   private val CreateHead =
     """(?is)^\s*CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*""".r
   /** Non-table creates the reference's mpp schema rejects

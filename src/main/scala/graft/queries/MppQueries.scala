@@ -51,7 +51,7 @@ object MppQueries {
       // oracle-verified state, so bench passes time genuine COW DML
       // (round-4 verdict item 7) while Verify still hash-matches.
       val ord = Tables(s, dir, "orders")
-      for (t <- Seq("orders_u", "orders_del")) ensure(t) {
+      for (t <- Seq("orders_u", "orders_del", "orders_m")) ensure(t) {
         e.createDistributedTable(t, ord.schema.toDDL, "o_orderkey", 8)
         e.insertInto(t, ord)
       }
@@ -169,6 +169,43 @@ object MppQueries {
              FROM orders_del GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   }
 
+  /** MERGE INTO through the SQL dialect (capability superset: the
+    * reference rejects even CTAS on mpp catalogs; MERGE completes the
+    * DSv2/dialect DML story — see MppEngine.merge). EVERY pass does
+    * real COW upserts, converging to the oracle state (the
+    * qMppUpdate scratch-then-final pattern): merge 1 sets the matched
+    * rows (o_orderkey % 50 = 0) to a scratch price; merge 2 sets them
+    * to the oracle price AND upserts a sentinel batch (same rows
+    * key-shifted above every real key) — inserted on the first pass,
+    * re-matched and rewritten on every later one. The final state =
+    * orders with the CASE price + the sentinel rows, which the oracle
+    * reproduces as one SELECT … UNION ALL. */
+  def qMppMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    val base = sentinelBase(s, dir)
+    Tables(s, dir, "orders").createOrReplaceTempView("orders_mrg_src")
+    val cols = "o_custkey, o_orderstatus, o_orderdate, o_orderpriority"
+    e.sql("MERGE INTO orders_m t USING (" +
+      s"SELECT o_orderkey, $cols, -1.0 AS o_totalprice " +
+      "FROM orders_mrg_src WHERE o_orderkey % 50 = 0) s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET *")
+    e.sql("MERGE INTO orders_m t USING (" +
+      s"SELECT o_orderkey, $cols, " +
+      "o_custkey * 2.0 + 0.25 AS o_totalprice " +
+      "FROM orders_mrg_src WHERE o_orderkey % 50 = 0 " +
+      "UNION ALL " +
+      s"SELECT o_orderkey + $base AS o_orderkey, $cols, " +
+      "o_custkey * 2.0 + 0.25 AS o_totalprice " +
+      "FROM orders_mrg_src WHERE o_orderkey % 50 = 0) s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    e.sql("""SELECT o_orderstatus, count(1) AS n,
+             round(sum(o_totalprice) / 1000000, 4) AS total_m
+             FROM orders_m GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
   /** DDL dialect with DEFAULT columns + partial-column INSERT…SELECT
     * (reference default resolution, mpp_physical_insert.cpp:150-181).
     * The create+insert runs once in [[warm]]; the query verifies the
@@ -183,6 +220,7 @@ object MppQueries {
     "q_mpp_prune_or" -> (qMppPruneOr _),
     "q_mpp_update" -> (qMppUpdate _),
     "q_mpp_delete" -> (qMppDelete _),
+    "q_mpp_merge" -> (qMppMerge _),
     "q_mpp_defaults" -> (qMppDefaults _),
   )
 
@@ -214,6 +252,19 @@ object MppQueries {
       """SELECT o_orderstatus, COUNT(1) AS n
         |FROM orders WHERE o_orderkey % 3 <> 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mpp_merge" ->
+      """WITH f AS (
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderkey % 50 = 0
+        |              THEN o_custkey * 2.0 + 0.25
+        |              ELSE o_totalprice END AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey * 2.0 + 0.25 AS p
+        |  FROM orders WHERE o_orderkey % 50 = 0)
+        |SELECT o_orderstatus, COUNT(1) AS n,
+        |       ROUND(SUM(p) / 1000000, 4) AS total_m
+        |FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_mpp_defaults" ->
       """SELECT c_custkey, c_name, 7 AS c_tier, 'none' AS c_note
         |FROM customer ORDER BY c_custkey""".stripMargin,

@@ -236,6 +236,9 @@ final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
   /** Owning engine, for the row-level DML bridge. */
   private[graft] def owner: MppEngine = engine()
 
+  /** Hash-partition column, for the MERGE bridge's ON validation. */
+  private[graft] def partitionColumn: String = t.partitionColumn
+
   /** User schema, with the engine's column defaults surfaced as the
     * standard `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata — so
     * stock analysis resolves `DEFAULT` in catalog-path INSERT/UPDATE

@@ -1,8 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, SubqueryExpression, Literal => CatalystLiteral}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression, Literal => CatalystLiteral}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -65,7 +65,7 @@ object Dsv2UpdateRule extends Rule[LogicalPlan] {
       }
   }
 
-  private def colocated(p: LogicalPlan): Option[ColocatedTable] = p match {
+  private[sources] def colocated(p: LogicalPlan): Option[ColocatedTable] = p match {
     case SubqueryAlias(_, child) => colocated(child)
     case r: DataSourceV2Relation => r.table match {
       case ct: ColocatedTable => Some(ct)
@@ -78,10 +78,138 @@ object Dsv2UpdateRule extends Rule[LogicalPlan] {
     * against the table's own scan: qualifiers are stripped (the
     * analyzer qualified attributes with `cat.schema.t`, which would not
     * resolve against the engine's bare relation). */
-  private def sqlOf(e: Expression): String =
+  private[sources] def sqlOf(e: Expression): String =
     e.transform {
       case a: AttributeReference => a.withQualifier(Seq.empty)
     }.sql
+}
+
+/** Catalog-path MERGE: `MERGE INTO cat.t USING … ON t.pc = s.pc WHEN
+  * MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT …` over a
+  * [[ColocatedTable]] bridges the analyzed [[MergeIntoTable]] onto
+  * [[MppEngine.merge]]'s bucket-local COW upsert — the same
+  * one-write-path argument as [[Dsv2UpdateRule]] (a
+  * `SupportsRowLevelOperations` group-based plan would duplicate the
+  * engine's staging/swap machinery). The supported shape is the
+  * engine's contract: ON equates the partition column, matched action
+  * is one unconditional UPDATE (star or assignments), not-matched
+  * action is one unconditional INSERT whose values are the source
+  * columns by name (INSERT * / the analyzer's star expansion);
+  * anything else — conditional clauses, WHEN NOT MATCHED BY SOURCE,
+  * matched DELETE, schema evolution — raises the engine's clean
+  * unsupported error instead of Spark's generic rewrite failure. */
+object Dsv2MergeRule extends Rule[LogicalPlan] {
+
+  import Dsv2UpdateRule.{colocated, sqlOf}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable if colocated(m.targetTable).isDefined &&
+        m.childrenResolved =>
+      val ct = colocated(m.targetTable).get
+      val pc = ct.partitionColumn
+      def unsupported(what: String): Nothing =
+        throw new UnsupportedOperationException(
+          s"MERGE INTO ${ct.name()}: $what is not supported on MPP " +
+            "tables (supported: ON <target>.<partition col> = " +
+            "<source>.<partition col>, one unconditional WHEN MATCHED " +
+            "THEN UPDATE, one unconditional WHEN NOT MATCHED THEN " +
+            "INSERT of the source columns by name)")
+      if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+      if (m.notMatchedBySourceActions.nonEmpty)
+        unsupported("WHEN NOT MATCHED BY SOURCE")
+      val tgtOut = m.targetTable.outputSet
+      val srcOut = m.sourceTable.outputSet
+      // Only act once the merge is fully resolved (star actions
+      // expanded, references bound); until then leave the node for the
+      // analyzer to keep resolving.
+      val exprsResolved = m.mergeCondition.resolved &&
+        (m.matchedActions ++ m.notMatchedActions).forall(_.resolved)
+      if (!exprsResolved) m
+      else {
+        m.mergeCondition match {
+          case EqualTo(a: AttributeReference, b: AttributeReference)
+              if Set(a, b).exists(tgtOut.contains) &&
+                Set(a, b).exists(srcOut.contains) &&
+                a.name.equalsIgnoreCase(pc) &&
+                b.name.equalsIgnoreCase(pc) => // bucket-local, supported
+          case _ => unsupported(
+            s"an ON condition other than equality on $pc")
+        }
+        // Source attribute references render as __src_<name> — the
+        // engine's joined-frame namespace.
+        def xlate(e: Expression): String = sqlOf(e.transform {
+          case a: AttributeReference if srcOut.contains(a) =>
+            a.withName(s"__src_${a.name}")
+        })
+        val sets: Option[Seq[(String, String)]] = m.matchedActions match {
+          case Seq() => None
+          case Seq(UpdateStarAction(None)) => Some(Nil)
+          case Seq(UpdateAction(None, assigns, fromStar)) =>
+            // The analyzer expands UPDATE SET * into per-column
+            // assignments (marked fromStar); detect that shape — by
+            // flag or by value — and collapse it to the engine's SET *
+            // so both spellings take one path.
+            val star = fromStar || assigns.forall { a =>
+              (a.key, a.value) match {
+                case (k: AttributeReference, v: AttributeReference) =>
+                  srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
+                case _ => false
+              }
+            }
+            if (star && assigns.nonEmpty) Some(Nil)
+            else Some(assigns.map { a =>
+              val name = a.key match {
+                case attr: Attribute => attr.name
+                case other => unsupported(
+                  s"UPDATE of nested field ${other.sql}")
+              }
+              if (SubqueryExpression.hasSubquery(a.value))
+                unsupported("a subquery in a SET assignment")
+              name -> xlate(a.value)
+            })
+          case Seq(DeleteAction(_)) => unsupported("WHEN MATCHED THEN DELETE")
+          case _ => unsupported("this WHEN MATCHED clause shape")
+        }
+        val insert: Boolean = m.notMatchedActions match {
+          case Seq() => false
+          case Seq(InsertStarAction(None)) => true
+          case Seq(InsertAction(None, assigns)) =>
+            val byName = assigns.forall { a =>
+              (a.key, a.value) match {
+                case (k: AttributeReference, v: AttributeReference) =>
+                  srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
+                case _ => false
+              }
+            }
+            if (!byName) unsupported(
+              "INSERT values other than the source columns by name")
+            true
+          case _ => unsupported("this WHEN NOT MATCHED clause shape")
+        }
+        GraftDsv2Merge(ct.owner.warehouse, ct.name(), m.sourceTable,
+          sets, insert)
+      }
+  }
+}
+
+/** Driver-side command carrying one catalog-path MERGE; the source
+  * plan executes lazily inside the engine's merge (full-outer join per
+  * affected bucket). */
+final case class GraftDsv2Merge(warehouse: String, table: String,
+    source: LogicalPlan, sets: Option[Seq[(String, String)]],
+    insertNotMatched: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val engine = MppEngine.registry.getOrElse(warehouse,
+      new MppEngine(spark, warehouse))
+    val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
+    engine.merge(table, src, sets, insertNotMatched)
+    Nil
+  }
 }
 
 /** Driver-side command carrying one catalog-path UPDATE; resolves the

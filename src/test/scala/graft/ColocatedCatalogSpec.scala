@@ -336,6 +336,60 @@ class ColocatedCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE INTO cat.t through stock Spark SQL delegates to the " +
+      "engine's bucket-local COW upsert (extensions session)") {
+    engine
+    engine.sql("CREATE TABLE mrg(k BIGINT, v DOUBLE) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    engine.insertInto("mrg", spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new graft.mpp.MppExtensions()(_))
+      .getOrCreate()
+    try {
+      s2.conf.set("spark.sql.catalog.mppmrg", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.mppmrg.warehouse", engine.warehouse)
+      s2.range(0, 3).toDF("k")
+        .withColumn("v", col("k") * 100.0 + 5.0)
+        .withColumn("k", col("k") * 5) // keys 0, 5, 10: two match, one new
+        .createOrReplaceTempView("mrg_batch")
+      // Star actions through the stock parser.
+      s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val got = engine.table("mrg").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got(0L) == 5.0 && got(5L) == 105.0 && got(10L) == 205.0,
+        got.toString)
+      assert(engine.table("mrg").count() == 11) // 10 originals + k=10
+      // Explicit assignments over both sides.
+      s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = t.v + s.v")
+      assert(engine.table("mrg").filter(col("k") === 5L)
+        .head().getDouble(1) == 210.0)
+      // Unsupported shapes fail with the engine's clean error.
+      val err = intercept[Exception] {
+        s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.v = s.v " +
+          "WHEN MATCHED THEN UPDATE SET *")
+      }
+      assert(err.getMessage.contains("not supported"), err.getMessage)
+      val err2 = intercept[Exception] {
+        s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.k = s.k " +
+          "WHEN MATCHED THEN DELETE")
+      }
+      assert(err2.getMessage.contains("not supported"), err2.getMessage)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("CREATE TABLE with TBLPROPERTIES/COMMENT is rejected, nothing created") {
     engine
     val err = intercept[Exception] {

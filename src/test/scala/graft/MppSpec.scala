@@ -226,6 +226,81 @@ class MppSpec extends SparkTestBase {
 
   // --- mpp.test:161-171 — DROP bookkeeping ------------------------------
 
+  test("MERGE INTO: upsert via the dialect (SET *, INSERT *, counts, " +
+      "convergence)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE m1(k BIGINT, v DOUBLE, tag TEXT) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    e.sql("INSERT INTO m1 VALUES (1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'c')")
+    import spark.implicits._
+    Seq((2L, 20.0, "B"), (4L, 40.0, "D"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("m1_batch")
+    // update k=2, insert k=4; k=1,3 untouched
+    val n = e.sql("MERGE INTO m1 t USING (SELECT * FROM m1_batch) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").head().getLong(0)
+    assert(n == 2L, s"matched+inserted should be 2, got $n")
+    val got = e.table("m1").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 1.0, "a"), (2L, 20.0, "B"),
+      (3L, 3.0, "c"), (4L, 40.0, "D")))
+    // Re-merge converges: same final state, both rows now matched.
+    val n2 = e.sql("MERGE INTO m1 t USING (SELECT * FROM m1_batch) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *").head().getLong(0)
+    assert(n2 == 2L)
+    assert(e.table("m1").count() == 4L)
+    // Explicit assignments referencing both sides, matched-only merge.
+    val n3 = e.sql("MERGE INTO m1 t USING (SELECT * FROM m1_batch) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = t.v + s.v, tag = s.tag")
+      .head().getLong(0)
+    assert(n3 == 2L)
+    val got3 = e.table("m1").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got3(2L) == 40.0 && got3(4L) == 80.0 && got3(1L) == 1.0)
+    // Insert-only merge (no WHEN MATCHED): appends without rewriting.
+    Seq((2L, 0.0, "x"), (5L, 5.0, "e"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("m1_batch2")
+    val n4 = e.sql("MERGE INTO m1 t USING (SELECT * FROM m1_batch2) s " +
+      "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *").head().getLong(0)
+    assert(n4 == 1L) // only k=5 is new; matched k=2 left untouched
+    assert(e.table("m1").filter(col("k") === 2).head().getDouble(1) == 40.0)
+    assert(e.table("m1").count() == 5L)
+  }
+
+  test("MERGE INTO error parity: duplicate source keys, non-partition " +
+      "ON, partition-column SET, missing clause") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE m2(k BIGINT, v DOUBLE) PARTITION BY (k) WITH BUCKETS 2")
+    e.sql("INSERT INTO m2 VALUES (1, 1.0)")
+    import spark.implicits._
+    Seq((1L, 2.0), (1L, 3.0)).toDF("k", "v")
+      .createOrReplaceTempView("m2_dup")
+    val dup = intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_dup) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(dup.getMessage.contains("duplicate join keys"), dup.getMessage)
+    val badOn = intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_dup) s ON t.v = s.v " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(badOn.getMessage.contains("partition column"), badOn.getMessage)
+    Seq((1L, 2.0)).toDF("k", "v").createOrReplaceTempView("m2_one")
+    val badSet = intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_one) s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET k = s.k + 1")
+    }
+    assert(badSet.getMessage.contains("partition column"), badSet.getMessage)
+    val badClause = intercept[UnsupportedOperationException] {
+      e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_one) s ON t.k = s.k " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(badClause.getMessage.contains("not supported"), badClause.getMessage)
+  }
+
   test("DROP TABLE marks metadata deleted and removes data (mpp.test)") {
     val e = freshEngine()
     e.sql("CREATE TABLE dr(id INT) PARTITION BY (id) WITH BUCKETS 2")
