@@ -84,7 +84,17 @@ object RangeJoin {
     // be arbitrarily over budget at runtime (see Skew.saltedJoin for
     // the measured failure). AQE's runtime conversion from TRUE
     // exchange sizes may still upgrade genuinely small sides.
-    l.hint("shuffle_hash").join(r.hint("shuffle_hash"), keys :+ "__bin")
+    // Only the INTERVALS side carries the hint (round-6 ADVICE): the
+    // hinted side is the hash BUILD side, and per (keys, __bin) cell
+    // the interval count is bounded by interval density while the
+    // point count is not — building on points could hold a hot bin's
+    // full point set in one task's memory, the OOM sort-merge would
+    // have spilled through. A pathologically interval-dense cell
+    // remains the caller's binWidth knob; AQE's skew-join
+    // (spark.sql.adaptive.skewJoin.enabled, on by default; splits
+    // oversized PROBE partitions of shuffled-hash joins since Spark
+    // 3.2) handles hot bins on the point side at runtime.
+    l.join(r.hint("shuffle_hash"), keys :+ "__bin")
       .filter(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__bin")
   }
@@ -111,7 +121,10 @@ object RangeJoin {
         .foldLeft(lit(true))(_ && _))
       .withColumn("__bin", explode(
         bins(col(lo), col(hi), w, maxBinsPerInterval)))
-    binned(left, loL, hiL).hint("shuffle_hash")
+    // Hint (= build side) on the RIGHT side only, same rationale as
+    // pointInInterval: callers pass the denser/smaller interval set on
+    // the right; the left side stays the probe AQE skew-split governs.
+    binned(left, loL, hiL)
       .join(binned(right, loR, hiR).hint("shuffle_hash"), keys :+ "__bin")
       .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
         col("__bin") ===

@@ -55,8 +55,16 @@ object Skew {
     val bigS = big.withColumn("__salt", spread(salt))
     val smallS = small.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))
-    bigS.hint("shuffle_hash")
-      .join(smallS.hint("shuffle_hash"), Seq(key, "__salt"))
+    // Hint (= hash build side) on the REPLICATED SMALL side only
+    // (round-6 ADVICE): a (key, __salt) build cell then holds one
+    // key's small-side rows — bounded by the operator's own premise —
+    // while the hot big side stays the probe, whose oversized
+    // partitions AQE's skew-join (spark.sql.adaptive.skewJoin.enabled,
+    // default on; covers shuffled-hash joins since Spark 3.2) splits
+    // at runtime. Hinting both sides let the planner build on the big
+    // side, trading the avoided broadcast cliff for a per-task
+    // build-side OOM that sort-merge would have spilled through.
+    bigS.join(smallS.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
 

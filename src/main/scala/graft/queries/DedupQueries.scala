@@ -197,8 +197,32 @@ object DedupQueries {
     val isBatch = col("doc_id") % 5 === 0
     val batch = d.filter(isBatch)
     val corpus = d.filter(!isBatch)
+    // Corpus side of the exact stage: when a fingerprint-index root is
+    // configured (graft.fpindex.dir), the md5 set is a MAINTAINED
+    // warehouse table — built once per corpus snapshot (staleness
+    // pinned to a count+xor membership fingerprint over doc_ids, one
+    // id-column aggregate, no text read), then every later
+    // session/engine anti-joins 16-byte keys without re-hashing the
+    // corpus text. Unset → inline compute; results identical either
+    // way (CORRECTNESS row unchanged — the index IS the distinct md5
+    // relation).
+    val corpusFps = graft.sources.FpIndex.root(s) match {
+      case None => corpus.select("fp").distinct()
+      case Some(r) =>
+        val fpr = {
+          val row = corpus.agg(count(lit(1)),
+            coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head()
+          (row.getLong(0), row.getLong(1))
+        }
+        val name = "incr_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        graft.sources.FpIndex.loadIfFresh(s, r, name, fpr).getOrElse {
+          graft.sources.FpIndex.replace(s, r, name,
+            corpus.select("fp"), fpr)
+          graft.sources.FpIndex.read(s, r, name).get
+        }
+    }
     val exactSurv = batch
-      .join(corpus.select("fp").distinct(), Seq("fp"), "left_anti")
+      .join(corpusFps, Seq("fp"), "left_anti")
       .select("doc_id")
     val da = shingleArrays(s, dir)
     def bandsOf(ids: DataFrame) = da.join(ids, Seq("doc_id"), "left_semi")

@@ -44,12 +44,17 @@ object Dsv2UpdateRule extends Rule[LogicalPlan] {
         case Some(ct)
             if assignments.forall(a => a.key.resolved && a.value.resolved) &&
               condition.forall(_.resolved) =>
-          condition.filter(SubqueryExpression.hasSubquery).foreach { _ =>
-            throw new UnsupportedOperationException(
-              "UPDATE with subqueries is not supported on MPP tables " +
-                "(reference parity: update conditions are pushed per " +
-                "shard as plain predicates)")
-          }
+          // Both the WHERE condition AND the SET values: a scalar
+          // subquery in an assignment would survive to sqlOf and render
+          // unparseable SQL — reject it with the same clean error
+          // (round-6 ADVICE).
+          (condition.toSeq ++ assignments.map(_.value))
+            .filter(SubqueryExpression.hasSubquery).foreach { _ =>
+              throw new UnsupportedOperationException(
+                "UPDATE with subqueries is not supported on MPP tables " +
+                  "(reference parity: update conditions are pushed per " +
+                  "shard as plain predicates)")
+            }
           val sets = assignments.map { a =>
             val name = a.key match {
               case attr: Attribute => attr.name

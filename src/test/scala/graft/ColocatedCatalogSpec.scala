@@ -328,6 +328,14 @@ class ColocatedCatalogSpec extends SparkTestBase {
       val moved = spark.table("mppcat.upd").filter(col("k") === 1000L)
       assert(moved.count() == 1)
       assert(moved.queryExecution.executedPlan.toString.contains("shards 1/4"))
+      // A scalar subquery in a SET VALUE fails with the same clean
+      // error as one in WHERE (round-6 ADVICE: it used to slip past
+      // the guard and die in an engine-side re-parse).
+      val sub = intercept[Exception] {
+        s2.sql("UPDATE mppdml.upd SET v = " +
+          "(SELECT max(v) FROM mppdml.upd) WHERE k = 1")
+      }
+      assert(sub.getMessage.contains("subqueries"), sub.getMessage)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()

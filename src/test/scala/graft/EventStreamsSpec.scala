@@ -231,6 +231,55 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintained fingerprint index: sequential batches dedup against " +
+      "everything previously ingested, index only appends") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fpindex").toString
+    spark.conf.set(graft.sources.FpIndex.DirConf, root)
+    try {
+      val b1 = Seq((1L, "doc alpha"), (2L, "doc beta"), (3L, "doc beta"))
+        .toDF("doc_id", "text")
+      val s1 = EventStreams.ingestBatch(spark, "t", b1)
+        .select("doc_id").as[Long].collect().toSet
+      assert(s1 == Set(1L, 2L)) // within-batch dup dropped, min id kept
+      assert(graft.sources.FpIndex.read(spark, root, "t").get.count() == 2)
+      // Batch 2 overlaps batch 1: the index — not any recomputation
+      // over batch-1 text — must drop the overlap.
+      val b2 = Seq((10L, "doc beta"), (11L, "doc gamma"))
+        .toDF("doc_id", "text")
+      val s2 = EventStreams.ingestBatch(spark, "t", b2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(s2 == Set(11L))
+      assert(graft.sources.FpIndex.read(spark, root, "t").get.count() == 3)
+      // Re-ingesting an already-ingested batch is a clean no-op.
+      val s3 = EventStreams.ingestBatch(spark, "t", b2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(s3 == Set.empty[Long])
+      assert(graft.sources.FpIndex.read(spark, root, "t").get.count() == 3)
+    } finally spark.conf.unset(graft.sources.FpIndex.DirConf)
+  }
+
+  test("qDedupIncremental with a configured index root: identical " +
+      "result, snapshot reused while fresh, rebuilt when stale") {
+    val inline = graft.queries.DedupQueries
+      .qDedupIncremental(spark, sf).collect().map(_.getLong(0)).toSeq
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fpindex2").toString
+    spark.conf.set(graft.sources.FpIndex.DirConf, root)
+    try {
+      val first = graft.queries.DedupQueries
+        .qDedupIncremental(spark, sf).collect().map(_.getLong(0)).toSeq
+      assert(first == inline) // the index IS the distinct md5 relation
+      // The snapshot now exists and is fresh: a second run loads it.
+      val fs = new java.io.File(s"$root/fpindex")
+      assert(fs.exists && fs.listFiles.nonEmpty)
+      val second = graft.queries.DedupQueries
+        .qDedupIncremental(spark, sf).collect().map(_.getLong(0)).toSeq
+      assert(second == inline)
+    } finally spark.conf.unset(graft.sources.FpIndex.DirConf)
+  }
+
   test("per-window top talkers: bounded sketch state, finalized windows " +
       "emit heavy users first") {
     import spark.implicits._
