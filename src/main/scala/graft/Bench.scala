@@ -62,6 +62,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffles START wide and AQE coalesces small ones back — the
+      // standard sizing recipe that keeps per-task state (hash-join
+      // builds, aggregation maps) bounded as data grows without
+      // penalizing small stages. Measured necessity: at the sf100
+      // (14 GB) probe, 32 static partitions put a ~10 M-row build in
+      // every shuffled-hash task and OOM'd the salted join; at 256
+      // initial partitions the same plan runs in memory (BASELINE §11).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
       // OLAP engines build hash tables; Spark's sort-merge default exists
       // for giant-build-side safety, which AQE's size estimates already
       // guard. Shuffled-hash skips two whole-side sorts per join.

@@ -284,4 +284,28 @@ object EventStreams {
       .option("path", outDir)
       .start()
   }
+
+  /** Streaming corpus ingestion over the MAINTAINED fingerprint index:
+    * `foreachBatch` runs [[ingestBatch]] per micro-batch — the index
+    * relation is re-created inside each batch, so fingerprints
+    * appended by batch N are visible to batch N+1 (the pinned static
+    * side of a plain stream-static join would snapshot the file
+    * listing at query start and miss them). Survivors append to BOTH
+    * the document sink and the index; on micro-batch replay after a
+    * failure, the within-batch dedup makes the re-run's survivor set
+    * a subset of the original, and duplicate index fingerprints are
+    * harmless (the index is an anti-join set).
+    *
+    * @param docs streaming (doc_id, text, …) relation. */
+  def ingestPipeline(spark: SparkSession, docs: DataFrame,
+      indexName: String, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(spark, indexName, batch)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
 }

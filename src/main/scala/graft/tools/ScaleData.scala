@@ -56,47 +56,57 @@ object ScaleData {
   def synthesize(spark: SparkSession, src: String, out: String,
       k: Int): Unit = {
     def t(n: String) = Tables(spark, src, n)
-    // One row per (source row, copy): single pass, fully parallel.
-    def copies(df: DataFrame): DataFrame =
-      df.withColumn("copy", explode(sequence(lit(0L), lit(k - 1L))))
     def shift(c: String, stride: Long) = col(c) + col("copy") * stride
 
     // Split output across files so scans parallelize: the driver's
     // single-row-group source files cap scan parallelism at one task
     // per table (for ANY engine); the scaled mirror should look like a
     // production table layout — many splittable files.
-    def write(df: DataFrame, name: String, files: Int = 8): Unit =
-      df.drop("copy").repartition(files).write.mode("overwrite")
+    //
+    // The SOURCE rows are repartitioned to `files` tasks BEFORE the
+    // k-way explode, and the output writes straight from those tasks —
+    // shuffling thousands of source rows instead of k× million
+    // exploded ones. (The original post-explode repartition made one
+    // task materialize AND shuffle the entire k-copied table: at
+    // k = 1000 that is a single-threaded ~50 GB shuffle write per big
+    // table — measured stalling the sf100 build for half an hour and
+    // nearly exhausting the disk.)
+    def scaled(df: DataFrame, files: Int): DataFrame =
+      df.repartition(files)
+        .withColumn("copy", explode(sequence(lit(0L), lit(k - 1L))))
+
+    def write(df: DataFrame, name: String): Unit =
+      df.drop("copy").write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 
-    write(t("region"), "region", 1)
-    write(t("nation"), "nation", 1)
-    write(copies(t("customer"))
+    write(t("region").repartition(1), "region")
+    write(t("nation").repartition(1), "nation")
+    write(scaled(t("customer"), 8)
       .withColumn("c_custkey", shift("c_custkey", C)), "customer")
-    write(copies(t("supplier"))
-      .withColumn("s_suppkey", shift("s_suppkey", S)), "supplier", 4)
-    write(copies(t("part"))
+    write(scaled(t("supplier"), 4)
+      .withColumn("s_suppkey", shift("s_suppkey", S)), "supplier")
+    write(scaled(t("part"), 8)
       .withColumn("p_partkey", shift("p_partkey", P)), "part")
-    write(copies(t("orders"))
+    write(scaled(t("orders"), 16)
       .withColumn("o_orderkey", shift("o_orderkey", O))
-      .withColumn("o_custkey", shift("o_custkey", C)), "orders", 16)
-    write(copies(t("lineitem"))
+      .withColumn("o_custkey", shift("o_custkey", C)), "orders")
+    write(scaled(t("lineitem"), 32)
       .withColumn("l_orderkey", shift("l_orderkey", O))
       .withColumn("l_partkey", shift("l_partkey", P))
-      .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem", 32)
-    write(copies(t("events"))
+      .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem")
+    write(scaled(t("events"), 16)
       .withColumn("event_id", shift("event_id", E))
-      .withColumn("user_id", shift("user_id", U)), "events", 16)
+      .withColumn("user_id", shift("user_id", U)), "events")
     // Bijective per-copy token suffix (copy 0 untouched): exact
     // within-copy jaccard, zero cross-copy shingle overlap.
-    write(copies(t("documents"))
+    write(scaled(t("documents"), 8)
       .withColumn("text",
         when(col("copy") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, lit("~"), col("copy"))))))
       .withColumn("doc_id", shift("doc_id", D))
       .withColumn("n_chars", length(col("text"))), "documents")
-    write(copies(t("embeddings"))
+    write(scaled(t("embeddings"), 8)
       .withColumn("vec_id", shift("vec_id", V))
       .withColumn("label",
         (col("label") + col("copy") * L).cast("int")), "embeddings")
