@@ -9,6 +9,29 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
+/** Clause model for the generalized MERGE surface (ANSI shape:
+  * ordered WHEN clauses, first-match-wins). Conditions and assignment
+  * values are SQL strings in the engine's joined-frame namespace —
+  * target columns bare, source columns as `__src_<name>` — rendered by
+  * the dialect/DSv2 translation layers from parsed expressions. */
+sealed trait MergeWhenMatched { def condition: Option[String] }
+
+object MergeWhenMatched {
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET …`; `sets` empty means
+    * `SET *` (every non-key column from the source by name). */
+  final case class Update(condition: Option[String],
+      sets: Seq[(String, String)]) extends MergeWhenMatched
+  /** `WHEN MATCHED [AND cond] THEN DELETE`. */
+  final case class Delete(condition: Option[String]) extends MergeWhenMatched
+}
+
+/** `WHEN NOT MATCHED [AND cond] THEN INSERT …`; `assigns` None means
+  * `INSERT *` (source columns by name, defaults for the rest); Some =
+  * an explicit column list with value expressions (unlisted columns
+  * take their declared defaults). */
+final case class MergeWhenNotMatched(condition: Option[String],
+    assigns: Option[Seq[(String, String)]])
+
 /** The distributed-table engine: Spark-native port of the duckdb-mpp
   * capability layer (SURVEY.md §2.1).
   *
@@ -34,6 +57,8 @@ import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
   * (coordinator-only) while data writes are not (README.md:115).
   */
 final class MppEngine(val spark: SparkSession, val warehouse: String) {
+
+  import MppEngine._
 
   val catalog = new MppCatalog(spark, warehouse)
 
@@ -654,15 +679,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * source-only rows become the inserts. At 100 TB the rewrite cost
     * is proportional to the touched buckets, never the table.
     *
-    * `matchedSets`: None = no WHEN MATCHED clause (matched target rows
-    * pass through untouched); Some(Nil) = `UPDATE SET *` (every
-    * non-key column from the source); Some(list) = explicit
-    * assignments whose value SQL may reference target columns bare and
-    * source columns as `__src_<name>` (the dialect/DSv2 layers
-    * translate aliases). Updating the partition column via MERGE is
-    * rejected (the ON equality pins it; standard MERGE agrees).
-    * `insertNotMatched`: whether a WHEN NOT MATCHED THEN INSERT *
-    * clause is present.
+    * Clause surface (ANSI, first-match-wins in declaration order):
+    * any number of `WHEN MATCHED [AND cond] THEN UPDATE SET …|DELETE`
+    * and `WHEN NOT MATCHED [AND cond] THEN INSERT …` clauses
+    * ([[MergeWhenMatched]]/[[MergeWhenNotMatched]]). Conditions and
+    * values reference target columns bare and source columns as
+    * `__src_<name>` (the dialect/DSv2 layers translate aliases).
+    * Updating the partition column via MERGE is rejected (the ON
+    * equality pins it; standard MERGE agrees), and an explicit INSERT
+    * column list must set the partition column to the source's — any
+    * other value could land the row outside the affected bucket set
+    * and break the bucket-local contract.
     *
     * Insert-only merges (no WHEN MATCHED clause) never rewrite a
     * bucket: the inserts are an anti-join against the affected
@@ -670,29 +697,55 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * dominant ingest shape costs a batch-sized join plus the new
     * files, zero write amplification.
     *
-    * ANSI cardinality check: a source with duplicate join keys would
-    * update the same target row twice nondeterministically — rejected
-    * up front (SQLSTATE 21000 semantics), from the same aggregate that
-    * derives the bucket set. Returns matched + inserted row count. */
+    * ANSI cardinality check: a source with duplicate join keys could
+    * update/delete the same target row twice nondeterministically —
+    * rejected up front (SQLSTATE 21000 semantics) whenever a WHEN
+    * MATCHED clause is present, from the same aggregate that derives
+    * the bucket set. (Conservative: ANSI only errors when two source
+    * rows actually SELECT the same target row; we reject on duplicate
+    * keys without evaluating clause conditions.) Insert-only merges
+    * permit duplicates — each unmatched source row is a legal insert.
+    * Returns updated + deleted + inserted row count. */
   def merge(name: String, source0: DataFrame,
-      matchedSets: Option[Seq[(String, String)]],
-      insertNotMatched: Boolean): Long = {
+      matched: Seq[MergeWhenMatched],
+      notMatched: Seq[MergeWhenNotMatched]): Long = {
     val t = info(name)
     val pc = t.partitionColumn
     val schema = userSchema(t)
-    require(matchedSets.isDefined || insertNotMatched,
+    require(matched.nonEmpty || notMatched.nonEmpty,
       s"MERGE ${t.name}: at least one WHEN clause is required")
-    matchedSets.foreach { ss =>
-      val known = schema.fieldNames.map(_.toLowerCase).toSet
-      val unknown = ss.map(_._1.toLowerCase).filterNot(known)
+    val known = schema.fieldNames.map(_.toLowerCase).toSet
+    def checkCols(what: String, cols: Seq[String]): Unit = {
+      val unknown = cols.map(_.toLowerCase).filterNot(known)
       require(unknown.isEmpty,
-        s"MERGE ${t.name}: no such column(s): ${unknown.mkString(", ")}")
-      require(!ss.exists(_._1.equalsIgnoreCase(pc)),
-        s"MERGE ${t.name}: cannot update the partition column $pc")
+        s"MERGE ${t.name}: no such column(s) in $what: " +
+          unknown.mkString(", "))
+    }
+    matched.foreach {
+      case MergeWhenMatched.Update(_, ss) =>
+        checkCols("UPDATE SET", ss.map(_._1))
+        require(!ss.exists(_._1.equalsIgnoreCase(pc)),
+          s"MERGE ${t.name}: cannot update the partition column $pc")
+      case MergeWhenMatched.Delete(_) =>
+    }
+    notMatched.foreach { cl =>
+      cl.assigns.foreach { as =>
+        checkCols("INSERT column list", as.map(_._1))
+        val pcAssign = as.find(_._1.equalsIgnoreCase(pc))
+        require(pcAssign.isDefined,
+          s"MERGE ${t.name}: INSERT column list must include the " +
+            s"partition column $pc")
+        val v = pcAssign.get._2.replace("`", "").trim
+        require(v.equalsIgnoreCase(s"__src_$pc"),
+          s"MERGE ${t.name}: the INSERT value for the partition " +
+            s"column $pc must be the source's $pc (bucket-local merge)")
+      }
     }
     // Align the source to the target schema by name (insertInto's
     // idiom): missing columns resolve to declared defaults, so
-    // INSERT * behaves exactly like a partial-column INSERT.
+    // INSERT * behaves exactly like a partial-column INSERT. Source
+    // columns OUTSIDE the target schema are carried through raw so
+    // clause conditions/values may reference them.
     val byName = source0.columns.map(c => c.toLowerCase -> c).toMap
     require(byName.contains(pc.toLowerCase),
       s"MERGE ${t.name}: source must provide the partition column $pc")
@@ -703,7 +756,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           .cast(f.dataType).as(f.name)
       }
     }
-    val src = source0.select(aligned: _*)
+    val extras = source0.columns
+      .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(c => source0(c).as(c))
+    val src = source0.select(aligned ++ extras: _*)
     // One aggregate over the (batch-sized) source: total rows, max key
     // multiplicity (cardinality check), and the affected bucket set.
     val srcStats = src.groupBy(col(pc)).agg(count(lit(1)).as("c"))
@@ -713,7 +769,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       .collect()(0)
     val nSrc = srcStats.getLong(0)
     if (nSrc == 0L) return 0L
-    require(srcStats.getLong(1) <= 1L,
+    require(matched.isEmpty || srcStats.getLong(1) <= 1L,
       s"MERGE ${t.name}: source has duplicate join keys on $pc — a " +
         "target row would be updated by more than one source row " +
         "(ANSI MERGE cardinality violation)")
@@ -721,14 +777,45 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     def affectedScan: DataFrame =
       if (affected.size == t.buckets) readWithBucket(t)
       else readWithBucket(t).filter(col(BucketCol).isin(affected.toSeq: _*))
-    if (matchedSets.isEmpty) {
+    def condOf(c: Option[String]): org.apache.spark.sql.Column =
+      c.map(s => coalesce(expr(s).cast("boolean"), lit(false)))
+        .getOrElse(lit(true))
+    // First-match-wins clause index over the NOT MATCHED chain
+    // (evaluated in the __src_ namespace; -1 = no clause applies →
+    // the row is not inserted).
+    def insertActionIdx: org.apache.spark.sql.Column =
+      notMatched.zipWithIndex.foldRight(
+          lit(-1): org.apache.spark.sql.Column) { case ((cl, j), e) =>
+        when(condOf(cl.condition), lit(j)).otherwise(e)
+      }
+    def insertVal(f: StructField): org.apache.spark.sql.Column =
+      notMatched.zipWithIndex.foldRight(
+          lit(null).cast(f.dataType): org.apache.spark.sql.Column) {
+        case ((cl, j), e) =>
+          val v = cl.assigns match {
+            case None => col(s"__src_${f.name}")
+            case Some(as) => as.find(_._1.equalsIgnoreCase(f.name))
+              .map(a => expr(a._2))
+              .getOrElse(expr(t.defaults.getOrElse(f.name, "NULL")))
+          }
+          when(col("__i_act") === j, v.cast(f.dataType)).otherwise(e)
+      }
+    if (matched.isEmpty) {
       // Insert-only fast path: anti-join the batch against the touched
-      // buckets' KEYS (column-pruned scan), append the survivors —
-      // no COW rewrite, no swap.
+      // buckets' KEYS (column-pruned scan), append the applicable
+      // survivors — no COW rewrite, no swap. Renamed into the same
+      // __src_ namespace as the joined frame so clause SQL evaluates
+      // identically on both paths.
       val obs = Observation()
-      val inserts = src
+      val srcOnly = src
         .join(affectedScan.select(col(pc).as(s"__t_$pc")),
           col(pc) === col(s"__t_$pc"), "left_anti")
+      val ns = srcOnly.select(src.columns.map(c =>
+        col(c).as(s"__src_$c")): _*)
+      val kept = ns.withColumn("__i_act", insertActionIdx)
+        .filter(col("__i_act") >= 0)
+      val inserts = kept.select(schema.fields.map(f =>
+          insertVal(f).as(f.name)): _*)
         .withColumn(BucketCol, pmod(hash(col(pc)), lit(t.buckets)))
       enforceNotNull(t, inserts)
         .observe(obs, count(lit(1)).as("n"))
@@ -739,38 +826,150 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       return observedLong(obs)
     }
     val tgt = affectedScan.withColumn("__t_present", lit(1))
-    val srcR = src.select(schema.fields.map(f =>
-        col(f.name).as(s"__src_${f.name}")): _*)
+    val srcR = src.select(src.columns.map(c =>
+        col(c).as(s"__src_$c")): _*)
       .withColumn("__src_present", lit(1))
     val joined = tgt.join(srcR, col(pc) === col(s"__src_$pc"), "full_outer")
-      .filter(col("__t_present").isNotNull || lit(insertNotMatched))
+    val isM = col("__t_present").isNotNull && col("__src_present").isNotNull
+    val isSrcOnly = col("__t_present").isNull
+    // First-match-wins clause index over the WHEN MATCHED chain
+    // (-1 = no clause applies → matched row passes through).
+    val matchedActionIdx = matched.zipWithIndex.foldRight(
+        lit(-1): org.apache.spark.sql.Column) { case ((cl, i), e) =>
+      when(condOf(cl.condition), lit(i)).otherwise(e)
+    }
+    val deleteIdxs = matched.zipWithIndex.collect {
+      case (MergeWhenMatched.Delete(_), i) => i
+    }
+    val withActs = joined
+      .withColumn("__m_act", when(isM, matchedActionIdx).otherwise(lit(-1)))
+      .withColumn("__i_act", when(isSrcOnly, insertActionIdx)
+        .otherwise(lit(-1)))
+    val isDel =
+      if (deleteIdxs.isEmpty) lit(false)
+      else col("__m_act").isin(deleteIdxs.map(Int.box): _*)
     val obs = Observation()
-    val observed = joined.observe(obs,
-      count(when(col("__t_present").isNotNull &&
-        col("__src_present").isNotNull, 1)).as("n"),
-      count(when(col("__t_present").isNull, 1)).as("ins"))
-    def matchedVal(f: StructField): org.apache.spark.sql.Column =
-      matchedSets.get match {
-        case Nil => col(s"__src_${f.name}") // UPDATE SET *
-        case ss => ss.find(_._1.equalsIgnoreCase(f.name))
-          .map(a => expr(a._2)).getOrElse(col(f.name))
-      }
+    val observed = withActs.observe(obs,
+      count(when(col("__m_act") >= 0 && !isDel, 1)).as("n"),
+      count(when(isDel, 1)).as("del"),
+      count(when(col("__i_act") >= 0, 1)).as("ins"))
+    // Keep: target-only rows, matched rows not selected for DELETE,
+    // and source-only rows an insert clause accepted.
+    val kept = observed.filter(
+      (col("__t_present").isNotNull && !isDel) ||
+        (isSrcOnly && col("__i_act") >= 0))
+    def updateVal(sets: Seq[(String, String)],
+        f: StructField): org.apache.spark.sql.Column = sets match {
+      case Nil => col(s"__src_${f.name}") // UPDATE SET *
+      case ss => ss.find(_._1.equalsIgnoreCase(f.name))
+        .map(a => expr(a._2)).getOrElse(col(f.name))
+    }
     val outCols = schema.fields.map { f =>
-      when(col("__t_present").isNotNull && col("__src_present").isNotNull,
-        matchedVal(f).cast(f.dataType))
+      val updCascade = matched.zipWithIndex.collect {
+        case (MergeWhenMatched.Update(_, ss), i) => (i, updateVal(ss, f))
+      }.foldRight(col(f.name): org.apache.spark.sql.Column) {
+        case ((i, v), e) =>
+          when(col("__m_act") === i, v.cast(f.dataType)).otherwise(e)
+      }
+      when(isM, updCascade)
         .when(col("__t_present").isNotNull, col(f.name))
-        .otherwise(col(s"__src_${f.name}"))
+        .otherwise(insertVal(f))
         .as(f.name)
     }
-    val out = enforceNotNull(t, observed.select(outCols :+
+    val out = enforceNotNull(t, kept.select(outCols :+
       coalesce(col(BucketCol),
         pmod(hash(col(s"__src_$pc")), lit(t.buckets))).as(BucketCol): _*))
     stageAndSwap(t, affected, out)
-    observedLong(obs) + (obs.get.get("ins") match {
+    def cnt(k: String): Long = obs.get.get(k) match {
       case Some(x: Long) => x
       case _ => 0L
-    })
+    }
+    observedLong(obs) + cnt("del") + cnt("ins")
   }
+
+  /** Parse the dialect's WHEN-clause tail into the engine's clause
+    * model. Top-level keyword scanning (quotes and parens masked), so
+    * literals containing WHEN/THEN survive; an UNPARENTHESIZED `CASE
+    * WHEN … THEN …` inside a clause condition or value would confuse
+    * the splitter — parenthesize it (the DSv2 surface, which uses
+    * Spark's full parser, has no such restriction). */
+  private def parseMergeClauses(tableName: String, tAlias: String,
+      tail: String, xlate: String => String)
+      : (Seq[MergeWhenMatched], Seq[MergeWhenNotMatched]) = {
+    def unsupported(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"MERGE INTO $tableName: $what (supported: WHEN MATCHED " +
+          "[AND cond] THEN UPDATE SET */assignments | DELETE, " +
+          "WHEN NOT MATCHED [AND cond] THEN INSERT * | " +
+          "INSERT (cols) VALUES (exprs))")
+    def stripKey(k: String): String = k.trim.replaceFirst(
+      "(?i)^(" + java.util.regex.Pattern.quote(tAlias) + "|" +
+        java.util.regex.Pattern.quote(tableName) + ")\\.", "")
+    val clauses = splitKeywordTopLevel(tail, "WHEN")
+    if (clauses.isEmpty) unsupported("no WHEN clause found")
+    val m = Seq.newBuilder[MergeWhenMatched]
+    val i = Seq.newBuilder[MergeWhenNotMatched]
+    def condThen(rest: String): (Option[String], String) = {
+      val r = rest.trim
+      val thenPos = keywordPositions(r, "THEN")
+      if (thenPos.isEmpty) unsupported(s"missing THEN in WHEN $r")
+      val pre = r.substring(0, thenPos.head).trim
+      val action = r.substring(thenPos.head + 4).trim
+      val cond =
+        if (pre.isEmpty) None
+        else pre match {
+          case MergeAndCondRe(c) => Some(xlate(c.trim))
+          case _ => unsupported(s"unrecognized WHEN qualifier '$pre'")
+        }
+      (cond, action)
+    }
+    clauses.foreach {
+      case c if MergeNotBySourceRe.matches(c.trim) =>
+        unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+      case MergeNotMatchedRe(rest) =>
+        val (cond, action) = condThen(rest)
+        action match {
+          case MergeInsertStarRe() => i += MergeWhenNotMatched(cond, None)
+          case MergeInsertListRe(cols, vals) =>
+            val names = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val exprs = splitTopLevel(vals)
+            require(names.length == exprs.length,
+              s"MERGE INTO $tableName: INSERT column list has " +
+                s"${names.length} columns but VALUES has ${exprs.length}")
+            i += MergeWhenNotMatched(cond,
+              Some(names.zip(exprs).map { case (k, v) =>
+                stripKey(k) -> xlate(v) }))
+          case other => unsupported(s"INSERT shape '${other.take(60)}'")
+        }
+      case MergeMatchedRe(rest) =>
+        val (cond, action) = condThen(rest)
+        action match {
+          case MergeDeleteRe() => m += MergeWhenMatched.Delete(cond)
+          case MergeUpdateRe(setsStr) =>
+            val sets =
+              if (setsStr.trim == "*") Nil
+              else splitTopLevel(setsStr).map { a =>
+                val Array(ck, e) = a.split("=", 2)
+                stripKey(ck) -> xlate(e.trim)
+              }
+            m += MergeWhenMatched.Update(cond, sets)
+          case other => unsupported(s"matched action '${other.take(60)}'")
+        }
+      case other => unsupported(s"clause 'WHEN ${other.take(60)}'")
+    }
+    (m.result(), i.result())
+  }
+
+  /** Minimal-shape sugar kept for the common upsert call sites:
+    * `matchedSets` None/Some(Nil)/Some(list) as one unconditional
+    * UPDATE, `insertNotMatched` as one unconditional INSERT *. */
+  def merge(name: String, source0: DataFrame,
+      matchedSets: Option[Seq[(String, String)]],
+      insertNotMatched: Boolean): Long =
+    merge(name, source0,
+      matchedSets.toSeq.map(ss =>
+        MergeWhenMatched.Update(None, ss): MergeWhenMatched),
+      if (insertNotMatched) Seq(MergeWhenNotMatched(None, None)) else Nil)
 
   // --- transactions (metadata-only, reference T1 semantics) -------------
 
@@ -881,8 +1080,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   // --- SQL dialect ------------------------------------------------------
 
-  import MppEngine._
-
   /** Engine SQL entry: intercepts the distributed DDL/DML dialect
     * (`CREATE TABLE … PARTITION BY (c) WITH BUCKETS n`, INSERT/UPDATE/
     * DELETE/DROP on distributed tables), delegates everything else to
@@ -978,37 +1175,34 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         require(c1.equalsIgnoreCase(pc) && c2.equalsIgnoreCase(pc),
           s"MERGE ${t.name}: ON must equate the partition column $pc " +
             "on both sides (bucket-local merge)")
-        // Alias translation into the engine's joined-frame namespace:
-        // source refs → __src_<col>, target refs → bare.
-        def xlate(e: String): String = {
-          def q(a: String) = java.util.regex.Pattern.quote(a)
-          e.replaceAll("(?i)\\b" + q(sAlias) + "\\.(\\w+)", "__src_$1")
-            .replaceAll("(?i)\\b" + q(tAlias) + "\\.(\\w+)", "$1")
-            .replaceAll("(?i)\\b" + q(name) + "\\.(\\w+)", "$1")
-        }
+        // Alias translation into the engine's joined-frame namespace
+        // (source refs → __src_<col>, target refs → bare) done on the
+        // PARSED expression tree, not the SQL text: qualifiers inside
+        // string literals and alias/column collisions survive intact
+        // (round-7 ADVICE — the old regex rewrote literals too).
+        val namePts = name.split("\\.").toSeq.map(_.toLowerCase)
+        def xlate(e: String): String =
+          spark.sessionState.sqlParser.parseExpression(e).transform {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if ua.nameParts.length >= 2 =>
+              val qual = ua.nameParts.dropRight(1).map(_.toLowerCase)
+              val last = ua.nameParts.last
+              if (qual == Seq(sAlias.toLowerCase))
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute(Seq(s"__src_$last"))
+              else if (qual == Seq(tAlias.toLowerCase) || qual == namePts ||
+                  qual == Seq(namePts.last))
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute(Seq(last))
+              else ua
+          }.sql
         val srcSql =
           if (sourceStr.trim.startsWith("("))
             sourceStr.trim.drop(1).dropRight(1)
           else s"SELECT * FROM $sourceStr"
-        val (sets, ins) = whenTail.trim match {
-          case MergeInsertOnlyRe() => (None, true)
-          case MergeMatchedRe(setsStr, insOpt) =>
-            val parsed =
-              if (setsStr.trim == "*") Nil
-              else splitTopLevel(setsStr).map { a =>
-                val Array(c, e) = a.split("=", 2)
-                val key = c.trim.replaceFirst(
-                  "(?i)^(" + java.util.regex.Pattern.quote(tAlias) + "|" +
-                    java.util.regex.Pattern.quote(name) + ")\\.", "")
-                (key, xlate(e.trim))
-              }
-            (Some(parsed), insOpt != null)
-          case other => throw new UnsupportedOperationException(
-            "MERGE clause not supported: '" + other.take(60) + "' " +
-              "(supported: WHEN MATCHED THEN UPDATE SET */assignments, " +
-              "WHEN NOT MATCHED THEN INSERT *)")
-        }
-        val n = merge(name, MppEngine.readSql(spark, srcSql), sets, ins)
+        val (mcls, icls) =
+          parseMergeClauses(t.name, tAlias, whenTail, xlate)
+        val n = merge(name, MppEngine.readSql(spark, srcSql), mcls, icls)
         Seq(n).toDF("Count")
       case DropRe(name) if catalog.state.liveTable(localKey(name)).isDefined =>
         dropTable(name)
@@ -1265,17 +1459,23 @@ object MppEngine {
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)$""".r
   /** MERGE INTO t [AS a] USING (query)|table [AS] s ON x.c = y.c WHEN …
-    * (clause tail parsed by [[MergeMatchedRe]]/[[MergeInsertOnlyRe]]). */
+    * (clause tail parsed by [[MppEngine.parseMergeClauses]]). */
   private[mpp] val MergeRe =
     ("""(?is)^MERGE\s+INTO\s+((?:\w+\.){0,2}\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?""" +
       """\s+USING\s+(\(.*\)|(?:\w+\.){0,2}\w+)\s+(?:AS\s+)?(\w+)""" +
       """\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)""" +
       """\s+(WHEN\s+.+)$""").r
-  private[mpp] val MergeMatchedRe =
-    ("""(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)""" +
-      """(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*$""").r
-  private[mpp] val MergeInsertOnlyRe =
-    """(?is)^WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$""".r
+  private[mpp] val MergeMatchedRe = """(?is)^MATCHED\b(.*)$""".r
+  private[mpp] val MergeNotMatchedRe =
+    """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?\b(.*)$""".r
+  private[mpp] val MergeNotBySourceRe =
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\b.*$""".r
+  private[mpp] val MergeAndCondRe = """(?is)^AND\s+(.+)$""".r
+  private[mpp] val MergeDeleteRe = """(?is)^DELETE$""".r
+  private[mpp] val MergeUpdateRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r
+  private[mpp] val MergeInsertStarRe = """(?is)^INSERT\s+\*$""".r
+  private[mpp] val MergeInsertListRe =
+    """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)$""".r
   private val CtasRe =
     """(?is)^CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+PARTITION\s+BY\s*\(\s*(\w+)\s*\)\s*WITH\s+BUCKETS\s+(\d+)\s+AS\s+(.*)$""".r
   private val CreateSchemaRe =
@@ -1335,6 +1535,45 @@ object MppEngine {
     }
     if (cur.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Start offsets of whole-word `kw` occurrences sitting outside
+    * single-quoted literals and parens (the [[splitWhere]] masking
+    * rules, generalized to any keyword). */
+  private[mpp] def keywordPositions(s: String, kw: String): Seq[Int] = {
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
+    val out = Vector.newBuilder[Int]
+    var depth = 0
+    var inQ = false
+    var i = 0
+    val n = kw.length
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if inQ && i + 1 < s.length => i += 1
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case c if !inQ && depth == 0 &&
+            c.toUpper == kw.charAt(0).toUpper &&
+            i + n <= s.length && s.regionMatches(true, i, kw, 0, n) &&
+            (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+            (i + n == s.length || !isWordChar(s.charAt(i + n))) =>
+          out += i
+          i += n - 1
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Segments between top-level `kw` occurrences (keyword itself
+    * dropped); text before the first occurrence is discarded. */
+  private[mpp] def splitKeywordTopLevel(s: String, kw: String): Seq[String] = {
+    val pos = keywordPositions(s, kw)
+    pos.zip(pos.drop(1) :+ s.length).map { case (a, b) =>
+      s.substring(a + kw.length, b).trim
+    }
   }
 
   /** Split "set-list [WHERE cond]" on the first WHERE keyword that sits

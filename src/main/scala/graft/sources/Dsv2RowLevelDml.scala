@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, SubqueryExpression, Literal => CatalystLiteral}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.mpp.MppEngine
+import graft.mpp.{MergeWhenMatched, MergeWhenNotMatched, MppEngine}
 
 /** Row-level DML for the DSv2 catalog surface (reference W2/W3,
   * `/root/reference/src/execution/mpp_physical_update.cpp:21-119`, on the
@@ -90,19 +90,18 @@ object Dsv2UpdateRule extends Rule[LogicalPlan] {
 }
 
 /** Catalog-path MERGE: `MERGE INTO cat.t USING … ON t.pc = s.pc WHEN
-  * MATCHED THEN UPDATE SET … WHEN NOT MATCHED THEN INSERT …` over a
-  * [[ColocatedTable]] bridges the analyzed [[MergeIntoTable]] onto
-  * [[MppEngine.merge]]'s bucket-local COW upsert — the same
-  * one-write-path argument as [[Dsv2UpdateRule]] (a
+  * …` over a [[ColocatedTable]] bridges the analyzed
+  * [[MergeIntoTable]] onto [[MppEngine.merge]]'s bucket-local COW
+  * upsert — the same one-write-path argument as [[Dsv2UpdateRule]] (a
   * `SupportsRowLevelOperations` group-based plan would duplicate the
-  * engine's staging/swap machinery). The supported shape is the
-  * engine's contract: ON equates the partition column, matched action
-  * is one unconditional UPDATE (star or assignments), not-matched
-  * action is one unconditional INSERT whose values are the source
-  * columns by name (INSERT * / the analyzer's star expansion);
-  * anything else — conditional clauses, WHEN NOT MATCHED BY SOURCE,
-  * matched DELETE, schema evolution — raises the engine's clean
-  * unsupported error instead of Spark's generic rewrite failure. */
+  * engine's staging/swap machinery). Full ANSI clause surface in
+  * declaration order: any number of `WHEN MATCHED [AND cond] THEN
+  * UPDATE SET …|DELETE` and `WHEN NOT MATCHED [AND cond] THEN INSERT`
+  * clauses (star, by-name, or explicit column lists). The remaining
+  * engine contract: ON equates the partition column, an explicit
+  * INSERT must set the partition column to the source's, and `WHEN NOT
+  * MATCHED BY SOURCE` / schema evolution raise clean unsupported
+  * errors instead of Spark's generic rewrite failure. */
 object Dsv2MergeRule extends Rule[LogicalPlan] {
 
   import Dsv2UpdateRule.{colocated, sqlOf}
@@ -116,9 +115,8 @@ object Dsv2MergeRule extends Rule[LogicalPlan] {
         throw new UnsupportedOperationException(
           s"MERGE INTO ${ct.name()}: $what is not supported on MPP " +
             "tables (supported: ON <target>.<partition col> = " +
-            "<source>.<partition col>, one unconditional WHEN MATCHED " +
-            "THEN UPDATE, one unconditional WHEN NOT MATCHED THEN " +
-            "INSERT of the source columns by name)")
+            "<source>.<partition col>, WHEN MATCHED [AND cond] THEN " +
+            "UPDATE/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT)")
       if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
       if (m.notMatchedBySourceActions.nonEmpty)
         unsupported("WHEN NOT MATCHED BY SOURCE")
@@ -142,57 +140,53 @@ object Dsv2MergeRule extends Rule[LogicalPlan] {
         }
         // Source attribute references render as __src_<name> — the
         // engine's joined-frame namespace.
-        def xlate(e: Expression): String = sqlOf(e.transform {
-          case a: AttributeReference if srcOut.contains(a) =>
-            a.withName(s"__src_${a.name}")
-        })
-        val sets: Option[Seq[(String, String)]] = m.matchedActions match {
-          case Seq() => None
-          case Seq(UpdateStarAction(None)) => Some(Nil)
-          case Seq(UpdateAction(None, assigns, fromStar)) =>
-            // The analyzer expands UPDATE SET * into per-column
-            // assignments (marked fromStar); detect that shape — by
-            // flag or by value — and collapse it to the engine's SET *
-            // so both spellings take one path.
-            val star = fromStar || assigns.forall { a =>
-              (a.key, a.value) match {
-                case (k: AttributeReference, v: AttributeReference) =>
-                  srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
-                case _ => false
-              }
-            }
-            if (star && assigns.nonEmpty) Some(Nil)
-            else Some(assigns.map { a =>
-              val name = a.key match {
-                case attr: Attribute => attr.name
-                case other => unsupported(
-                  s"UPDATE of nested field ${other.sql}")
-              }
-              if (SubqueryExpression.hasSubquery(a.value))
-                unsupported("a subquery in a SET assignment")
-              name -> xlate(a.value)
-            })
-          case Seq(DeleteAction(_)) => unsupported("WHEN MATCHED THEN DELETE")
-          case _ => unsupported("this WHEN MATCHED clause shape")
+        def xlate(e: Expression): String = {
+          if (SubqueryExpression.hasSubquery(e))
+            unsupported("a subquery in a MERGE clause")
+          sqlOf(e.transform {
+            case a: AttributeReference if srcOut.contains(a) =>
+              a.withName(s"__src_${a.name}")
+          })
         }
-        val insert: Boolean = m.notMatchedActions match {
-          case Seq() => false
-          case Seq(InsertStarAction(None)) => true
-          case Seq(InsertAction(None, assigns)) =>
-            val byName = assigns.forall { a =>
-              (a.key, a.value) match {
-                case (k: AttributeReference, v: AttributeReference) =>
-                  srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
-                case _ => false
-              }
+        // By-name star shape: every assignment is `col = src.col` (the
+        // analyzer marks expanded stars fromStar; literal by-name
+        // spellings are detected by value) — collapses to SET */INSERT *.
+        def byName(assigns: Seq[Assignment], fromStar: Boolean): Boolean =
+          fromStar || (assigns.nonEmpty && assigns.forall { a =>
+            (a.key, a.value) match {
+              case (k: AttributeReference, v: AttributeReference) =>
+                srcOut.contains(v) && v.name.equalsIgnoreCase(k.name)
+              case _ => false
             }
-            if (!byName) unsupported(
-              "INSERT values other than the source columns by name")
-            true
-          case _ => unsupported("this WHEN NOT MATCHED clause shape")
+          })
+        def keyName(a: Assignment): String =
+          a.key match {
+            case attr: Attribute => attr.name
+            case other => unsupported(s"assignment to nested field ${other.sql}")
+          }
+        val matched: Seq[MergeWhenMatched] = m.matchedActions.map {
+          case UpdateStarAction(cond) =>
+            MergeWhenMatched.Update(cond.map(xlate), Nil)
+          case UpdateAction(cond, assigns, fromStar) =>
+            if (byName(assigns, fromStar))
+              MergeWhenMatched.Update(cond.map(xlate), Nil)
+            else MergeWhenMatched.Update(cond.map(xlate),
+              assigns.map(a => keyName(a) -> xlate(a.value)))
+          case DeleteAction(cond) => MergeWhenMatched.Delete(cond.map(xlate))
+          case other => unsupported(s"WHEN MATCHED action $other")
+        }
+        val notMatched: Seq[MergeWhenNotMatched] = m.notMatchedActions.map {
+          case InsertStarAction(cond) =>
+            MergeWhenNotMatched(cond.map(xlate), None)
+          case InsertAction(cond, assigns) =>
+            if (byName(assigns, fromStar = false))
+              MergeWhenNotMatched(cond.map(xlate), None)
+            else MergeWhenNotMatched(cond.map(xlate),
+              Some(assigns.map(a => keyName(a) -> xlate(a.value))))
+          case other => unsupported(s"WHEN NOT MATCHED action $other")
         }
         GraftDsv2Merge(ct.owner.warehouse, ct.name(), m.sourceTable,
-          sets, insert)
+          matched, notMatched)
       }
   }
 }
@@ -201,8 +195,8 @@ object Dsv2MergeRule extends Rule[LogicalPlan] {
   * plan executes lazily inside the engine's merge (full-outer join per
   * affected bucket). */
 final case class GraftDsv2Merge(warehouse: String, table: String,
-    source: LogicalPlan, sets: Option[Seq[(String, String)]],
-    insertNotMatched: Boolean) extends LeafRunnableCommand {
+    source: LogicalPlan, matched: Seq[MergeWhenMatched],
+    notMatched: Seq[MergeWhenNotMatched]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
 
@@ -212,7 +206,7 @@ final case class GraftDsv2Merge(warehouse: String, table: String,
     val engine = MppEngine.registry.getOrElse(warehouse,
       new MppEngine(spark, warehouse))
     val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
-    engine.merge(table, src, sets, insertNotMatched)
+    engine.merge(table, src, matched, notMatched)
     Nil
   }
 }

@@ -379,6 +379,25 @@ class ColocatedCatalogSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET v = t.v + s.v")
       assert(engine.table("mrg").filter(col("k") === 5L)
         .head().getDouble(1) == 210.0)
+      // Full clause surface (round-8): conditional WHEN order,
+      // matched DELETE, explicit INSERT column list through the stock
+      // parser. k=0 deletes (v=5.0 < 100), k=5 and k=10 update through
+      // the second clause; k=15 inserts via the explicit list.
+      s2.range(0, 4).toDF("k")
+        .withColumn("v", col("k") * 100.0 + 5.0)
+        .withColumn("k", col("k") * 5) // keys 0, 5, 10, 15
+        .createOrReplaceTempView("mrg_b2")
+      s2.sql("MERGE INTO mppmrg.mrg t USING mrg_b2 s ON t.k = s.k " +
+        "WHEN MATCHED AND s.v < 100 THEN DELETE " +
+        "WHEN MATCHED AND s.v < 300 THEN UPDATE SET v = s.v * 2 " +
+        "WHEN NOT MATCHED AND s.v > 300 THEN INSERT (k, v) " +
+        "VALUES (s.k, s.v + 0.5)")
+      val got2 = engine.table("mrg").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(!got2.contains(0L), got2.toString)            // deleted
+      assert(got2(5L) == 210.0, got2.toString)             // 105*2
+      assert(got2(10L) == 410.0, got2.toString)            // 205*2
+      assert(got2(15L) == 305.5, got2.toString)            // inserted
       // Unsupported shapes fail with the engine's clean error.
       val err = intercept[Exception] {
         s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.v = s.v " +
@@ -387,7 +406,7 @@ class ColocatedCatalogSpec extends SparkTestBase {
       assert(err.getMessage.contains("not supported"), err.getMessage)
       val err2 = intercept[Exception] {
         s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.k = s.k " +
-          "WHEN MATCHED THEN DELETE")
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
       }
       assert(err2.getMessage.contains("not supported"), err2.getMessage)
     } finally {

@@ -296,9 +296,81 @@ class MppSpec extends SparkTestBase {
     assert(badSet.getMessage.contains("partition column"), badSet.getMessage)
     val badClause = intercept[UnsupportedOperationException] {
       e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_one) s ON t.k = s.k " +
-        "WHEN MATCHED THEN DELETE")
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     }
     assert(badClause.getMessage.contains("not supported"), badClause.getMessage)
+    // Explicit INSERT list must carry the partition column from the
+    // source — any other value could leave the bucket-local contract.
+    val badPc = intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_one) s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k + 1, s.v)")
+    }
+    assert(badPc.getMessage.contains("partition column"), badPc.getMessage)
+    // Insert-only merges permit duplicate source keys (ANSI: both rows
+    // are legal NOT MATCHED inserts; 21000 covers updates/deletes only).
+    import org.apache.spark.sql.functions.col
+    val nDup = e.sql("MERGE INTO m2 t USING (SELECT k + 10 AS k, v " +
+      "FROM m2_dup) s ON t.k = s.k WHEN NOT MATCHED THEN INSERT *")
+      .head().getLong(0)
+    assert(nDup == 2L, s"both duplicate-key rows should insert, got $nDup")
+    assert(e.table("m2").filter(col("k") === 11L).count() == 2L)
+  }
+
+  test("MERGE INTO full clause surface: conditional WHEN, matched " +
+      "DELETE, explicit INSERT list, first-match-wins order") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE m3(k BIGINT, v DOUBLE, tag TEXT DEFAULT 'dflt') " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    e.sql("INSERT INTO m3 VALUES (1, 1.0, 'a'), (2, 2.0, 'b'), " +
+      "(3, 3.0, 'c'), (4, 4.0, 'd')")
+    import spark.implicits._
+    // k=1: matched, cond deletes; k=2: matched, conditional update;
+    // k=3: matched, no clause applies (passes through); k=5: not
+    // matched, explicit INSERT list (tag takes its default); k=6: not
+    // matched, no insert clause applies (dropped).
+    Seq((1L, -1.0, "del"), (2L, 20.0, "upd"), (3L, 0.0, "skip"),
+        (5L, 50.0, "ins"), (6L, -1.0, "skip"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("m3_batch")
+    val n = e.sql("MERGE INTO m3 t USING (SELECT * FROM m3_batch) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.tag = 'del' THEN DELETE " +
+      "WHEN MATCHED AND s.tag = 'upd' THEN UPDATE SET " +
+      "v = t.v + s.v, tag = s.tag " +
+      "WHEN NOT MATCHED AND s.tag = 'ins' THEN INSERT (k, v) " +
+      "VALUES (s.k, s.v * 2)").head().getLong(0)
+    assert(n == 3L, s"1 delete + 1 update + 1 insert = 3, got $n")
+    val got = e.table("m3").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((2L, 22.0, "upd"), (3L, 3.0, "c"),
+      (4L, 4.0, "d"), (5L, 100.0, "dflt")), got.toString)
+    // First-match-wins: a row satisfying BOTH conditions takes the
+    // first clause in declaration order (update before delete here).
+    Seq((2L, 5.0, "x")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("m3_b2")
+    e.sql("MERGE INTO m3 t USING (SELECT * FROM m3_b2) s ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED THEN DELETE")
+    assert(e.table("m3").filter("k = 2").head().getDouble(1) == 5.0)
+    // Unconditional DELETE clause after the conditional one still fires
+    // for rows the first condition rejects.
+    Seq((3L, -3.0, "x"), (4L, 4.5, "y")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("m3_b3")
+    val n3 = e.sql("MERGE INTO m3 t USING (SELECT * FROM m3_b3) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED THEN DELETE").head().getLong(0)
+    assert(n3 == 2L)
+    val ks = e.table("m3").orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(2L, 4L, 5L), ks.toString) // k=3 deleted, k=4 updated
+    assert(e.table("m3").filter("k = 4").head().getDouble(1) == 4.5)
+    // Literals containing alias-like text survive the parsed-expression
+    // translation (round-7 ADVICE: the regex path corrupted them).
+    Seq((5L, 1.0, "z")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("m3_b4")
+    e.sql("MERGE INTO m3 t USING (SELECT * FROM m3_b4) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET tag = 's.v is literal'")
+    assert(e.table("m3").filter("k = 5").head().getString(2) ==
+      "s.v is literal")
   }
 
   test("DROP TABLE marks metadata deleted and removes data (mpp.test)") {
