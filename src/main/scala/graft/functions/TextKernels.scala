@@ -100,6 +100,66 @@ object TextKernel {
     new GenericInternalRow(Array[Any](n, types))
   }
 
+  /** Per-document token frequencies in one pass: one (token, tf) pair
+    * per DISTINCT token (split-on-0x20 semantics, empty tokens
+    * included — matching `split`/`string_split` to the row), first-seen
+    * order. Dedup is EXACT — the [[tokenStats]] open-addressing probe
+    * with byte comparison on hash equality, extended with a count per
+    * slot — so the pairs equal `explode(split) → groupBy(token)` to the
+    * last row. Emitting pre-aggregated pairs makes the per-document tf
+    * aggregate free of shuffle at ANY scale: it never leaves the input
+    * row, and downstream consumers explode ~distinct-pairs rows instead
+    * of raw token occurrences. */
+  def tokenTf(s: UTF8String): ArrayData = {
+    val st = tokenStarts(s)
+    val n = st.length - 1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    val slot = new Array[Int](cap)
+    java.util.Arrays.fill(slot, -1)
+    val hs = new Array[Long](cap)
+    val cnt = new Array[Int](cap)
+    val order = new Array[Int](n)
+    var types = 0
+    var i = 0
+    while (i < n) {
+      val ts = st(i)
+      val tl = st(i + 1) - 1 - ts
+      val h = XXH64.hashUnsafeBytes(base, off + ts, tl, 42L)
+      var p = (h & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        val o = slot(p)
+        if (o < 0) {
+          slot(p) = i; hs(p) = h; cnt(p) = 1; order(types) = p; types += 1
+          done = true
+        } else if (hs(p) == h && {
+          val os = st(o)
+          st(o + 1) - 1 - os == tl &&
+            ByteArrayMethods.arrayEquals(base, off + ts, base, off + os, tl)
+        }) { cnt(p) += 1; done = true }
+        else p = (p + 1) & (cap - 1)
+      }
+      i += 1
+    }
+    val out = new Array[Any](types)
+    var t = 0
+    while (t < types) {
+      val p = order(t)
+      val o = slot(p)
+      val ts = st(o)
+      val tl = st(o + 1) - 1 - ts
+      val b = new Array[Byte](tl)
+      Platform.copyMemory(base, off + ts, b, Platform.BYTE_ARRAY_OFFSET, tl)
+      out(t) = new GenericInternalRow(
+        Array[Any](UTF8String.fromBytes(b), cnt(p)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused `split` + [[ShingleKernel.hashes3]]: distinct sorted 64-bit
     * hashes of the word-3-gram shingles, hashed straight off the value
     * buffer (chained XXH64, seed 42 — identical to the array kernel).
@@ -307,6 +367,31 @@ case class GramSlicesText(child: Expression, k: Int)
       newChild: Expression): GramSlicesText = copy(child = newChild)
 }
 
+/** `token_tf_pairs(text)` → array<struct<token:string, tf:int>>:
+  * per-document token frequencies, one fused byte pass. */
+case class TokenTfPairs(child: Expression) extends StringKernelExpression {
+
+  override def dataType: DataType = TokenTfPairs.schema
+
+  override def prettyName: String = "token_tf_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.tokenTf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernel.tokenTf($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenTfPairs = copy(child = newChild)
+}
+
+object TokenTfPairs {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+}
+
 /** `simhash64_text(text)` → long (fused split + simhash). */
 case class SimHash64Text(child: Expression) extends StringKernelExpression {
 
@@ -335,6 +420,8 @@ object TextFunctions {
       "shingle3_hashes_text", exprs => ShingleHashes3Text(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64_text", exprs => SimHash64Text(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_tf_pairs", exprs => TokenTfPairs(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shinglek_hashes_text", exprs => {
         val k = exprs(1) match {
@@ -365,6 +452,12 @@ object TextFunctions {
   def shingle3Text(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("shingle3_hashes_text", text)
+  }
+
+  /** Per-document (token, tf) pairs of `text`, one fused byte pass. */
+  def tokenTfPairs(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("token_tf_pairs", text)
   }
 
   /** One-pass 64-bit simhash of `text`, fused split+vote. */

@@ -281,22 +281,31 @@ object TextQueries {
     * the two engines' `ln` cannot disagree on a last-ulp tie; residual
     * ties break alphabetically.
     *
-    * Scale shape: explode → (doc, token) hash agg (map-side combine
-    * shrinks the shuffle to distinct pairs) → token-keyed df agg —
-    * vocabulary-sized, so AQE broadcasts it back when small and
-    * shuffle-joins when not — → doc-keyed window top-5. N comes from a
-    * 1-row aggregate crossJoined in (never a driver round-trip). Three
-    * shuffles total, each on the natural key of its stage; nothing is
-    * ever collected. */
+    * Scale shape (round-8 rewrite): the per-document tf aggregate is
+    * computed INSIDE the fused [[graft.functions.TokenTfPairs]] byte
+    * kernel — exact open-addressing dedup with counts, identical rows
+    * to `explode → groupBy(doc_id, token)` — so the former first
+    * shuffle (raw token occurrences hash-aggregated across the
+    * cluster) disappears entirely: tf never leaves its input row, at
+    * any scale. What remains: one map-side-combined df aggregate
+    * (vocabulary-sized output; AQE broadcasts it back when small,
+    * shuffle-joins when not), a 1-row N crossJoin, and the doc-keyed
+    * top-5 window. When df broadcasts, the exploded pairs keep their
+    * scan-partition locality end to end, so the partial
+    * WindowGroupLimit below the window exchange cuts the shuffle to
+    * ≤5 rows/doc. Nothing is ever collected. */
   def qTfidf(s: SparkSession, dir: String): DataFrame = {
-    val tf = docs(s, dir)
-      .select(col("doc_id"), explode(toks).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val pairs = docs(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokenTfPairs(s, col("text")))
+          .as("p"))
+      .select(col("doc_id"), col("p.token").as("token"),
+        col("p.tf").cast("long").as("tf"))
+    val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs(s, dir).agg(count(lit(1)).as("n"))
     val rk = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("token"))
-    tf.join(dfreq, "token").crossJoin(n)
+    pairs.join(dfreq, "token").crossJoin(n)
       .withColumn("tfidf",
         round(col("tf") * log(col("n") * lit(1.0) / col("df")), 4))
       .withColumn("rk", row_number().over(rk))

@@ -78,6 +78,26 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("token_tf_pairs matches explode(split) → groupBy(token) exactly") {
+    import spark.implicits._
+    val viaKernel = df.withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"),
+        explode(TextFunctions.tokenTfPairs(spark, col("text"))).as("p"))
+      .select(col("rid"), col("p.token").as("token"),
+        col("p.tf").cast("long").as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    val viaSplit = df.withColumn("rid", monotonically_increasing_id())
+      .select(col("rid"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("rid", "token").agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaKernel == viaSplit)
+    // Pairs are distinct per document (the kernel's dedup is exact).
+    val pairCount = df
+      .select(explode(TextFunctions.tokenTfPairs(spark, col("text"))).as("p"))
+      .count()
+    assert(pairCount == viaSplit.size)
+  }
+
   test("simhash64_text matches simhash64(split)") {
     val rows = df.select(
       TextFunctions.simhashText(spark, col("text")).as("fused"),
