@@ -192,6 +192,26 @@ object DedupQueries {
     *     via [[verifyJaccard]]. Both sides reuse the session shingle
     *     relation; nothing batch×batch or corpus×corpus is generated.
     * Output: surviving batch doc_ids. */
+  /** Content-sensitive component of the snapshot staleness fingerprint:
+    * xor of (name, length, mtime) hashes over the documents source
+    * files. Any rewrite of the dataset — even one preserving doc_id
+    * membership — changes sizes/mtimes and so flips the fingerprint,
+    * without reading a byte of text. */
+  private def sourceListingHash(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    var acc = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_"))
+        acc ^= f.getPath.getName.hashCode.toLong * 1315423911L ^
+          f.getLen * 31L ^ f.getModificationTime
+    }
+    acc
+  }
+
   def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
     val isBatch = col("doc_id") % 5 === 0
@@ -200,19 +220,21 @@ object DedupQueries {
     // Corpus side of the exact stage: when a fingerprint-index root is
     // configured (graft.fpindex.dir), the md5 set is a MAINTAINED
     // warehouse table — built once per corpus snapshot (staleness
-    // pinned to a count+xor membership fingerprint over doc_ids, one
-    // id-column aggregate, no text read), then every later
-    // session/engine anti-joins 16-byte keys without re-hashing the
-    // corpus text. Unset → inline compute; results identical either
-    // way (CORRECTNESS row unchanged — the index IS the distinct md5
-    // relation).
+    // pinned to a count+xor membership fingerprint over doc_ids XORed
+    // with a source-file listing hash — sizes + mtimes — so a
+    // regenerated dataset with the SAME doc_id membership but
+    // different text still invalidates the snapshot, round-7 ADVICE;
+    // still no text read), then every later session/engine anti-joins
+    // 16-byte keys without re-hashing the corpus text. Unset → inline
+    // compute; results identical either way (CORRECTNESS row unchanged
+    // — the index IS the distinct md5 relation).
     val corpusFps = graft.sources.FpIndex.root(s) match {
       case None => corpus.select("fp").distinct()
       case Some(r) =>
         val fpr = {
           val row = corpus.agg(count(lit(1)),
             coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head()
-          (row.getLong(0), row.getLong(1))
+          (row.getLong(0), row.getLong(1) ^ sourceListingHash(s, dir))
         }
         val name = "incr_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
         graft.sources.FpIndex.loadIfFresh(s, r, name, fpr).getOrElse {

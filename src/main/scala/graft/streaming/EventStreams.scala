@@ -251,7 +251,8 @@ object EventStreams {
     * micro-batch, so appends from earlier batches are visible —
     * a plan-pinned static side would snapshot the file listing). */
   def ingestBatch(spark: org.apache.spark.sql.SparkSession,
-      indexName: String, docs: DataFrame): DataFrame = {
+      indexName: String, docs: DataFrame,
+      writeSink: DataFrame => Unit = _ => ()): DataFrame = {
     val root = graft.sources.FpIndex.root(spark).getOrElse(
       throw new IllegalStateException(
         s"ingestBatch requires ${graft.sources.FpIndex.DirConf} to be set"))
@@ -265,6 +266,13 @@ object EventStreams {
       .filter(col("doc_id") === col("mn")).drop("mn")
       .join(index, Seq("fp"), "left_anti")
       .localCheckpoint() // pin: the append below must not re-observe a grown index
+    // ORDER MATTERS for replay safety (round-7 ADVICE): the document
+    // sink commits BEFORE the index learns the fingerprints. A failure
+    // between the two replays the batch with the fps still absent, so
+    // the documents are re-written (duplicates, dedupable by batch) —
+    // the reverse order would anti-join the replayed docs against
+    // their own fps and lose them from the sink permanently.
+    writeSink(survivors.drop("fp"))
     graft.sources.FpIndex.append(spark, root, indexName,
       survivors.select("fp"))
     survivors.drop("fp")
@@ -290,22 +298,32 @@ object EventStreams {
     * relation is re-created inside each batch, so fingerprints
     * appended by batch N are visible to batch N+1 (the pinned static
     * side of a plain stream-static join would snapshot the file
-    * listing at query start and miss them). Survivors append to BOTH
-    * the document sink and the index; on micro-batch replay after a
-    * failure, the within-batch dedup makes the re-run's survivor set
-    * a subset of the original, and duplicate index fingerprints are
-    * harmless (the index is an anti-join set).
+    * listing at query start and miss them). Survivors commit to the
+    * document sink FIRST, then their fingerprints append to the index
+    * (see [[ingestBatch]] — a failure between the two re-writes
+    * documents on replay rather than losing them; sink duplicates are
+    * dedupable by batch, sink losses are unrecoverable). Duplicate
+    * index fingerprints from replayed appends are semantically
+    * harmless (the index is an anti-join set) and bounded in storage
+    * by the periodic [[graft.sources.FpIndex.maybeCompact]] sweep
+    * every [[CompactEveryBatches]] micro-batches.
     *
     * @param docs streaming (doc_id, text, …) relation. */
+  val CompactEveryBatches = 16
+
   def ingestPipeline(spark: SparkSession, docs: DataFrame,
       indexName: String, outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(spark, indexName, batch)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, indexName, batch,
+          out => out.write.mode("append").parquet(outDir))
+        if (batchId % CompactEveryBatches == CompactEveryBatches - 1)
+          graft.sources.FpIndex.root(spark).foreach(r =>
+            graft.sources.FpIndex.maybeCompact(spark, r, indexName))
+        ()
       }
       .start()
 }

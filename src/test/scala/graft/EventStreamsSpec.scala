@@ -260,6 +260,48 @@ class EventStreamsSpec extends SparkTestBase {
     } finally spark.conf.unset(graft.sources.FpIndex.DirConf)
   }
 
+  test("fpindex compaction collapses replayed appends; stamp survives; " +
+      "ingest writes the sink before the index (replay safety)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fpindex3").toString
+    spark.conf.set(graft.sources.FpIndex.DirConf, root)
+    try {
+      val fps = Seq("a1", "b2", "c3").toDF("fp")
+      graft.sources.FpIndex.append(spark, root, "c", fps)
+      // A replayed append re-adds the same fingerprints (the partial-
+      // failure shape): storage doubles, semantics unchanged.
+      graft.sources.FpIndex.append(spark, root, "c", fps)
+      assert(graft.sources.FpIndex.read(spark, root, "c").get.count() == 6)
+      val removed = graft.sources.FpIndex.maybeCompact(spark, root, "c")
+      assert(removed == 3L)
+      val after = graft.sources.FpIndex.read(spark, root, "c").get
+      assert(after.count() == 3)
+      assert(after.distinct().count() == 3)
+      // Below the dup-ratio threshold nothing rewrites.
+      assert(graft.sources.FpIndex.maybeCompact(spark, root, "c") == 0L)
+      // Snapshot stamp survives compaction (same fp set → still fresh).
+      graft.sources.FpIndex.replace(spark, root, "st", fps, (42L, 7L))
+      graft.sources.FpIndex.append(spark, root, "st", fps) // replay dup
+      assert(graft.sources.FpIndex.compact(spark, root, "st") == 3L)
+      assert(graft.sources.FpIndex
+        .loadIfFresh(spark, root, "st", (42L, 7L)).isDefined)
+      // Sink-first ordering: a sink failure must leave the index
+      // UNTOUCHED so the replayed batch still sees its docs as new.
+      val b = Seq((1L, "ordering doc")).toDF("doc_id", "text")
+      intercept[RuntimeException] {
+        EventStreams.ingestBatch(spark, "ord", b,
+          _ => throw new RuntimeException("sink down"))
+      }
+      assert(graft.sources.FpIndex.read(spark, root, "ord").isEmpty ||
+        graft.sources.FpIndex.read(spark, root, "ord").get.count() == 0)
+      // The replay (sink healthy) ingests the doc — nothing was lost.
+      val replay = EventStreams.ingestBatch(spark, "ord", b)
+        .select("doc_id").as[Long].collect().toSet
+      assert(replay == Set(1L))
+    } finally spark.conf.unset(graft.sources.FpIndex.DirConf)
+  }
+
   test("qDedupIncremental with a configured index root: identical " +
       "result, snapshot reused while fresh, rebuilt when stale") {
     val inline = graft.queries.DedupQueries
