@@ -322,12 +322,25 @@ object FreqSketch {
     * never depends on the cache: every plan is exact on every input,
     * and the sketch path re-derives its own certificate from live
     * data each call (a stale "certified" hint that no longer holds
-    * falls back to the exact plan inside the call). */
-  private val decisionCache =
-    scala.collection.concurrent.TrieMap.empty[(LogicalPlan, String, Int, Int, Int), String]
+    * falls back to the exact plan inside the call).
+    *
+    * Bounded: an access-ordered LRU of [[MaxDecisions]] entries —
+    * canonicalized plans retain their whole subtree, so an unbounded
+    * map is a slow leak in a long-lived session (round-7 ADVICE). */
+  private val MaxDecisions = 64
+  private val decisionCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(LogicalPlan, String, Int, Int, Int), String](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, String, Int, Int, Int), String])
+          : Boolean = size() > MaxDecisions
+    })
 
   /** Test hook: forget cached probe decisions. */
   private[graft] def clearDecisionCache(): Unit = decisionCache.clear()
+
+  /** Test hook: current number of memoized decisions. */
+  private[graft] def decisionCacheSize: Int = decisionCache.size()
 
   /** Exact distributed top-k with the chosen plan returned alongside
     * ("lossless" | "certified" | "fallback" | "probed-fallback") — the
@@ -388,19 +401,43 @@ object FreqSketch {
     // input plan, so steady-state repeats pay zero probe jobs.
     val cacheKey = (df.queryExecution.analyzed.canonicalized, column,
       k, capacity, probeRows)
-    decisionCache.get(cacheKey) match {
+    Option(decisionCache.get(cacheKey)) match {
       case Some("probed-fallback") => return (exactPlan, "probed-fallback")
-      case Some(_) => // fall through to the sketch pass, probe skipped
+      case Some("fallback") =>
+        // A remembered sketch-pass miss: the certificate did not hold
+        // on this exact input, so re-running the sketch would be pure
+        // overhead on top of the exact aggregate it must fall back to
+        // anyway (round-7 ADVICE) — go straight to the exact plan.
+        return (exactPlan, "fallback")
+      case Some(_) => // lossless/certified: probe skipped, sketch re-certifies
       case None =>
-        val window = nonNull.select(col(column).as("__v")).limit(probeRows)
-        val probe = window.groupBy(col("__v")).agg(count(lit(1)).as("c"))
+        // Deterministic probe window: the FIRST ceil(probeRows/p) rows
+        // of EVERY partition (iterator take — the scan short-circuits
+        // per task) instead of a global limit(), whose row set depends
+        // on shuffle arrival order and could flip a borderline verdict
+        // between JVMs (round-7 carryover). Partition contents are a
+        // deterministic function of the input splits, so the window —
+        // and hence the decision — is reproducible run-to-run, and it
+        // samples every partition instead of whichever answered first.
+        val probeSrc = nonNull
+          .select(col(column).cast(StringType).as("__v"))
+          .as[String](org.apache.spark.sql.Encoders.STRING)
+        val nParts = math.max(1, probeSrc.rdd.getNumPartitions)
+        val perPart = math.max(1, (probeRows + nParts - 1) / nParts)
+        val probe = probeSrc
+          .mapPartitions(_.take(perPart))(
+            org.apache.spark.sql.Encoders.STRING)
+          .groupBy(col("value")).agg(count(lit(1)).as("c"))
           .agg(coalesce(sum("c"), lit(0L)).as("n"),
             slice(sort_array(collect_list(col("c")), asc = false), 1, capacity)
               .as("tops"))
           .collect()(0)
         val windowN = probe.getLong(0)
         val topCounts = probe.getSeq[Long](1)
-        if (windowN >= probeRows) {
+        // "Filled" = ≥ 90% of the requested window (per-partition takes
+        // can undershoot on uneven partitions); an unfilled window IS
+        // the whole dataset, where plan choice barely matters.
+        if (windowN * 10L >= probeRows.toLong * 9L) {
           val windowEps = (windowN - topCounts.sum) / (capacity + 1)
           val certifiable = topCounts.length >= k &&
             topCounts(k - 1) > 2 * windowEps

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Distributed range (interval) join — the second alignment operator the
   * builder brief names alongside [[AsofJoin]] (neither the reference nor
@@ -38,6 +39,8 @@ import org.apache.spark.sql.functions._
   * direction.
   */
 object RangeJoin {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Inner range join: rows of `points` paired with every row of
     * `intervals` whose `[lo, hi]` contains the point (both bounds
@@ -132,6 +135,117 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Sort-sweep execution of the SAME point-in-interval semantics, for
+    * the interval-DENSE regime the binned hash join handles worst: the
+    * hash path examines every same-cell (point, interval) pair — per-
+    * cell cost points × intervals — which is fine when cells are
+    * sparse but quadratic when thousands of intervals pile into each
+    * cell (the sf100 inversion vs sort-based engines, BASELINE §11).
+    * Here each cell is processed with the classic plane sweep instead:
+    * sort points ascending, sort intervals by `lo`, and maintain a
+    * min-heap of active intervals keyed by `hi` — activate intervals
+    * with `lo ≤ p` as the sweep advances, expire `hi < p` from the
+    * heap top, and every interval still in the heap CONTAINS p (no
+    * residual filter). Per-cell cost O((p+i)·log i + output), i.e.
+    * sort + output — the IEJoin cost class, on Spark's shuffle.
+    *
+    * Same binning, same one-cell-per-point exactness guarantee, same
+    * output columns as [[pointInInterval]]; the shuffle volume is
+    * identical (this changes the per-cell algorithm, not the data
+    * movement). A cell's rows are materialized in one task (the heap
+    * needs random access), so `binWidth` remains the memory knob —
+    * exactly as it bounds the hash path's build side. */
+  def pointInIntervalSweep(points: DataFrame, intervals: DataFrame,
+      point: String, lo: String, hi: String, binWidth: Long,
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoBinColumn(points, intervals)
+    val spark = points.sparkSession
+    val w = lit(binWidth)
+    val l = points
+      .filter(col(point).isNotNull && keys.map(col(_).isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .withColumn("__bin", floorDiv(col(point), w))
+      .withColumn("__p", col(point).cast("long"))
+    val r = intervals
+      .filter(col(lo).isNotNull && col(hi).isNotNull &&
+        col(lo) <= col(hi) && keys.map(col(_).isNotNull)
+        .foldLeft(lit(true))(_ && _))
+      .withColumn("__bin", explode(
+        bins(col(lo), col(hi), w, maxBinsPerInterval)))
+      .withColumn("__lo", col(lo).cast("long"))
+      .withColumn("__hi", col(hi).cast("long"))
+    val lSchema = l.schema
+    val rSchema = r.schema
+    val keyCols = keys :+ "__bin"
+    val lKeyIdx = keyCols.map(lSchema.fieldIndex).toArray
+    val rKeyIdx = keyCols.map(rSchema.fieldIndex).toArray
+    val lpIdx = lSchema.fieldIndex("__p")
+    val rloIdx = rSchema.fieldIndex("__lo")
+    val rhiIdx = rSchema.fieldIndex("__hi")
+    // Output = key columns, then left non-key, then right non-key —
+    // the exact column order of `l.join(r, keys :+ "__bin")` — minus
+    // the internal __bin/__p/__lo/__hi columns.
+    val internal = Set("__bin", "__p", "__lo", "__hi")
+    val lOutIdx = lSchema.fieldNames.zipWithIndex.collect {
+      case (n, i) if !keyCols.contains(n) && !internal(n) => i
+    }
+    val rOutIdx = rSchema.fieldNames.zipWithIndex.collect {
+      case (n, i) if !keyCols.contains(n) && !internal(n) => i
+    }
+    val outSchema = StructType(
+      keys.map(k => lSchema(lSchema.fieldIndex(k))) ++
+        lOutIdx.map(lSchema(_)) ++ rOutIdx.map(rSchema(_)))
+    val keyOutIdx = keys.map(lSchema.fieldIndex).toArray
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val lKeyed = l.rdd.map(row => (lKeyIdx.map(row.get).toList, row))
+    val rKeyed = r.rdd.map(row => (rKeyIdx.map(row.get).toList, row))
+    val joined = lKeyed.cogroup(rKeyed, parts).flatMap {
+      case (_, (ps, is)) =>
+        val iArr = is.toArray
+        if (iArr.isEmpty) Iterator.empty
+        else {
+          val pArr = ps.toArray
+          if (pArr.isEmpty) Iterator.empty
+          else {
+            java.util.Arrays.sort(pArr, (a: Row, b: Row) =>
+              java.lang.Long.compare(a.getLong(lpIdx), b.getLong(lpIdx)))
+            java.util.Arrays.sort(iArr, (a: Row, b: Row) =>
+              java.lang.Long.compare(a.getLong(rloIdx), b.getLong(rloIdx)))
+            val active = new java.util.PriorityQueue[Row](
+              math.max(1, iArr.length),
+              (a: Row, b: Row) => java.lang.Long.compare(
+                a.getLong(rhiIdx), b.getLong(rhiIdx)))
+            var nextI = 0
+            pArr.iterator.flatMap { pRow =>
+              val p = pRow.getLong(lpIdx)
+              while (nextI < iArr.length && iArr(nextI).getLong(rloIdx) <= p) {
+                active.add(iArr(nextI)); nextI += 1
+              }
+              while (!active.isEmpty && active.peek().getLong(rhiIdx) < p)
+                active.poll()
+              // Every interval in the heap has lo <= p (activation
+              // order) and hi >= p (expiry drained) — all match.
+              val keyVals = keyOutIdx.map(pRow.get)
+              val lVals = lOutIdx.map(pRow.get)
+              val out = new Array[Row](active.size())
+              var j = 0
+              val it = active.iterator()
+              while (it.hasNext) {
+                val iRow = it.next()
+                out(j) = Row.fromSeq(
+                  (keyVals ++ lVals ++ rOutIdx.map(iRow.get)).toIndexedSeq)
+                j += 1
+              }
+              out.iterator
+            }
+          }
+        }
+    }
+    spark.createDataFrame(joined, outSchema)
+  }
+
   /** Width-free variants: derive `binWidth` from the data — the median
     * interval length via ONE `approx_percentile` aggregate over the
     * intervals side — removing the one human-error knob of the
@@ -142,9 +256,27 @@ object RangeJoin {
     * join's own shuffle it then right-sizes. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       point: String, lo: String, hi: String,
-      keys: Seq[String], maxBinsPerInterval: Int): DataFrame =
-    pointInInterval(points, intervals, point, lo, hi,
-      autoBinWidth(intervals, lo, hi), keys, maxBinsPerInterval)
+      keys: Seq[String], maxBinsPerInterval: Int): DataFrame = {
+    val w = autoBinWidth(intervals, lo, hi)
+    // Density guard (round-7 verdict): the width-free path already paid
+    // one aggregate over the intervals, so a second constant-size
+    // aggregate estimating intervals-per-cell is in the same cost
+    // class — and it is exactly the statistic that predicts the hash
+    // path's per-cell pair blow-up. Above the threshold, route to the
+    // sort-sweep path and say so.
+    val density = cellDensity(intervals, lo, hi, w, keys)
+    if (density > DenseCellThreshold) {
+      log.warn(f"RangeJoin: ~$density%.0f intervals per occupied cell at " +
+        s"auto binWidth=$w (threshold ${DenseCellThreshold.toInt}) — " +
+        "interval-dense regime; using the within-cell sort-sweep path " +
+        "(per-cell cost sort + output instead of points x intervals)")
+      pointInIntervalSweep(points, intervals, point, lo, hi, w, keys,
+        maxBinsPerInterval)
+    } else {
+      pointInInterval(points, intervals, point, lo, hi, w, keys,
+        maxBinsPerInterval)
+    }
+  }
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       point: String, lo: String, hi: String,
@@ -165,6 +297,39 @@ object RangeJoin {
       loL: String, hiL: String, loR: String, hiR: String,
       keys: Seq[String]): DataFrame =
     intervalOverlap(left, right, loL, hiL, loR, hiR, keys, 4096)
+
+  /** Dense-cell regime boundary for the width-free variants: above this
+    * many intervals per occupied cell the hash path examines ≫ output
+    * same-cell pairs (its per-cell cost is points × intervals), so the
+    * auto variant routes to [[pointInIntervalSweep]], whose per-cell
+    * cost is sort + output. Manual-width callers keep the hash path —
+    * explicit width is explicit control — but can call the sweep
+    * directly. */
+  private[graft] val DenseCellThreshold = 256.0
+
+  /** Average intervals per OCCUPIED cell at width `w` — the replication
+    * factor estimate the round-7 verdict asked the auto variant to
+    * check (high density is where the binned hash join's linear-in-
+    * pairs cost inverts against sort-based engines). One small
+    * aggregate: Σ cells-per-interval over ≈ distinct start cells; with
+    * w at the p75 interval length most intervals span ≤ 2 cells, so
+    * start cells undercount occupied cells by ≤ 2× — an order-of-
+    * magnitude guard, not a cost model. */
+  private[graft] def cellDensity(intervals: DataFrame, lo: String,
+      hi: String, w: Long, keys: Seq[String] = Nil): Double = {
+    val wc = lit(w)
+    val s = floorDiv(col(lo), wc)
+    val e = floorDiv(col(hi), wc)
+    val cellKey = if (keys.isEmpty) s else struct(keys.map(col) :+ s: _*)
+    val row = intervals
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .agg(coalesce(sum(e - s + lit(1L)), lit(0L)).as("replicated"),
+        approx_count_distinct(cellKey).as("cells"))
+      .head()
+    val replicated = row.getLong(0)
+    val cells = math.max(1L, row.getLong(1))
+    replicated.toDouble / cells
+  }
 
   /** Upper-quartile interval length (closed-interval cell count,
     * `hi-lo+1`) as the data-driven bin width. The cost model wants a

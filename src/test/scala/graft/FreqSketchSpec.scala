@@ -323,6 +323,69 @@ class FreqSketchSpec extends SparkTestBase {
       k = 20, capacity = 128)._2 == zipfDecisions.head)
   }
 
+  test("probe window samples EVERY partition, not a first-responder " +
+      "prefix (deterministic slice, round-7 carryover)") {
+    // The heavy head lives ONLY in the last partitions: a global
+    // limit() window could be served entirely by the flat partitions
+    // (probed-fallback) or by the skewed ones, depending on task
+    // arrival order. The per-partition take sees both by construction,
+    // so the head certifies and the verdict is stable run-to-run.
+    val data = (0 until 40000).map(i => s"u_$i") ++
+      rnd.shuffle(Seq.fill(40000)("hh_" + rnd.nextInt(5)))
+    // parallelize slices the seq in order: partitions 0-1 are flat,
+    // partitions 2-3 hold the (internally shuffled) heavy head.
+    val df = spark.sparkContext.parallelize(data, 4).toDF("item")
+    val decisions = (1 to 3).map { _ =>
+      FreqSketch.clearDecisionCache()
+      FreqSketch.topKExactDecided(df, "item", k = 5, capacity = 64,
+        probeRows = 8000)
+    }
+    assert(decisions.map(_._2).distinct.size == 1,
+      decisions.map(_._2).toString)
+    assert(decisions.head._2 == "certified", decisions.head._2)
+    val got = decisions.head._1.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = df.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("a cached 'fallback' verdict skips the sketch pass entirely " +
+      "(round-7 ADVICE)") {
+    // First call on uniform parquet data runs the sketch and falls
+    // back. Then the files are deleted: a second call on the SAME plan
+    // must return the lazy exact plan WITHOUT running any job — if it
+    // re-ran the sketch (or the probe), the dead scan would throw.
+    val dir = java.nio.file.Files.createTempDirectory("graft-fb").toString
+    (0 until 6000).map(i => s"u_${i % 2000}").toDF("item")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    FreqSketch.clearDecisionCache()
+    val first = FreqSketch.topKExactDecided(df, "item", k = 5,
+      capacity = 32, probeRows = 1000000)
+    assert(first._2 == "fallback", first._2)
+    // Kill the data out from under the plan.
+    val root = new java.io.File(dir)
+    root.listFiles().foreach(_.delete())
+    val second = FreqSketch.topKExactDecided(df, "item", k = 5,
+      capacity = 32, probeRows = 1000000)
+    assert(second._2 == "fallback", second._2)
+  }
+
+  test("decision memo is LRU-bounded") {
+    FreqSketch.clearDecisionCache()
+    val df = (0 until 50).map(i => s"v_$i").toDF("item").cache()
+    df.count()
+    // 70 distinct cache keys (k varies); the memo must stay bounded.
+    (1 to 70).foreach { k =>
+      FreqSketch.topKExactDecided(df, "item", k = k, capacity = 128)
+    }
+    assert(FreqSketch.decisionCacheSize <= 64, FreqSketch.decisionCacheSize)
+    df.unpersist()
+    FreqSketch.clearDecisionCache()
+  }
+
   test("sketch aggregate handles NULLs and empty input") {
     val df = Seq(Option("a"), None, Option("a"), Option("b"))
       .toDF("item")

@@ -120,6 +120,68 @@ class RangeJoinPropertySpec extends SparkTestBase {
     }
   }
 
+  test("pointInIntervalSweep ≡ cross-join oracle for random sets " +
+      "(keyless and keyed)") {
+    val rnd = new Random(31337L)
+    for (trial <- 0 until 6) {
+      val ptsK = genPoints(rnd, 50)
+      val ivsK = genIntervals(rnd, 35)
+      val w = widths(rnd.nextInt(widths.size))
+      // Keyless.
+      val pts = ptsK.map(t => (t._1, t._2)).toDF("pid", "p")
+      val ivs = ivsK.map(t => (t._1, t._2, t._3)).toDF("iid", "lo", "hi")
+      val oracle = rows(pts.crossJoin(ivs)
+        .filter($"p" >= $"lo" && $"p" <= $"hi").select("pid", "iid"))
+      val got = rows(RangeJoin.pointInIntervalSweep(pts, ivs,
+        "p", "lo", "hi", binWidth = w).select("pid", "iid"))
+      assert(got == oracle, s"trial=$trial width=$w (keyless)")
+      // Keyed: same column order and rows as the hash path.
+      val ptsKd = ptsK.toDF("pid", "p", "k")
+      val ivsKd = ivsK.toDF("iid", "lo", "hi", "k")
+      val hash = RangeJoin.pointInInterval(ptsKd, ivsKd,
+        "p", "lo", "hi", binWidth = w, keys = Seq("k"))
+      val sweep = RangeJoin.pointInIntervalSweep(ptsKd, ivsKd,
+        "p", "lo", "hi", binWidth = w, keys = Seq("k"))
+      assert(sweep.columns.toSeq == hash.columns.toSeq,
+        s"trial=$trial: column order diverged")
+      assert(rows(sweep) == rows(hash), s"trial=$trial width=$w (keyed)")
+    }
+  }
+
+  test("width-free variant detects the interval-dense regime and the " +
+      "sweep route returns exact rows (round-7 verdict density guard)") {
+    val rnd = new Random(260814L)
+    // High-density geometry: 4000 near-identical intervals stacked on
+    // one short span — every occupied cell holds ~thousands of
+    // intervals, the shape where the hash path examines points ×
+    // intervals pairs per cell.
+    val ivs = (1 to 4000).map { i =>
+      val lo = rnd.nextInt(40).toLong
+      (i.toLong, Some(lo), Some(lo + 20L + rnd.nextInt(10)))
+    }.toDF("iid", "lo", "hi")
+    val pts = (1 to 300).map(i =>
+      (i.toLong, Some(rnd.nextInt(120).toLong))).toDF("pid", "p")
+    val w = RangeJoin.autoBinWidth(ivs, "lo", "hi")
+    assert(RangeJoin.cellDensity(ivs, "lo", "hi", w) >
+      RangeJoin.DenseCellThreshold,
+      "geometry must sit above the dense-cell threshold")
+    // The width-free overload (which routes to the sweep here) is
+    // still exactly the oracle.
+    val oracle = rows(pts.crossJoin(ivs)
+      .filter($"p" >= $"lo" && $"p" <= $"hi").select("pid", "iid"))
+    val got = rows(RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi",
+      keys = Nil, maxBinsPerInterval = 4096).select("pid", "iid"))
+    assert(got == oracle, s"dense-regime width-free join diverged (w=$w)")
+    // And a sparse geometry stays comfortably below the threshold.
+    val sparse = (1 to 200).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (i.toLong, Some(lo), Some(lo + rnd.nextInt(20).toLong))
+    }.toDF("iid", "lo", "hi")
+    val ws = RangeJoin.autoBinWidth(sparse, "lo", "hi")
+    assert(RangeJoin.cellDensity(sparse, "lo", "hi", ws) <
+      RangeJoin.DenseCellThreshold)
+  }
+
   test("inputs carrying a __bin column are rejected up front") {
     val pts = Seq((1L, 5L, 9L)).toDF("pid", "p", "__bin")
     val ivs = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
