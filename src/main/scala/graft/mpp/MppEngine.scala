@@ -298,6 +298,26 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * rewrites. */
   def tableWithRowid(name: String): DataFrame = {
     val t = info(localKey(name))
+    val baseRows = rowidBases(t)
+    import spark.implicits._
+    val baseDf = baseRows.toDF("__b", "__f2", "__base")
+    readWithBucket(t)
+      .withColumn("__fn", col("_metadata.file_name"))
+      .withColumn("__ri", col("_metadata.row_index"))
+      .join(broadcast(baseDf),
+        col(BucketCol) === col("__b") && col("__fn") === col("__f2"))
+      .withColumn("rowid",
+        col(BucketCol).cast("long") * lit(1L << 40) +
+          col("__base") + col("__ri"))
+      .select(userSchema(t).fieldNames.map(col) :+ col("rowid"): _*)
+  }
+
+  /** The manifest-backed `(bucket, file, base)` triples [[tableWithRowid]]
+    * and the DSv2 catalog's rowid metadata column both key on — ONE
+    * manifest, so the two scan surfaces always agree
+    * (round-7 missing #3). Reads, maintains, and republishes the
+    * persisted manifest as documented above. */
+  private[graft] def rowidBases(t: TableInfo): Seq[(Int, String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(t.name))
     val fs = root.getFileSystem(conf)
@@ -374,17 +394,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
     bases.result()
     } // rowidLock
-    import spark.implicits._
-    val baseDf = baseRows.toDF("__b", "__f2", "__base")
-    readWithBucket(t)
-      .withColumn("__fn", col("_metadata.file_name"))
-      .withColumn("__ri", col("_metadata.row_index"))
-      .join(broadcast(baseDf),
-        col(BucketCol) === col("__b") && col("__fn") === col("__f2"))
-      .withColumn("rowid",
-        col(BucketCol).cast("long") * lit(1L << 40) +
-          col("__base") + col("__ri"))
-      .select(userSchema(t).fieldNames.map(col) :+ col("rowid"): _*)
+    baseRows
   }
 
   private def refreshView(t: TableInfo): Unit = {

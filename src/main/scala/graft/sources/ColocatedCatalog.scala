@@ -229,9 +229,19 @@ final case class GraftBucketBound(keyType: DataType)
   * only the coordinator mutates schema (`mpp_schema_entry.cpp:72-128`). */
 final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
     engine: () => MppEngine)
-    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsMetadataColumns {
 
   override def name(): String = t.name
+
+  /** The engine's `rowid` pseudo-column on the DSv2 surface (round-7
+    * missing #3): `SELECT rowid, … FROM cat.t` projects the SAME
+    * manifest-backed id as [[MppEngine.tableWithRowid]] — both key on
+    * [[MppEngine.rowidBases]], so the two scan paths can never
+    * disagree. Hidden until referenced, per the metadata-column
+    * contract. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(RowidMetadataColumn)
 
   /** Owning engine, for the row-level DML bridge. */
   private[graft] def owner: MppEngine = engine()
@@ -292,7 +302,7 @@ final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ColocatedScanBuilder(spark, t, root, schema)
+    new ColocatedScanBuilder(spark, t, root, schema, engine)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -322,7 +332,7 @@ final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
   * filters: a point lookup on the partition column schedules ONE bucket,
   * V1/V2 parity with the injected optimizer rule. */
 final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
-    root: String, userSchema: StructType)
+    root: String, userSchema: StructType, engine: () => MppEngine)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters {
 
@@ -330,15 +340,34 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
     org.apache.spark.sql.types.StructField(BucketPruning.BucketCol,
       IntegerType))
 
-  private val inner = ParquetScanBuilder(spark,
+  private def mkInner() = ParquetScanBuilder(spark,
     ColocatedFileIndex.get(spark, root, fullSchema),
     fullSchema, userSchema, CaseInsensitiveStringMap.empty())
+
+  private var inner = mkInner()
 
   /** Bucket set statically implied by the pushed filters; None = all. */
   private var prunedBuckets: Option[Set[Int]] = None
 
+  /** Schema pruning asked for the `rowid` metadata column: remember the
+    * exact requested schema (readSchema must echo it) and prune the
+    * delegate to the DATA fields only. */
+  private var rowidSchema: Option[StructType] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    inner.pruneColumns(requiredSchema)
+    if (requiredSchema.fieldNames.contains(RowidMetadataColumn.name)) {
+      rowidSchema = Some(requiredSchema)
+      // Rebuild the delegate WITHOUT pushed filters: the rowid reader
+      // derives the row index by counting rows emitted per file, which
+      // is only the true physical index when parquet cannot skip row
+      // groups/pages. Sound: ParquetScanBuilder returns every filter
+      // as a post-scan filter (parquet pushdown is best-effort), so
+      // Spark re-applies them above the scan either way — dropping the
+      // pushdown costs I/O on a rowid scan, never rows.
+      inner = mkInner()
+      inner.pruneColumns(StructType(requiredSchema.fields
+        .filterNot(_.name == RowidMetadataColumn.name)))
+    } else inner.pruneColumns(requiredSchema)
 
   override def pushFilters(
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -358,9 +387,15 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
 
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
 
-  override def build(): Scan =
-    new ColocatedScan(inner.build(), t.partitionColumn, t.buckets,
-      prunedBuckets)
+  override def build(): Scan = rowidSchema match {
+    case Some(out) =>
+      val bases = engine().rowidBases(t)
+        .map { case (b, f, base) => (b, f) -> base }.toMap
+      new RowidScan(inner.build(), out, bases, prunedBuckets)
+    case None =>
+      new ColocatedScan(inner.build(), t.partitionColumn, t.buckets,
+        prunedBuckets)
+  }
 }
 
 /** Listing cache for the co-located read path: re-listing every file of
@@ -583,6 +618,122 @@ final case class BucketInputPartition(bucket: Int, files: FilePartition)
     new GenericInternalRow(Array[Any](bucket))
   override def preferredLocations(): Array[String] =
     files.preferredLocations()
+}
+
+/** The `rowid` pseudo-column as a DSv2 metadata column (hidden until a
+  * query references it). Values are bit-identical to the engine scan's:
+  * `(bucket << 40) | (manifest file base + row index within file)`. */
+object RowidMetadataColumn extends MetadataColumn {
+  override def name: String = "rowid"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment: String =
+    "stable per-bucket row id: (bucket << 40) | (file base + row index)"
+}
+
+/** Scan variant projecting `rowid`: one input partition per WHOLE file
+  * (splits re-merged — a split's first row is not row index 0), each
+  * carrying `bucket << 40 + manifest base`; the reader counts rows as
+  * they stream out of the delegate parquet reader, which equals the
+  * physical row index because the delegate was built with NO pushed
+  * filters (no row-group/page skipping — see
+  * [[ColocatedScanBuilder.pruneColumns]]). Does not report key-grouped
+  * partitioning (per-file partitions break one-partition-per-bucket);
+  * rowid scans are an administrative surface, not a join input. */
+final class RowidScan(delegate: FileScan, out: StructType,
+    bases: Map[(Int, String), Long], pruned: Option[Set[Int]])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+
+  override def description(): String =
+    s"RowidScan(${delegate.description()})"
+
+  override def toBatch: Batch = this
+
+  private val BucketFileRe =
+    (".*/" + BucketPruning.BucketCol + "=(\\d+)/([^/]+)$").r
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = delegate.toBatch.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"unexpected partition from parquet scan: $other")
+    }
+    val whole = files.groupBy(_.filePath.toString).toSeq.sortBy(_._1)
+      .map(_._2.head)
+    whole.zipWithIndex.flatMap { case (f, i) =>
+      val (b, fname) = f.filePath.toString match {
+        case BucketFileRe(bs, n) => (bs.toInt, n)
+        case p => throw new IllegalStateException(
+          s"file outside bucket layout: $p")
+      }
+      if (pruned.exists(!_.contains(b))) None
+      else {
+        val base = bases.getOrElse((b, fname),
+          throw new IllegalStateException(
+            s"no rowid manifest entry for bucket=$b file=$fname " +
+              "(concurrent rewrite during scan planning?)"))
+        Some(RowidInputPartition((b.toLong << 40) + base,
+          FilePartition(i, Array(f.copy(start = 0, length = f.fileSize)))))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RowidReaderFactory(delegate.toBatch.createReaderFactory(), out,
+      StructType(out.fields.filterNot(_.name == RowidMetadataColumn.name)))
+}
+
+/** One whole parquet file plus the rowid base of its first row. */
+final case class RowidInputPartition(bucketBase: Long,
+    files: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    files.preferredLocations()
+}
+
+/** Row-based reader appending `rowid = bucketBase + rows-emitted-so-far`
+  * to each delegate row. Columnar reads are declined so the count is a
+  * plain per-row increment. */
+final case class RowidReaderFactory(inner: PartitionReaderFactory,
+    out: StructType, innerSchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RowidInputPartition]
+    val delegate = inner.createReader(rp.files)
+    val srcIdx = out.fields.map { f =>
+      if (f.name == RowidMetadataColumn.name) -1
+      else innerSchema.fieldIndex(f.name)
+    }
+    val types = innerSchema.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      private var rowIndex = -1L
+      override def next(): Boolean = {
+        val n = delegate.next()
+        if (n) rowIndex += 1
+        n
+      }
+      override def get(): InternalRow = {
+        val src = delegate.get()
+        val arr = new Array[Any](out.length)
+        var i = 0
+        while (i < arr.length) {
+          val j = srcIdx(i)
+          arr(i) =
+            if (j < 0) rp.bucketBase + rowIndex
+            else src.get(j, types(j))
+          i += 1
+        }
+        new GenericInternalRow(arr)
+      }
+      override def close(): Unit = delegate.close()
+    }
+  }
 }
 
 /** Unwraps [[BucketInputPartition]] back to the [[FilePartition]] the

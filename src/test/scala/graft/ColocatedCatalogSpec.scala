@@ -69,6 +69,39 @@ class ColocatedCatalogSpec extends SparkTestBase {
     assert(v2.toSeq == v1.toSeq)
   }
 
+  test("rowid metadata column on the DSv2 scan matches the engine scan " +
+      "bit-for-bit (round-7 missing #3)") {
+    engine
+    // Second insert → multiple files per bucket, so the manifest bases
+    // actually matter (a single-file bucket would pass with base 0).
+    engine.sql(
+      "CREATE TABLE rid(k BIGINT, v DOUBLE) PARTITION BY (k) WITH BUCKETS 4")
+    engine.insertInto("rid", spark.range(0, 300).toDF("k")
+      .withColumn("v", col("k") * 1.5))
+    engine.insertInto("rid", spark.range(300, 500).toDF("k")
+      .withColumn("v", col("k") * 1.5))
+    val viaEngine = engine.tableWithRowid("rid")
+      .select("k", "rowid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaCatalog = spark.table("mppcat.rid")
+      .select(col("k"), col("rowid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaCatalog == viaEngine)
+    // Sanity on the id structure itself: ids are unique, and each
+    // bucket's ids live in its own (bucket << 40) block.
+    assert(viaCatalog.map(_._2).distinct.size == 500)
+    assert(viaCatalog.forall { case (_, rid) => (rid >> 40) < 4 })
+    // rowid stays hidden unless referenced: a plain select must not
+    // carry it (metadata-column contract).
+    assert(!spark.table("mppcat.rid").columns.contains("rowid"))
+    // And a filtered rowid scan returns the same ids as the unfiltered
+    // scan filtered afterwards (no pushdown may renumber).
+    val filtered = spark.table("mppcat.rid").filter(col("k") < 100)
+      .select(col("k"), col("rowid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(filtered == viaCatalog.filter(_._1 < 100))
+  }
+
   test("filters and projection still push into the delegate parquet scan") {
     engine
     val q = spark.table("mppcat.li").filter(col("q") > 900).select("k")
