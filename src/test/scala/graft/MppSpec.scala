@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 
 import graft.mpp.{BucketPruning, MppEngine, MppParser}
 
+/** Shared fault injector for the executor-loss test: requests a
+  * cooperative kill of the first attempt of one task per stage via
+  * `SparkContext.killTaskAttempt` (throwing from inside a UDF would be
+  * WRAPPED into a plain task failure by the UDF error handler and abort
+  * the job at local-mode maxFailures=1; a requested kill is discovered
+  * at the next interrupt check and reported as TaskKilled, which does
+  * not count toward failures and reschedules the task). An object, so
+  * the UDF closure serializes without capturing the suite. */
+object KillOncePerStage {
+  val seen: java.util.Set[Integer] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+  def strike(): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0 && seen.add(tc.stageId()))
+      org.apache.spark.SparkContext.getOrCreate().killTaskAttempt(
+        tc.taskAttemptId(), interruptThread = false,
+        reason = "graft test: simulated executor loss")
+  }
+}
+
 /** Replays the reference's SQLLogicTest scenarios against the Spark-native
   * engine: `/root/reference/test/sql/{mpp, mpp_filter, mpp_update,
   * mpp_delete, mpp_transaction}.test` (same statements and semantics;
@@ -840,6 +860,69 @@ class MppSpec extends SparkTestBase {
     val e3 = new MppEngine(spark, wh)
     assert(e3.systemTable("nodes").count() >=
       graft.mpp.MppCatalog.RetainSnapshots + 10)
+  }
+
+  test("tasks killed mid-COW-rewrite retry and the swap is bit-identical " +
+      "(round-7 stretch: executor-loss simulation)") {
+    // Executor loss in local mode: the first attempt of one task in
+    // every stage that evaluates the SET expression throws
+    // TaskKilledException — the scheduler treats a killed task like a
+    // preempted one (it does NOT count toward spark.task.maxFailures,
+    // which is 1 in local mode) and reschedules it, so the statement
+    // rides the same retry machinery a real executor loss exercises:
+    // the match-stats stage, the pre-shuffle rewrite stage, and the
+    // staging parquet write whose commit protocol must discard the
+    // killed attempt's file.
+    val e = freshEngine()
+    e.sql("CREATE TABLE cow(k BIGINT, v DOUBLE) PARTITION BY (k) WITH BUCKETS 4")
+    e.insertInto("cow", spark.range(0, 5000).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    KillOncePerStage.seen.clear()
+    val killedTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        te.reason match {
+          case _: org.apache.spark.TaskKilled => killedTasks.incrementAndGet()
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.udf.register("graft_kill_once",
+      (v: Double) => { KillOncePerStage.strike(); v })
+    try {
+      val n = e.sql("UPDATE cow SET v = graft_kill_once(v) + 1.0 WHERE k < 2500")
+      assert(n.head().getLong(0) == 2500L)
+      assert(KillOncePerStage.seen.size() >= 2,
+        s"expected kill requests in >= 2 stages, got ${KillOncePerStage.seen}")
+      // The kill is cooperative (discovered at the next interrupt
+      // check); poll the async listener for at least one task actually
+      // ending as TaskKilled — i.e., a genuine mid-stage loss + retry.
+      val deadline = System.currentTimeMillis() + 10000
+      while (killedTasks.get() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(killedTasks.get() >= 1,
+        "no task actually ended as TaskKilled — the retry path was not " +
+          "exercised")
+      // The swapped table is exactly the unkilled result: no lost rows,
+      // no duplicated rows from the killed write attempt.
+      val got = e.table("cow").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+      val want = (0L until 5000L)
+        .map(k => (k, if (k < 2500) k + 1.0 else k * 1.0))
+      assert(got == want)
+      // Staging is fully cleaned up — no stranded dirs or leases.
+      val staging = java.nio.file.Paths.get(s"${e.warehouse}/.staging")
+      if (java.nio.file.Files.exists(staging)) {
+        val s = java.nio.file.Files.list(staging)
+        val leftover = try s.toArray.map(_.toString) finally s.close()
+        assert(leftover.isEmpty, leftover.mkString(", "))
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_kill_once"))
+    }
   }
 
   // --- write-path property: rows land in pmod(hash(c), n) ---------------
