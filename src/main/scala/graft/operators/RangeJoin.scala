@@ -260,22 +260,26 @@ object RangeJoin {
     val w = autoBinWidth(intervals, lo, hi)
     // Density guard (round-7 verdict): the width-free path already paid
     // one aggregate over the intervals, so a second constant-size
-    // aggregate estimating intervals-per-cell is in the same cost
-    // class — and it is exactly the statistic that predicts the hash
-    // path's per-cell pair blow-up. Above the threshold, route to the
-    // sort-sweep path and say so.
-    val density = cellDensity(intervals, lo, hi, w, keys)
+    // aggregate estimating intervals-per-cell and residual waste is in
+    // the same cost class. Dense cells get the documented warning; the
+    // sweep fires only when the hash path would also WASTE ≫ its
+    // output (see WasteThreshold — provably unreachable at the p75
+    // width, so under auto sizing this logs rather than reroutes).
+    val (density, waste) = cellStats(intervals, lo, hi, w, keys)
     if (density > DenseCellThreshold) {
+      val useSweep = waste > WasteThreshold
       log.warn(f"RangeJoin: ~$density%.0f intervals per occupied cell at " +
-        s"auto binWidth=$w (threshold ${DenseCellThreshold.toInt}) — " +
-        "interval-dense regime; using the within-cell sort-sweep path " +
-        "(per-cell cost sort + output instead of points x intervals)")
-      pointInIntervalSweep(points, intervals, point, lo, hi, w, keys,
-        maxBinsPerInterval)
-    } else {
-      pointInInterval(points, intervals, point, lo, hi, w, keys,
-        maxBinsPerInterval)
+        f"auto binWidth=$w (threshold ${DenseCellThreshold.toInt}), " +
+        f"estimated examined/matched waste $waste%.1fx — " +
+        (if (useSweep) "using the within-cell sort-sweep path"
+         else "interval-dense but output-dominated; keeping the hash " +
+           "path (the sweep only wins when most examined pairs miss)"))
+      if (useSweep)
+        return pointInIntervalSweep(points, intervals, point, lo, hi, w,
+          keys, maxBinsPerInterval)
     }
+    pointInInterval(points, intervals, point, lo, hi, w, keys,
+      maxBinsPerInterval)
   }
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
@@ -298,38 +302,57 @@ object RangeJoin {
       keys: Seq[String]): DataFrame =
     intervalOverlap(left, right, loL, hiL, loR, hiR, keys, 4096)
 
-  /** Dense-cell regime boundary for the width-free variants: above this
-    * many intervals per occupied cell the hash path examines ≫ output
-    * same-cell pairs (its per-cell cost is points × intervals), so the
-    * auto variant routes to [[pointInIntervalSweep]], whose per-cell
-    * cost is sort + output. Manual-width callers keep the hash path —
-    * explicit width is explicit control — but can call the sweep
-    * directly. */
+  /** Dense-cell regime boundary: above this many intervals per
+    * occupied cell the width-free variant inspects the geometry
+    * (cheap one-row aggregate) and decides between the hash path and
+    * [[pointInIntervalSweep]] via the WASTE ratio below. */
   private[graft] val DenseCellThreshold = 256.0
 
-  /** Average intervals per OCCUPIED cell at width `w` — the replication
-    * factor estimate the round-7 verdict asked the auto variant to
-    * check (high density is where the binned hash join's linear-in-
-    * pairs cost inverts against sort-based engines). One small
+  /** Residual-waste boundary: the hash path examines every same-cell
+    * (point, interval) pair and filters; the expected examined/matched
+    * ratio is `1 + w/avgLen` (pairs per point ≈ coverage density +
+    * intervals-starting-per-cell; matches per point = coverage
+    * density). The sweep's per-row overhead (RDD rows vs codegen) is
+    * ~2–3×, so it only wins when the hash path wastes ≳ an order of
+    * magnitude — MEASURED on 400k×400k cells: waste ≈ 500 → sweep
+    * 1.2 s vs hash 2.7 s; waste ≈ 2 at density 7000 (output-dominated)
+    * → hash 8.2 s vs sweep 27 s (BASELINE §12). NOTE: with the auto
+    * width at the p75 interval length this regime is UNREACHABLE —
+    * ≥ 25% of intervals have len ≥ w, so Σlen ≥ nI·w/4 and
+    * waste = 1 + nI·w/Σlen ≤ 5 — the guard protects explicit-width
+    * misuse and any future width heuristic, and the warning tells
+    * dense-regime callers which knob they are holding. */
+  private[graft] val WasteThreshold = 8.0
+
+  /** (intervals per occupied cell, estimated examined/matched waste
+    * ratio) at width `w` — the replication/density estimate the
+    * round-7 verdict asked the auto variant to check. One small
     * aggregate: Σ cells-per-interval over ≈ distinct start cells; with
     * w at the p75 interval length most intervals span ≤ 2 cells, so
     * start cells undercount occupied cells by ≤ 2× — an order-of-
     * magnitude guard, not a cost model. */
-  private[graft] def cellDensity(intervals: DataFrame, lo: String,
-      hi: String, w: Long, keys: Seq[String] = Nil): Double = {
+  private[graft] def cellStats(intervals: DataFrame, lo: String,
+      hi: String, w: Long, keys: Seq[String] = Nil): (Double, Double) = {
     val wc = lit(w)
     val s = floorDiv(col(lo), wc)
     val e = floorDiv(col(hi), wc)
+    val len = col(hi).cast("long") - col(lo).cast("long") + lit(1L)
     val cellKey = if (keys.isEmpty) s else struct(keys.map(col) :+ s: _*)
     val row = intervals
       .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
       .agg(coalesce(sum(e - s + lit(1L)), lit(0L)).as("replicated"),
-        approx_count_distinct(cellKey).as("cells"))
+        approx_count_distinct(cellKey).as("cells"),
+        avg(len).as("avgLen"))
       .head()
     val replicated = row.getLong(0)
     val cells = math.max(1L, row.getLong(1))
-    replicated.toDouble / cells
+    val avgLen = if (row.isNullAt(2)) 1.0 else math.max(1.0, row.getDouble(2))
+    (replicated.toDouble / cells, 1.0 + w / avgLen)
   }
+
+  private[graft] def cellDensity(intervals: DataFrame, lo: String,
+      hi: String, w: Long, keys: Seq[String] = Nil): Double =
+    cellStats(intervals, lo, hi, w, keys)._1
 
   /** Upper-quartile interval length (closed-interval cell count,
     * `hi-lo+1`) as the data-driven bin width. The cost model wants a

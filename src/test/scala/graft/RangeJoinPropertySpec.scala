@@ -148,13 +148,15 @@ class RangeJoinPropertySpec extends SparkTestBase {
     }
   }
 
-  test("width-free variant detects the interval-dense regime and the " +
-      "sweep route returns exact rows (round-7 verdict density guard)") {
+  test("density guard: dense-but-output-dominated stays on the hash " +
+      "path, waste regime is detected, auto width provably bounds " +
+      "waste <= 5 (round-7 verdict density guard)") {
     val rnd = new Random(260814L)
-    // High-density geometry: 4000 near-identical intervals stacked on
-    // one short span — every occupied cell holds ~thousands of
-    // intervals, the shape where the hash path examines points ×
-    // intervals pairs per cell.
+    // High-density OUTPUT-DOMINATED geometry: 4000 near-identical
+    // intervals stacked on one short span. Dense cells, but nearly
+    // every examined pair matches — the measured regime where the
+    // hash path beats the sweep (BASELINE §12), so routing must NOT
+    // flip.
     val ivs = (1 to 4000).map { i =>
       val lo = rnd.nextInt(40).toLong
       (i.toLong, Some(lo), Some(lo + 20L + rnd.nextInt(10)))
@@ -162,24 +164,45 @@ class RangeJoinPropertySpec extends SparkTestBase {
     val pts = (1 to 300).map(i =>
       (i.toLong, Some(rnd.nextInt(120).toLong))).toDF("pid", "p")
     val w = RangeJoin.autoBinWidth(ivs, "lo", "hi")
-    assert(RangeJoin.cellDensity(ivs, "lo", "hi", w) >
-      RangeJoin.DenseCellThreshold,
-      "geometry must sit above the dense-cell threshold")
-    // The width-free overload (which routes to the sweep here) is
-    // still exactly the oracle.
+    val (density, waste) = RangeJoin.cellStats(ivs, "lo", "hi", w)
+    assert(density > RangeJoin.DenseCellThreshold,
+      s"geometry must sit above the dense-cell threshold, got $density")
+    assert(waste < RangeJoin.WasteThreshold,
+      s"stacked intervals are output-dominated, got waste $waste")
+    // The width-free overload is still exactly the oracle.
     val oracle = rows(pts.crossJoin(ivs)
       .filter($"p" >= $"lo" && $"p" <= $"hi").select("pid", "iid"))
     val got = rows(RangeJoin.pointInInterval(pts, ivs, "p", "lo", "hi",
       keys = Nil, maxBinsPerInterval = 4096).select("pid", "iid"))
     assert(got == oracle, s"dense-regime width-free join diverged (w=$w)")
-    // And a sparse geometry stays comfortably below the threshold.
-    val sparse = (1 to 200).map { i =>
+    // RESIDUAL-WASTE geometry: point-like intervals forced into wide
+    // cells (only reachable with an explicit width — the guard's
+    // protection target). Waste estimate crosses the threshold and the
+    // sweep is the right plan; its exactness is pinned above.
+    val pointy = (1 to 4000).map { i =>
       val lo = rnd.nextInt(100000).toLong
-      (i.toLong, Some(lo), Some(lo + rnd.nextInt(20).toLong))
+      (i.toLong, Some(lo), Some(lo + 1L))
     }.toDF("iid", "lo", "hi")
-    val ws = RangeJoin.autoBinWidth(sparse, "lo", "hi")
-    assert(RangeJoin.cellDensity(sparse, "lo", "hi", ws) <
-      RangeJoin.DenseCellThreshold)
+    val (_, wasteP) = RangeJoin.cellStats(pointy, "lo", "hi", 1000L)
+    assert(wasteP > RangeJoin.WasteThreshold, s"waste $wasteP")
+    // Auto-width waste bound (the p75 theorem: >= 25% of intervals have
+    // len >= w, so waste = 1 + nI*w/sum(len) <= 5): adversarial length
+    // mixes all stay under the sweep threshold at the derived width.
+    val mixes: Seq[Int => Long] = Seq(
+      _ => 0L,
+      i => if (i % 4 == 0) 2000L else 1L, // bimodal at the p75 knee
+      i => if (i % 50 == 0) 50000L else rnd.nextInt(10).toLong,
+      _ => rnd.nextInt(2000).toLong)
+    for ((lenOf, mi) <- mixes.zipWithIndex) {
+      val mix = (1 to 400).map { i =>
+        val lo = rnd.nextInt(100000).toLong
+        (i.toLong, Some(lo), Some(lo + lenOf(i)))
+      }.toDF("iid", "lo", "hi")
+      val wm = RangeJoin.autoBinWidth(mix, "lo", "hi")
+      val (_, wasteM) = RangeJoin.cellStats(mix, "lo", "hi", wm)
+      assert(wasteM <= 5.0 + 1e-9,
+        s"mix $mi: auto width $wm gives waste $wasteM > 5")
+    }
   }
 
   test("inputs carrying a __bin column are rejected up front") {

@@ -22,6 +22,41 @@ class SkewSpec extends SparkTestBase {
   private lazy val small =
     (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
 
+  test("AQE skew-join split fires on a hot-key shuffle join in local " +
+      "mode (cluster-story: the runtime mitigation the operators lean on)") {
+    // The Skew/RangeJoin scaladocs delegate hot-PROBE-partition
+    // handling to AQE's skew-join splitter; this pins that the
+    // mechanism actually engages on this engine's plans rather than
+    // existing only in documentation. Thresholds are lowered so the
+    // ~90%-hot-key exchange qualifies at test scale; the assertions
+    // are on the FINAL adaptive plan.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val bigger = spark.range(0, 400000).select(
+        when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id") % 100)
+          .as("k"),
+        concat(lit("payload_padding_padding_"), col("id")).as("payload"))
+      val j = bigger.join(small, "k")
+      // Execute THIS dataframe (count() would plan a separate query
+      // execution and leave j's adaptive plan unexecuted), then read
+      // the final adaptive plan. Every k has a dim row.
+      assert(j.collect().length == 400000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("isSkew=true") ||
+        plan.contains("skewed"),
+        "AQE skew-join split did not engage:\n" + plan.take(3000))
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    }
+  }
+
   test("saltedJoin ≡ plain join on a 90%-hot-key dataset") {
     val plain = big.join(small, "k")
       .select("k", "payload", "name").collect().toSet
