@@ -267,6 +267,115 @@ object TextKernel {
     }
     sig
   }
+
+  /** Byte offsets of CHARACTER starts in `s` (UTF-8 lead bytes), plus a
+    * numBytes sentinel — so character i spans bytes [cs(i), cs(i+1)).
+    * Character positions (not byte positions) are the contract the
+    * span-dedup oracle can express: DuckDB/Spark `substring` both count
+    * characters, so parity holds on any input, not just ASCII. */
+  private def charStarts(s: UTF8String): Array[Int] = {
+    val n = s.numChars()
+    val cs = new Array[Int](n + 1)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var i = 0
+    var c = 0
+    while (c < n) {
+      cs(c) = i
+      i += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + i))
+      c += 1
+    }
+    cs(n) = s.numBytes
+    cs
+  }
+
+  /** All gram hashes of `s` under a k-CHARACTER sliding window, stride
+    * 1: hashes(i) = xxhash64 of the UTF-8 bytes of characters
+    * [i, i+k). Shared by [[gramPosHashes]] and [[winnowPosHashes]]. */
+  private def slideHashes(s: UTF8String, k: Int): Array[Long] = {
+    val cs = charStarts(s)
+    val n = cs.length - 1
+    val m = n - k + 1
+    if (m <= 0) return Array.emptyLongArray
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      hs(i) = XXH64.hashUnsafeBytes(base, off + cs(i), cs(i + k) - cs(i), 42L)
+      i += 1
+    }
+    hs
+  }
+
+  /** `gram_pos_hashes(text, k)`: the hash of EVERY k-character window
+    * of `s` with its 1-based character start position — the positional
+    * gram table of exact substring-span dedup (Lee et al. 2021 detect
+    * duplicated spans via suffix arrays; positional k-grams are the
+    * shuffle-friendly equivalent: every duplicated span of length >= k
+    * contains an identical k-gram at every start offset, so grouping on
+    * the hash finds exactly the spans' gram cover). One fused byte
+    * pass; empty below k characters. */
+  def gramPosHashes(s: UTF8String, k: Int): ArrayData = {
+    val hs = slideHashes(s, k)
+    val out = new Array[Any](hs.length)
+    var i = 0
+    while (i < hs.length) {
+      out(i) = new GenericInternalRow(Array[Any](hs(i), i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `winnow_pos_hashes(text, k, w)`: robust winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — the MOSS fingerprinting scheme)
+    * over the k-character gram hash sequence: from every window of `w`
+    * consecutive gram hashes select the minimum (rightmost occurrence
+    * on ties), recording each selected (hash, 1-based char pos) once.
+    *
+    * Guarantee (the paper's Theorem 1 shape): any substring shared by
+    * two documents of length >= w + k - 1 characters contributes >= w
+    * consecutive equal gram hashes to both, some window falls entirely
+    * inside the run in each, and the same minimum is selected — the
+    * fingerprint SETS intersect. Expected density is 2/(w+1), so the
+    * exploded table shrinks ~(w+1)/2 x vs [[gramPosHashes]] — the
+    * 100 TB path for span-level dedup, where the exact table's
+    * ~20 bytes/character shuffle is the binding cost.
+    *
+    * Monotonic-deque implementation: O(m) total, pops on `>=` so a
+    * later equal minimum evicts an earlier one (rightmost tie-break —
+    * required for the position-robustness property the paper names the
+    * scheme after). */
+  def winnowPosHashes(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val hs = slideHashes(s, k)
+    val m = hs.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val win = math.min(w, m)
+    val deque = new Array[Int](m) // indices, hashes strictly increasing
+    var head = 0
+    var tail = 0 // exclusive
+    val sel = new Array[Int](m)
+    var nSel = 0
+    var last = -1
+    var i = 0
+    while (i < m) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - win) head += 1
+      if (i >= win - 1 && deque(head) != last) {
+        last = deque(head)
+        sel(nSel) = last; nSel += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](nSel)
+    i = 0
+    while (i < nSel) {
+      out(i) = new GenericInternalRow(Array[Any](hs(sel(i)), sel(i) + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait StringKernelExpression extends UnaryExpression {
@@ -367,6 +476,58 @@ case class GramSlicesText(child: Expression, k: Int)
       newChild: Expression): GramSlicesText = copy(child = newChild)
 }
 
+/** `gram_pos_hashes(text, k)` → array<struct<h:bigint, pos:int>>: hash
+  * of every k-character window with its 1-based character position —
+  * the positional-gram table of exact span-level dedup. */
+case class GramPosHashes(child: Expression, k: Int)
+    extends StringKernelExpression {
+  require(k >= 1, s"gram window must be >= 1, got $k")
+
+  override def dataType: DataType = GramPosHashes.schema
+
+  override def prettyName: String = "gram_pos_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.gramPosHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernel.gramPosHashes($a, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramPosHashes = copy(child = newChild)
+}
+
+object GramPosHashes {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("pos", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
+/** `winnow_pos_hashes(text, k, w)` → array<struct<h:bigint, pos:int>>:
+  * robust-winnowed fingerprints (window w over the k-char gram hashes). */
+case class WinnowPosHashes(child: Expression, k: Int, w: Int)
+    extends StringKernelExpression {
+  require(k >= 1 && w >= 1, s"window sizes must be >= 1, got k=$k w=$w")
+
+  override def dataType: DataType = GramPosHashes.schema
+
+  override def prettyName: String = "winnow_pos_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.winnowPosHashes(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernel.winnowPosHashes($a, $k, $w)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowPosHashes = copy(child = newChild)
+}
+
 /** `token_tf_pairs(text)` → array<struct<token:string, tf:int>>:
   * per-document token frequencies, one fused byte pass. */
 case class TokenTfPairs(child: Expression) extends StringKernelExpression {
@@ -431,6 +592,20 @@ object TextFunctions {
         }
         ShingleHashesKText(exprs.head, k)
       }, "built-in")
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal int window, got $other")
+    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_pos_hashes", exprs =>
+        GramPosHashes(exprs.head, litInt(exprs(1), "gram_pos_hashes")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_pos_hashes", exprs =>
+        WinnowPosHashes(exprs.head, litInt(exprs(1), "winnow_pos_hashes"),
+          litInt(exprs(2), "winnow_pos_hashes")),
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_slices_text", exprs => {
         val k = exprs(1) match {
@@ -470,6 +645,19 @@ object TextFunctions {
   def shingleKText(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("shinglek_hashes_text", text, lit(k))
+  }
+
+  /** (hash, 1-based char pos) of every k-character window of `text`. */
+  def gramPosHashes(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("gram_pos_hashes", text, lit(k))
+  }
+
+  /** Robust-winnowed (hash, pos) fingerprints of `text`. */
+  def winnowPosHashes(spark: SparkSession, text: Column, k: Int,
+      w: Int): Column = {
+    register(spark)
+    call_function("winnow_pos_hashes", text, lit(k), lit(w))
   }
 
   /** All word-k-gram strings of `text` (non-distinct, document order),

@@ -332,6 +332,88 @@ object DedupQueries {
       .orderBy("v1", "v2")
   }
 
+  /** Substring-SPAN exact dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): find every maximal
+    * span of >= 64 characters whose content occurs more than once in
+    * the corpus (cross-document or within-document) — the span-level
+    * complement of the whole/near-document rows above, and the
+    * operator that catches boilerplate headers, license blocks and
+    * repeated paragraphs that document-level dedup cannot see.
+    *
+    * Positional k-grams replace the paper's suffix array with a
+    * shuffle-friendly equivalent: a duplicated span of length >= k
+    * contains an identical k-gram at EVERY start offset, so (1) hash
+    * every k-char window with its position (fused byte kernel, one
+    * pass, no substring materialization), (2) keep positions whose
+    * gram hash occurs more than once — a window count over the hash,
+    * ONE exchange, no self-join — and (3) merge surviving positions
+    * that overlap (gap <= k) into maximal spans per document
+    * (gaps-and-islands over doc_id). Output (doc_id, span_start,
+    * span_end) with 1-based char start and exclusive end.
+    *
+    * Scale: the gram table is ~20 bytes per corpus character — exact
+    * but shuffle-heavy at 100 TB; [[qSpanDedupWinnow]] below is the
+    * winnowed scale path. Everything here is codegen'd; the window
+    * partitions are tiny (per-hash, per-doc). */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 64
+    val grams = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .gramPosHashes(s, col("text"), L)).as("g"))
+      .select(col("doc_id"), col("g.h").as("h"), col("g.pos").as("pos"))
+    val hits = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("c") > 1)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("newgrp",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= L, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("grp", sum("newgrp").over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + L).cast("long").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** Winnowed span-dedup candidates — the 100 TB path for
+    * [[qSpanDedup]]'s gram table. Robust winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03) selects ~2/(w+1) of the gram
+    * hashes by local minima, with the guarantee that any shared span
+    * of >= w + k - 1 = 95 characters still shares a fingerprint — so
+    * the exploded table shrinks ~16x and the join keys on selected
+    * fingerprints only. Output: candidate document pairs sharing a
+    * fingerprint (verify with the exact kernel inside each pair at
+    * production scale). Fingerprints shared by > 64 documents are
+    * dropped as boilerplate (the LSH hot-shingle guard idiom —
+    * quadratic pair fan-out on universal boilerplate is never the
+    * right output of a candidate generator). Declared rows-only for
+    * the driver: the selection depends on the engine's hash ORDER,
+    * which no portable SQL reproduces; the guarantee and density are
+    * suite-pinned instead (TextKernelsSpec). */
+  def qSpanDedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .winnowPosHashes(s, col("text"), 64, 32)).as("f"))
+      .select(col("doc_id"), col("f.h").as("h"))
+      .distinct()
+    val kept = fps
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("nd") <= 64)
+      .select("doc_id", "h")
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
@@ -339,6 +421,8 @@ object DedupQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_span_dedup_winnow" -> (qSpanDedupWinnow _),
   )
 
   /** Shared DuckDB shingle CTE (word 3-grams, distinct, per doc). */
@@ -377,6 +461,39 @@ object DedupQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY v1, v2""".stripMargin,
+    // Same definition, SQL-first: positions via a correlated
+    // generate_series list (this DuckDB rejects lateral table-function
+    // correlation), dup detection on hash(substring) — hash equality
+    // stands in for substring equality on both engines, and the OUTPUT
+    // carries only positions, so the engines' different hash functions
+    // cannot diverge the result (2^-64 collisions aside).
+    "q_span_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 63)) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, pos, hash(substring(text, CAST(pos AS INT), 64)) AS h
+        |  FROM p
+        |), dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+        |hits AS (SELECT g.doc_id, g.pos FROM g
+        |         WHERE g.h IN (SELECT h FROM dup)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER
+        |                (PARTITION BY doc_id ORDER BY pos) <= 64
+        |              THEN 0 ELSE 1 END AS newgrp
+        |  FROM hits
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+        |                           ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM isl
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 64 AS BIGINT) AS span_end
+        |FROM grp GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q_dedup_incremental" ->
       s"""$shingleCte,
         |batch AS (SELECT doc_id, md5(text) AS fp FROM documents

@@ -142,6 +142,93 @@ class TextKernelsSpec extends SparkTestBase {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("gram_pos_hashes matches xxhash64(substring) at every position") {
+    // Character positions, byte hashing: gram i's hash must equal
+    // Spark's own xxhash64 (seed 42) of the k-char substring — on
+    // multi-byte UTF-8 too, where char windows map to variable byte
+    // spans. This is the exact parity the span-dedup oracle relies on.
+    for (k <- Seq(2, 5, 64)) {
+      val rows = df.filter(length(col("text")) >= k).select(
+        TextFunctions.gramPosHashes(spark, col("text"), k).as("g"),
+        col("text")).collect()
+      rows.foreach { r =>
+        val text = r.getString(1)
+        val got = r.getSeq[Row](0).map(x => (x.getLong(0), x.getInt(1)))
+        assert(got.map(_._2) == (1 to text.length - k + 1),
+          s"positions for k=$k '$text'")
+      }
+      val cmp = df.filter(length(col("text")) >= k)
+        .select(explode(
+          TextFunctions.gramPosHashes(spark, col("text"), k)).as("g"),
+          col("text"))
+        .select(col("g.h").as("h"),
+          xxhash64(col("text").substr(col("g.pos"), lit(k))).as("ref"))
+        .filter(col("h") =!= col("ref"))
+      assert(cmp.count() == 0, s"hash mismatch at k=$k")
+    }
+  }
+
+  test("winnow_pos_hashes: subset, density, and the shared-span guarantee") {
+    val (k, w) = (8, 4)
+    // (a) selections are a subset of the positional grams.
+    val both = df.filter(length(col("text")) >= k).select(
+      TextFunctions.gramPosHashes(spark, col("text"), k).as("g"),
+      TextFunctions.winnowPosHashes(spark, col("text"), k, w).as("f"))
+      .collect()
+    both.foreach { r =>
+      val g = r.getSeq[Row](0).map(x => (x.getLong(0), x.getInt(1))).toSet
+      val f = r.getSeq[Row](1).map(x => (x.getLong(0), x.getInt(1)))
+      assert(f.forall(g.contains), "winnow selected a non-gram")
+      assert(f.map(_._2) == f.map(_._2).sorted.distinct, "unsorted/dup pos")
+      // (b) density: one selection per window START is the hard upper
+      // bound (m - w + 1 windows); expected ~2/(w+1) of grams.
+      val m = r.getSeq[Row](0).size
+      assert(f.size <= math.max(1, m - w + 1))
+    }
+    // (c) guarantee: a shared run of >= w + k - 1 chars must share a
+    // fingerprint HASH between the two documents containing it.
+    val rng2 = new scala.util.Random(7L)
+    def rand(n: Int) = (0 until n)
+      .map(_ => alphabet(rng2.nextInt(alphabet.length))).mkString
+    val shared = rand(w + k - 1) // 11 chars: minimal guaranteed span
+    import spark.implicits._
+    val planted = Seq.tabulate(40) { i =>
+      (i.toLong, rand(rng2.nextInt(30)) + shared + rand(rng2.nextInt(30)))
+    }.toDF("doc_id", "text")
+    val fp = planted.select(col("doc_id"),
+      explode(TextFunctions.winnowPosHashes(spark, col("text"), k, w))
+        .as("f")).select(col("doc_id"), col("f.h").as("h")).distinct()
+    val pairs = fp.as("a").join(fp.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select("a.doc_id", "b.doc_id").distinct().count()
+    assert(pairs == 40L * 39 / 2,
+      s"guarantee violated: only $pairs of ${40 * 39 / 2} planted pairs")
+  }
+
+  test("span dedup: planted duplicated span is found exactly; winnow covers it") {
+    import spark.implicits._
+    val rng3 = new scala.util.Random(11L)
+    def rand(n: Int) = (0 until n)
+      .map(_ => ('a' + rng3.nextInt(26)).toChar).mkString
+    val span = rand(100) // >= 64 (exact) and >= 95 (winnow guarantee)
+    val docsDf = (Seq(
+      (1L, rand(50) + span + rand(40)), // span at offset 51
+      (2L, span + rand(80)), //            span at offset 1
+      (3L, rand(200))) ++ // clean doc — must produce NO span
+      Seq.tabulate(20)(i => (10L + i, rand(150)))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("spandedup").toString
+    docsDf.write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val spans = graft.queries.DedupQueries.qSpanDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Exact: each planted copy is one maximal span at its true offset.
+    assert(spans.toSet == Set((1L, 51L, 151L), (2L, 1L, 101L)),
+      spans.mkString(", "))
+    val cand = graft.queries.DedupQueries.qSpanDedupWinnow(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cand.contains((1L, 2L)), cand.mkString(", "))
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // Over the parquet-backed table: a local relation would be
     // constant-folded into a LocalTableScan with no codegen at all.
