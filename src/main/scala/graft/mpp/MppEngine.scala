@@ -560,6 +560,64 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** OPTIMIZE: compact each bucket's accumulated small files into the
+    * fewest the size budget allows — the maintenance statement every
+    * append-grown table needs (each INSERT adds a file per bucket;
+    * ingest at 100 TB makes thousands, and per-file costs — open,
+    * footer parse, zone-map entry, scheduler bookkeeping — grow with
+    * file COUNT, not data size). Rides the same staging + atomic
+    * per-bucket swap as UPDATE/DELETE/MERGE, so readers never see a
+    * half-compacted bucket, and like any COW rewrite it renumbers the
+    * rowid pseudo-column.
+    *
+    * `sortBy` additionally clusters rows within each bucket before the
+    * write (ZORDER-lite): parquet row groups then hold tight ranges of
+    * the sort key, so footer statistics prune row groups inside the
+    * compacted file — the within-file complement of
+    * [[graft.sources.ZoneMaps]]' per-file pruning. With no `sortBy`,
+    * only buckets holding more than one file are rewritten (an
+    * already-compact table is a no-op); with it, every non-empty
+    * bucket is, since clustering is the point.
+    *
+    * Session conf `graft.optimize.maxRecordsPerFile` (> 0) caps rows
+    * per output file — at scale one file per bucket is as wrong as a
+    * thousand; buckets stay the parallel unit and files split on the
+    * budget. Returns (buckets compacted, files before).
+    */
+  def optimizeTable(name: String,
+      sortBy: Seq[String] = Nil): (Int, Int) = {
+    val t = info(name)
+    val schema = userSchema(t)
+    sortBy.foreach(c => require(
+      schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"OPTIMIZE ${t.name}: no such SORT BY column: $c"))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dataPath(t.name))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return (0, 0)
+    val counts: Seq[(Int, Int)] = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(BucketCol + "="))
+      .map { st =>
+        val b = st.getPath.getName.drop(BucketCol.length + 1).toInt
+        b -> fs.listStatus(st.getPath).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+    val affected = counts.collect {
+      case (b, n) if n > 1 || (sortBy.nonEmpty && n > 0) => b
+    }.toSet
+    if (affected.isEmpty) return (0, 0)
+    val work =
+      if (affected.size == t.buckets) readWithBucket(t)
+      else readWithBucket(t)
+        .filter(col(BucketCol).isin(affected.toSeq: _*))
+    stageAndSwap(t, affected, work, sortBy)
+    (affected.size,
+      counts.collect { case (b, n) if affected(b) => n }.sum)
+  }
+
   /** Shared COW machinery: statically prune buckets by the WHERE clause,
     * then MATCH-prune — one cheap aggregate finds the buckets that
     * actually contain affected rows (a scan is far cheaper than the
@@ -610,7 +668,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * bucket) under a leased staging dir, then swap each affected bucket
     * directory in with move-aside rollback safety. */
   private def stageAndSwap(t: TableInfo, affected: Set[Int],
-      out: DataFrame): Unit = {
+      out: DataFrame, sortBy: Seq[String] = Nil): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(conf)
@@ -635,9 +693,20 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     heartbeat.setDaemon(true)
     heartbeat.start()
     try {
-      out.repartition(affected.size, col(BucketCol))
-        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-        .parquet(staging)
+      val shaped0 = out.repartition(affected.size, col(BucketCol))
+      // OPTIMIZE … SORT BY: cluster within the bucket (bucket col first
+      // keeps the dynamic-partition writer's per-dir grouping intact).
+      val shaped =
+        if (sortBy.isEmpty) shaped0
+        else shaped0.sortWithinPartitions(
+          (BucketCol +: sortBy).map(col): _*)
+      val maxPerFile =
+        spark.conf.get("graft.optimize.maxRecordsPerFile", "0").toLong
+      val writer = shaped.write.mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol)
+      (if (maxPerFile > 0)
+        writer.option("maxRecordsPerFile", maxPerFile)
+      else writer).parquet(staging)
     } finally {
       heartbeat.interrupt()
     }
@@ -1217,6 +1286,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       case DropRe(name) if catalog.state.liveTable(localKey(name)).isDefined =>
         dropTable(name)
         Seq(s"DROP TABLE $name").toDF("result")
+      case OptimizeRe(name, sortCols) =>
+        val cols = Option(sortCols).toSeq
+          .flatMap(splitTopLevel(_))
+        val (nb, nf) = optimizeTable(name, cols)
+        Seq((nb.toLong, nf.toLong))
+          .toDF("buckets_compacted", "files_before")
       case CreateSchemaRe(ine, name) =>
         createSchema(name, ifNotExists = ine != null)
         Seq(s"CREATE SCHEMA $name").toDF("result")
@@ -1468,6 +1543,8 @@ object MppEngine {
     """(?is)^DELETE\s+FROM\s+((?:\w+\.){0,2}\w+)(?:\s+WHERE\s+(.*))?$""".r
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)$""".r
+  private val OptimizeRe =
+    """(?is)^OPTIMIZE\s+((?:\w+\.){0,2}\w+)(?:\s+SORT\s+BY\s*\(([^)]*)\))?$""".r
   /** MERGE INTO t [AS a] USING (query)|table [AS] s ON x.c = y.c WHEN …
     * (clause tail parsed by [[MppEngine.parseMergeClauses]]). */
   private[mpp] val MergeRe =

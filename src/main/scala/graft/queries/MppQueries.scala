@@ -56,6 +56,16 @@ object MppQueries {
           e.createDistributedTable(t, ord.schema.toDDL, "o_orderkey", 8)
           e.insertInto(t, ord)
         }
+      // OPTIMIZE target: deliberately append-grown (three fragment
+      // inserts → three files per bucket), the layout the statement
+      // exists to repair.
+      ensure("orders_opt") {
+        e.createDistributedTable("orders_opt", ord.schema.toDDL,
+          "o_orderkey", 8)
+        for (m <- 0 until 3)
+          e.insertInto("orders_opt",
+            ord.filter(pmod(col("o_orderkey"), lit(3)) === m))
+      }
       // DDL-dialect DEFAULT resolution exercised once per environment:
       // partial-column INSERT…SELECT fills c_tier/c_note from defaults
       // (reference default resolution, mpp_physical_insert.cpp:150-181).
@@ -266,6 +276,23 @@ object MppQueries {
   def qMppDefaults(s: SparkSession, dir: String): DataFrame =
     sharedEngine(s, dir).table("cust_d").orderBy("c_custkey")
 
+  /** OPTIMIZE through the dialect, then verify by aggregate: every
+    * pass re-clusters each bucket by o_custkey (SORT BY forces the
+    * rewrite — real staging write + atomic swap per pass, the
+    * convergent-DML idiom), so the timed cost is genuine compaction
+    * and the result must still match the plain-parquet oracle row for
+    * row. The warm()-built table is append-grown (3 fragment inserts →
+    * 3 files/bucket) until the first pass compacts it. */
+  def qMppOptimize(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    e.sql("OPTIMIZE orders_opt SORT BY (o_custkey)")
+    e.table("orders_opt")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice") / 1000000, 4).as("total_m"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mpp_scan_agg" -> (qMppScanAgg _),
     "q_mpp_prune_eq" -> (qMppPruneEq _),
@@ -276,6 +303,7 @@ object MppQueries {
     "q_mpp_merge" -> (qMppMerge _),
     "q_mpp_merge_full" -> (qMppMergeFull _),
     "q_mpp_defaults" -> (qMppDefaults _),
+    "q_mpp_optimize" -> (qMppOptimize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -337,5 +365,9 @@ object MppQueries {
     "q_mpp_defaults" ->
       """SELECT c_custkey, c_name, 7 AS c_tier, 'none' AS c_note
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_mpp_optimize" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        | ROUND(SUM(o_totalprice) / 1000000, 4) AS total_m
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

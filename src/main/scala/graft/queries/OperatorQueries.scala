@@ -243,6 +243,22 @@ object OperatorQueries {
       .orderBy("user_id", "click_ts", "purchase_ts")
   }
 
+  /** Batch replay of the OUTER streaming attribution join
+    * ([[graft.streaming.EventStreams.attributeOuter]]): q_attribution
+    * plus the unattributed purchases as NULL-click rows — in the
+    * stream these emit only after the click watermark passes the
+    * candidate window; in batch the left-outer join is the same
+    * operator with the wait elided, so the DuckDB LEFT JOIN oracle
+    * checks exactly what the stream computes. */
+  def qAttributionOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .withColumn("ts", date_trunc("second", col("ts")))
+    graft.streaming.EventStreams.attributeOuter(ev, ev)
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        round(col("amount"), 4).as("amount"))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
   /** Batch replay of the streaming dedup
     * ([[graft.streaming.EventStreams.dedupStreamBatch]], the twin of
     * `dropDuplicatesWithinWatermark("event_id")`, which Spark rejects
@@ -319,6 +335,7 @@ object OperatorQueries {
     "q_skew_salted_agg" -> (qSkewSaltedAgg _),
     "q_sessionize" -> (qSessionize _),
     "q_attribution" -> (qAttribution _),
+    "q_attribution_outer" -> (qAttributionOuter _),
     "q_dedup_stream" -> (qDedupStream _),
     "q_enrich_stream" -> (qEnrichStream _),
     "q_top_talkers" -> (qTopTalkers _),
@@ -417,6 +434,21 @@ object OperatorQueries {
         | AND p.purchase_ts >= c.click_ts
         | AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
         |ORDER BY c.user_id, c.click_ts, p.purchase_ts""".stripMargin,
+    "q_attribution_outer" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t
+        |           FROM events),
+        |c AS (SELECT user_id AS c_user, t AS click_ts FROM e
+        |      WHERE event_type = 'click'),
+        |p AS (SELECT user_id, t AS purchase_ts,
+        |             value AS amount FROM e
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, c.click_ts, p.purchase_ts,
+        |       ROUND(p.amount, 4) AS amount
+        |FROM p LEFT JOIN c ON p.user_id = c.c_user
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |ORDER BY p.user_id, p.purchase_ts, c.click_ts""".stripMargin,
     "q_dedup_stream" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             date_trunc('second', CAST(ts AS TIMESTAMP)) AS t,

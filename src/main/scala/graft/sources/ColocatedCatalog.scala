@@ -349,6 +349,11 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
   /** Bucket set statically implied by the pushed filters; None = all. */
   private var prunedBuckets: Option[Set[Int]] = None
 
+  /** Full conjunct list as pushed — evaluated against per-file zone
+    * maps at planning time ([[ZoneMaps]]). */
+  private var pushedConjuncts: Seq[
+    org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
   /** Schema pruning asked for the `rowid` metadata column: remember the
     * exact requested schema (readSchema must echo it) and prune the
     * delegate to the DATA fields only. */
@@ -373,6 +378,7 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     val post = inner.pushFilters(filters)
+    pushedConjuncts = filters
     // Pruning analysis runs over the full incoming conjunct list (not just
     // the parquet-pushable subset): bucketsFor only derives an implied
     // bucket set, so a filter the scan cannot push is still safe to prune by.
@@ -393,8 +399,12 @@ final class ColocatedScanBuilder(spark: SparkSession, t: TableInfo,
         .map { case (b, f, base) => (b, f) -> base }.toMap
       new RowidScan(inner.build(), out, bases, prunedBuckets)
     case None =>
+      val zoneConjuncts =
+        if (spark.conf.get(ZoneMaps.EnabledConf, "true").toBoolean)
+          pushedConjuncts
+        else Nil
       new ColocatedScan(inner.build(), t.partitionColumn, t.buckets,
-        prunedBuckets)
+        prunedBuckets, zoneConjuncts, spark.sessionState.newHadoopConf())
   }
 }
 
@@ -504,7 +514,11 @@ object ColocatedFileIndex {
   * plan as broadcast — which is exactly the shape whose reused
   * broadcast feeds the DPP subquery. */
 final class ColocatedScan(delegate: FileScan, partCol: String,
-    buckets: Int, pruned: Option[Set[Int]]) extends Scan with Batch
+    buckets: Int, pruned: Option[Set[Int]],
+    zoneConjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+      = Nil,
+    hadoopConf: org.apache.hadoop.conf.Configuration = null)
+    extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
 
@@ -524,7 +538,9 @@ final class ColocatedScan(delegate: FileScan, partCol: String,
 
   override def description(): String =
     s"ColocatedScan(bucket($buckets, $partCol), " +
-      s"shards ${emitted.size}/$buckets, ${delegate.description()})"
+      s"shards ${emitted.size}/$buckets, " +
+      (if (zoneConjuncts.nonEmpty) "zonemap on, " else "") +
+      s"${delegate.description()})"
 
   override def toBatch: Batch = this
 
@@ -580,12 +596,33 @@ final class ColocatedScan(delegate: FileScan, partCol: String,
   private val BucketDirRe =
     (".*/" + BucketPruning.BucketCol + "=(\\d+)/.*").r
 
+  /** Spec hooks: (files kept, files total) after the last zone-map
+    * pass; None until [[planInputPartitions]] has run with conjuncts. */
+  @volatile private var zoneCounts: Option[(Int, Int)] = None
+  def zonePrunedFiles: Option[(Int, Int)] = zoneCounts
+
+  /** Planning-time file elimination by footer zone maps: keep a split
+    * only if every pushed conjunct might match its file ([[ZoneMaps]]
+    * errs to true on anything it cannot bound). Distinct-path counting
+    * because one file can arrive as several splits. */
+  private def zoneFilter(
+      files: Array[PartitionedFile]): Array[PartitionedFile] = {
+    if (zoneConjuncts.isEmpty || hadoopConf == null) return files
+    val verdict = files.map(_.filePath.toString).distinct.map { p =>
+      val f = files.find(_.filePath.toString == p).get
+      p -> zoneConjuncts.forall(c => ZoneMaps.mightMatch(c,
+        ZoneMaps.zonesFor(hadoopConf, p, f.modificationTime, f.fileSize)))
+    }.toMap
+    zoneCounts = Some((verdict.count(_._2), verdict.size))
+    files.filter(f => verdict(f.filePath.toString))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = delegate.toBatch.planInputPartitions().flatMap {
+    val files = zoneFilter(delegate.toBatch.planInputPartitions().flatMap {
       case fp: FilePartition => fp.files
       case other => throw new IllegalStateException(
         s"unexpected partition from parquet scan: $other")
-    }
+    })
     val byBucket: Map[Int, Array[PartitionedFile]] =
       files.groupBy(f => f.filePath.toString match {
         case BucketDirRe(b) => b.toInt

@@ -176,6 +176,36 @@ object EventStreams {
         col("amount"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: [[attribute]] plus the
+    * rows it drops — purchases with NO qualifying click (organic
+    * conversions, the rows a marketing-spend report is actually
+    * about). In streaming, the NULL-extended row for an unmatched
+    * purchase can only be emitted once the CLICK side's watermark has
+    * passed the end of its candidate window (a qualifying click can
+    * arrive any time before that); Spark holds the purchase in the
+    * join state store until then and emits exactly one row either
+    * way. Same bounded-state argument as [[attribute]]: both sides
+    * are watermarked and the condition bounds event-time distance, so
+    * buffered state expires — outer-ness changes emission timing, not
+    * state size. */
+  def attributeOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", window)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", window)
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("amount"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window"),
+      "left_outer")
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("amount"))
+  }
+
   /** Per-window heavy hitters over the stream ("top talkers" — the
     * rate-limit / abuse-detection shape): for each tumbling window, the
     * [[graft.functions.FreqSketch]] Misra-Gries candidates over

@@ -73,6 +73,51 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("LEFT-OUTER stream-stream join emits unattributed purchases " +
+      "after the click watermark passes") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val df = mem.toDF()
+    val q = EventStreams.attributeOuter(df, df)
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 0.0),
+        Event(2, ts(10), 1, "purchase", 9.99), // attributed to click 1
+        Event(5, ts(10), 3, "purchase", 7.0))  // no click for user 3
+      runBatches(q)
+      // Before the watermark passes, user 3's purchase is HELD (a
+      // qualifying click could still arrive) — only the matched row
+      // may have emitted.
+      val early = spark.table("attrib_outer")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(!early.contains(3L), s"premature outer emission: $early")
+      // Advance BOTH sides' watermarks: each side's event-time stats
+      // come from rows that survive ITS pre-watermark filter, and the
+      // global watermark is the min across nodes — a late click alone
+      // leaves the purchase-side watermark (hence the global one) at
+      // the epoch and the outer row held forever. Users 8/9 match
+      // nothing, and user 8's own purchases stay held (watermark 3200s
+      // < their 5000s timestamps), so the visible set is unchanged.
+      mem.addData(Event(9, ts(5000), 9, "click", 0.0),
+        Event(11, ts(5000), 8, "purchase", 1.0))
+      runBatches(q)
+      // The watermark a batch USES comes from the data seen before it,
+      // so state eviction (and the NULL-extended emission) lands one
+      // micro-batch after the advancing events arrive.
+      mem.addData(Event(10, ts(5001), 9, "click", 0.0),
+        Event(12, ts(5001), 8, "purchase", 1.0))
+      runBatches(q)
+      val rows = spark.table("attrib_outer")
+        .select("user_id", "click_ts", "amount").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1), r.getDouble(2))).toSet
+      assert(rows == Set((1L, false, 9.99), (3L, true, 7.0)),
+        rows.toString)
+    } finally q.stop()
+  }
+
   test("hourly windowed aggregate emits finalized windows past watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext

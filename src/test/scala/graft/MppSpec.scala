@@ -944,4 +944,56 @@ class MppSpec extends SparkTestBase {
       assert(e.explainShards(t.filter(col("k") === k)) == "Shards: 1/7")
     }
   }
+
+  test("OPTIMIZE compacts append-grown buckets; SORT BY clusters; " +
+      "maxRecordsPerFile splits") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE opt(k BIGINT, v BIGINT) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    (0 until 3).foreach { i =>
+      e.sql(s"INSERT INTO opt SELECT id + ${i * 400} AS k, " +
+        s"(id + ${i * 400}) * 7 AS v FROM range(400)")
+    }
+    def fileCounts: Map[Int, Int] = {
+      val root = new java.io.File(
+        e.table("opt").inputFiles.head.stripPrefix("file:")
+          .replaceAll(s"/${graft.mpp.BucketPruning.BucketCol}=\\d+/[^/]+$$", ""))
+      (0 until 4).map { b =>
+        b -> Option(new java.io.File(root,
+            s"${graft.mpp.BucketPruning.BucketCol}=$b").listFiles())
+          .map(_.count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))).getOrElse(0)
+      }.toMap
+    }
+    assert(fileCounts.values.forall(_ == 3), s"setup: $fileCounts")
+    val before = e.table("opt").orderBy("k").collect().toSeq
+
+    val r = e.sql("OPTIMIZE opt").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 12L)), r.toString)
+    assert(fileCounts.values.forall(_ == 1), s"post: $fileCounts")
+    assert(e.table("opt").orderBy("k").collect().toSeq == before)
+
+    // Already compact: a plain OPTIMIZE is a no-op…
+    val r2 = e.sql("OPTIMIZE opt").collect().head
+    assert((r2.getLong(0), r2.getLong(1)) == ((0L, 0L)), r2.toString)
+    // …but SORT BY rewrites every non-empty bucket (clustering is the
+    // point), and the data survives bit-identically.
+    val r3 = e.sql("OPTIMIZE opt SORT BY (v)").collect().head
+    assert(r3.getLong(0) == 4L, r3.toString)
+    assert(e.table("opt").orderBy("k").collect().toSeq == before)
+
+    // File-size budget: rows split across files on the cap.
+    spark.conf.set("graft.optimize.maxRecordsPerFile", "100")
+    try {
+      val r4 = e.sql("OPTIMIZE opt SORT BY (v)").collect().head
+      assert(r4.getLong(0) == 4L)
+      assert(fileCounts.values.forall(_ >= 2), s"split: $fileCounts")
+      assert(e.table("opt").orderBy("k").collect().toSeq == before)
+    } finally spark.conf.unset("graft.optimize.maxRecordsPerFile")
+
+    // Unknown sort column is a clean error.
+    val ex = intercept[IllegalArgumentException](
+      e.sql("OPTIMIZE opt SORT BY (nope)"))
+    assert(ex.getMessage.contains("no such SORT BY column"))
+  }
 }

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.mpp.MppEngine
+import graft.sources.{ColocatedScan, ZoneMaps}
+
+/** Planning-time file elimination by parquet-footer zone maps on the
+  * DSv2 co-located scan ([[graft.sources.ZoneMaps]]): a pushed filter
+  * on ANY column with usable footer statistics drops whole files
+  * before they become scan tasks — the per-file complement of bucket
+  * pruning (which only the partition column can drive). Every test
+  * double-checks results against the zonemap-disabled scan: pruning
+  * must never change rows, only file counts. */
+class ZoneMapSpec extends SparkTestBase {
+
+  // Three inserts with disjoint `v`/`s` ranges + one all-null batch:
+  // each insert writes one file per bucket, so every bucket holds one
+  // file per range — the append-grown layout zone maps exist for.
+  private lazy val engine: MppEngine = {
+    val e = new MppEngine(spark,
+      Files.createTempDirectory("graft-zm").toString)
+    e.sql("CREATE TABLE zm(k BIGINT, v BIGINT, s VARCHAR) " +
+      "PARTITION BY (k) WITH BUCKETS 4")
+    def batch(lo: Long, hi: Long, tag: String) =
+      spark.range(lo, hi).toDF("k")
+        .withColumn("v", col("k"))
+        .withColumn("s", concat(lit(tag), col("k")))
+    e.insertInto("zm", batch(0, 1000, "a"))
+    e.insertInto("zm", batch(1000, 2000, "m"))
+    e.insertInto("zm", batch(2000, 3000, "x"))
+    e.insertInto("zm", spark.range(3000, 3100).toDF("k")
+      .withColumn("v", lit(null).cast("bigint"))
+      .withColumn("s", lit(null).cast("string")))
+    e.installColocatedCatalog("zcat")
+    e
+  }
+
+  private def scanOf(df: DataFrame): ColocatedScan = {
+    df.collect()
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.collectFirst { case c: ColocatedScan => c }
+      .getOrElse(fail("no ColocatedScan in plan"))
+  }
+
+  /** Rows with pruning vs rows with `graft.zonemap.enabled=false`. */
+  private def assertSameRows(mk: => DataFrame): Unit = {
+    val pruned = mk.orderBy("k").collect().toSeq
+    spark.conf.set(ZoneMaps.EnabledConf, "false")
+    try {
+      val full = mk.orderBy("k").collect().toSeq
+      assert(pruned == full, "zone pruning changed the result")
+    } finally spark.conf.unset(ZoneMaps.EnabledConf)
+  }
+
+  test("range filter on a non-partition column prunes to one batch's files") {
+    engine
+    val q = spark.table("zcat.zm").filter(col("v") >= 2500)
+    val scan = scanOf(q)
+    val (kept, total) = scan.zonePrunedFiles
+      .getOrElse(fail("zone pass did not run"))
+    assert(total >= 16, s"expected >=16 files, saw $total")
+    // Only the [2000,3000) batch's files may survive (the all-null
+    // batch is excluded by v-comparison semantics).
+    assert(kept <= 4, s"kept $kept of $total — range pruning missed")
+    assert(q.count() == 500)
+    assertSameRows(spark.table("zcat.zm").filter(col("v") >= 2500))
+  }
+
+  test("string range filter prunes files too") {
+    engine
+    val q = spark.table("zcat.zm").filter(col("s") < "b")
+    val scan = scanOf(q)
+    val (kept, _) = scan.zonePrunedFiles.getOrElse(fail("no zone pass"))
+    assert(kept <= 4, s"kept $kept — string zone pruning missed")
+    assert(q.count() == 1000) // the "a…" batch
+    assertSameRows(spark.table("zcat.zm").filter(col("s") < "b"))
+  }
+
+  test("IS NULL keeps only files that may hold nulls; IS NOT NULL drops all-null files") {
+    engine
+    val qNull = spark.table("zcat.zm").filter(col("v").isNull)
+    val sNull = scanOf(qNull)
+    val (keptN, _) = sNull.zonePrunedFiles.getOrElse(fail("no zone pass"))
+    assert(keptN <= 4, s"IS NULL kept $keptN files")
+    assert(qNull.count() == 100)
+    // IS NOT NULL composes with the pushed range conjunct list.
+    val qNotNull = spark.table("zcat.zm").filter(col("v").isNotNull)
+    val sNot = scanOf(qNotNull)
+    val (keptNN, totalNN) = sNot.zonePrunedFiles
+      .getOrElse(fail("no zone pass"))
+    assert(keptNN <= totalNN - 4, s"IS NOT NULL kept $keptNN/$totalNN")
+    assert(qNotNull.count() == 3000)
+    assertSameRows(spark.table("zcat.zm").filter(col("v").isNull))
+  }
+
+  test("IN and equality prune; unsupported shapes keep every file") {
+    engine
+    val q = spark.table("zcat.zm")
+      .filter(col("v").isin(150L, 180L))
+    val (kept, _) = scanOf(q).zonePrunedFiles.getOrElse(fail("no pass"))
+    assert(kept <= 4, s"IN kept $kept files")
+    assert(q.count() == 2)
+    // An arithmetic filter references v only through an expression —
+    // ZoneMaps must err to keeping everything, never mis-prune.
+    val qx = spark.table("zcat.zm").filter(col("v") + 1 > 2999)
+    assert(qx.count() == 1, "conservative path changed results") // v=2999
+    assertSameRows(spark.table("zcat.zm").filter(col("v") + 1 > 2999))
+  }
+
+  test("COW rewrite invalidates zones via the (path, mtime, size) key") {
+    engine
+    // Move every v into the low range: the rewrite swaps in new files
+    // whose zones must be re-read, not served from the old key.
+    engine.sql("UPDATE zm SET v = 1 WHERE v >= 2500")
+    val q = spark.table("zcat.zm").filter(col("v") >= 2500)
+    assert(q.count() == 0)
+    val (kept, _) = scanOf(q).zonePrunedFiles.getOrElse(fail("no pass"))
+    assert(kept == 0, s"stale zones kept $kept files after COW rewrite")
+    assert(spark.table("zcat.zm").filter(col("v") === 1).count() > 500)
+  }
+}
