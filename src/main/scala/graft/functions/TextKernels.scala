@@ -160,6 +160,68 @@ object TextKernel {
     new GenericArrayData(out)
   }
 
+  /** Per-document word-k-gram frequencies as HASHED pairs, one fused
+    * byte pass: for each distinct k-gram, `(h, hp, tf)` where `h` is
+    * `xxhash64` of the gram's byte span (seed 42 — equal to the SQL
+    * `xxhash64(gram_string)` a `split`-based plan would compute), `hp`
+    * the hash of its first k-1 tokens (the conditioning prefix an
+    * n-gram language model joins on), and `tf` the within-document
+    * count. Emitting hashes instead of gram strings means NO string
+    * ever reaches an exchange: the n-gram-LM aggregate shuffles
+    * 20-byte rows whatever the gram length — the same
+    * hash-keyed-exchange idiom as the tf-idf rewrite.
+    *
+    * Dedup is BY HASH (unlike [[tokenStats]], no byte-compare rescue):
+    * downstream consumers group by `h` across documents, so two
+    * colliding grams merge there regardless — resolving them locally
+    * would buy nothing. Expected merged pairs at n distinct grams are
+    * n²/2⁶⁵ (≈ 3 at n = 10¹⁰, i.e. 100 TB corpus scale — harmless for
+    * a quality score; zero at any verify scale). */
+  def gramTfHashes(s: UTF8String, k: Int): ArrayData = {
+    val st = tokenStarts(s)
+    val n = st.length - 1
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cap = 8
+    while (cap < m * 2) cap <<= 1
+    val slot = new Array[Int](cap) // first gram index, or -1
+    java.util.Arrays.fill(slot, -1)
+    val hs = new Array[Long](cap)
+    val cnt = new Array[Int](cap)
+    val order = new Array[Int](m)
+    var types = 0
+    var i = 0
+    while (i < m) {
+      val ts = st(i)
+      val gl = st(i + k) - 1 - ts
+      val h = XXH64.hashUnsafeBytes(base, off + ts, gl, 42L)
+      var p = (h & (cap - 1)).toInt
+      var done = false
+      while (!done) {
+        if (slot(p) < 0) {
+          slot(p) = i; hs(p) = h; cnt(p) = 1; order(types) = p; types += 1
+          done = true
+        } else if (hs(p) == h) { cnt(p) += 1; done = true }
+        else p = (p + 1) & (cap - 1)
+      }
+      i += 1
+    }
+    val out = new Array[Any](types)
+    var t = 0
+    while (t < types) {
+      val p = order(t)
+      val o = slot(p)
+      val ts = st(o)
+      val pl = st(o + k - 1) - 1 - ts // first k-1 tokens
+      val hp = XXH64.hashUnsafeBytes(base, off + ts, pl, 42L)
+      out(t) = new GenericInternalRow(Array[Any](hs(p), hp, cnt(p)))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused `split` + [[ShingleKernel.hashes3]]: distinct sorted 64-bit
     * hashes of the word-3-gram shingles, hashed straight off the value
     * buffer (chained XXH64, seed 42 — identical to the array kernel).
@@ -553,6 +615,38 @@ object TokenTfPairs {
     StructField("tf", IntegerType, nullable = false))), containsNull = false)
 }
 
+/** `gram_tf_hashes(text, k)` → array<struct<h:bigint, hp:bigint,
+  * tf:int>>: per-document hashed word-k-gram frequencies with the
+  * conditioning-prefix hash ([[TextKernel.gramTfHashes]]). */
+case class GramTfHashes(child: Expression, k: Int)
+    extends StringKernelExpression {
+  require(k >= 2, s"gram_tf_hashes needs k >= 2 (a k-gram with a " +
+    s"non-empty conditioning prefix), got $k")
+
+  override def dataType: DataType = GramTfHashes.schema
+
+  override def prettyName: String = "gram_tf_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.gramTfHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernel.gramTfHashes($a, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramTfHashes = copy(child = newChild)
+}
+
+object GramTfHashes {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("hp", LongType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+}
+
 /** `simhash64_text(text)` → long (fused split + simhash). */
 case class SimHash64Text(child: Expression) extends StringKernelExpression {
 
@@ -605,6 +699,10 @@ object TextFunctions {
       "winnow_pos_hashes", exprs =>
         WinnowPosHashes(exprs.head, litInt(exprs(1), "winnow_pos_hashes"),
           litInt(exprs(2), "winnow_pos_hashes")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_tf_hashes", exprs =>
+        GramTfHashes(exprs.head, litInt(exprs(1), "gram_tf_hashes")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_slices_text", exprs => {
@@ -665,5 +763,12 @@ object TextFunctions {
   def gramSlicesText(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("gram_slices_text", text, lit(k))
+  }
+
+  /** Per-document hashed (gram, prefix, tf) triples of the word
+    * k-grams of `text`, one fused byte pass — the n-gram-LM feed. */
+  def gramTfHashes(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("gram_tf_hashes", text, lit(k))
   }
 }

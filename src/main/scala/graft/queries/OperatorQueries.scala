@@ -218,8 +218,14 @@ object OperatorQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("value"),
         (unix_micros(col("t")) / 1000000L).as("p"))
+    // Width-free variant (p75 interval length + density guard): the
+    // attribution windows run ~a day, so a hand-picked 6 h width
+    // replicated every interval into ~5 cells — the sf300 probe
+    // measured the build-side shuffle as the row's dominant term, and
+    // the auto width collapses replication to ~1–2 cells per interval
+    // while per-(user, cell) fan-in stays purchases-per-user-bounded.
     RangeJoin.pointInInterval(purchases, sessions, "p", "lo", "hi",
-        binWidth = 21600L, keys = Seq("user_id"))
+        keys = Seq("user_id"))
       .groupBy(col("user_id"), col("session_start"))
       .agg(count(lit(1)).as("n_purchases"),
         round(sum(col("value")), 4).as("purchase_value"))

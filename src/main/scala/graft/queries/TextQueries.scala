@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -315,6 +315,87 @@ object TextQueries {
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
+  /** Bigram-language-model quality score — the classic perplexity-proxy
+    * filter of web-scale pipeline papers (CCNet, Wenzek et al. LREC'20;
+    * Gopher, Rae et al. 2021 §A1.1): train an add-1-smoothed bigram LM
+    * on the corpus itself, score each document by its mean conditional
+    * log-probability `avg ln P(w_i | w_{i-1})`, and filtering on the
+    * score drops gibberish/boilerplate tails. Self-training (corpus =
+    * model) keeps the row closed over the testdata; a production run
+    * would broadcast counts trained on a reference corpus instead —
+    * same join shape.
+    *
+    * Scale shape (the tf-idf hash-keyed-exchange idiom): the
+    * [[graft.functions.TextKernel.gramTfHashes]] kernel emits per-doc
+    * pre-aggregated (gram-hash, prefix-hash, tf) triples in one byte
+    * pass, so every exchange — bigram-count build, unigram-count
+    * build, and the two probe joins — carries 8-byte keys and counts,
+    * never token strings, and per-doc pre-aggregation caps exploded
+    * rows at distinct-grams-per-doc. The vocabulary size (smoothing
+    * denominator) rides a broadcast 1-row aggregate. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame =
+    perDocLogProb(s, dir, modelFilter = lit(true))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp"), 4).as("lm_score"))
+      .orderBy("doc_id")
+
+  /** Per-document mean bigram log-probability under an add-1-smoothed
+    * LM trained on the `modelFilter` subset of the corpus. Bigrams the
+    * model never saw score `ln(1/(c1+V))` (and `ln(1/V)` when even the
+    * prefix is unseen) via left joins + coalesce — the add-1 estimate,
+    * not a dropped row, which is what makes cross-domain scoring
+    * ([[qDsirWeights]]) meaningful. */
+  private def perDocLogProb(s: SparkSession, dir: String,
+      modelFilter: Column): DataFrame = {
+    def gramsOf(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions
+          .gramTfHashes(s, col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("g.h").as("h"), col("g.hp").as("hp"),
+        col("g.tf").cast("long").as("tf"))
+    val grams = gramsOf(docs(s, dir))
+    val model = docs(s, dir).filter(modelFilter)
+    val big = gramsOf(model).groupBy("h").agg(sum("tf").as("c2"))
+    val uni = model
+      .select(explode(graft.functions.TextFunctions
+        .tokenTfPairs(s, col("text"))).as("p"))
+      .groupBy(xxhash64(col("p.token")).as("hp"))
+      .agg(sum(col("p.tf").cast("long")).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("vsz"))
+    grams.join(big, Seq("h"), "left").join(uni, Seq("hp"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") *
+          log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("vsz")))) /
+          sum("tf")).as("lp"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per document,
+    * the log-likelihood ratio between a TARGET-domain bigram LM (here
+    * the `lang = 'en'` slice — a production run points this at the
+    * high-quality reference corpus) and the all-corpus LM. Documents
+    * whose text looks more target-like than corpus-average get
+    * positive weight; resampling ∝ weight is the paper's selection
+    * step, and the deterministic `keep = weight > 0` flag is its
+    * hard-threshold degenerate. Two [[perDocLogProb]] passes — each
+    * the hash-keyed tf-idf exchange shape — joined on doc_id. */
+  def qDsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val target = perDocLogProb(s, dir, col("lang") === "en")
+      .select(col("doc_id"), col("n_bigrams"), col("lp").as("t_lp"))
+    val corpus = perDocLogProb(s, dir, lit(true))
+      .select(col("doc_id"), col("lp").as("c_lp"))
+    target.join(corpus, "doc_id")
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("t_lp"), 4).as("lm_target"),
+        round(col("c_lp"), 4).as("lm_corpus"),
+        round(col("t_lp") - col("c_lp"), 4).as("weight"),
+        (round(col("t_lp") - col("c_lp"), 4) > 0).cast("int").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -336,6 +417,8 @@ object TextQueries {
     "q_chunk_overlap" -> (qChunkOverlap _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_tfidf" -> (qTfidf _),
+    "q_lm_score" -> (qLmScore _),
+    "q_dsir_weights" -> (qDsirWeights _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
   )
 
@@ -465,6 +548,56 @@ object TextQueries {
         |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
         |  CAST(df AS BIGINT) AS df, tfidf
         |FROM rk WHERE rk <= 5 ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |       FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+        |un AS (SELECT unnest(ws) AS tok FROM w),
+        |c1 AS (SELECT tok, COUNT(*) AS c FROM un GROUP BY tok),
+        |v AS (SELECT COUNT(*) AS vsz FROM c1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(LN((c2.c + 1.0) / (c1.c + v.vsz))), 4) AS lm_score
+        |FROM bg b JOIN c2 ON c2.g = b.g
+        |JOIN c1 ON c1.tok = string_split(b.g, ' ')[1]
+        |CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(ws)),
+        |           i -> ws[i] || ' ' || ws[i + 1])) AS g
+        |       FROM w WHERE len(ws) >= 2),
+        |tc2 AS (SELECT g, COUNT(*) AS c FROM bg WHERE lang = 'en' GROUP BY g),
+        |tc1 AS (SELECT tok, COUNT(*) AS c FROM (
+        |          SELECT unnest(ws) AS tok FROM w WHERE lang = 'en')
+        |        GROUP BY tok),
+        |tv AS (SELECT COUNT(*) AS vsz FROM tc1),
+        |cc2 AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY g),
+        |cc1 AS (SELECT tok, COUNT(*) AS c FROM (
+        |          SELECT unnest(ws) AS tok FROM w) GROUP BY tok),
+        |cv AS (SELECT COUNT(*) AS vsz FROM cc1),
+        |t AS (SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |        AVG(LN((COALESCE(tc2.c, 0) + 1.0)
+        |                / (COALESCE(tc1.c, 0) + tv.vsz))) AS lp
+        |      FROM bg b LEFT JOIN tc2 ON tc2.g = b.g
+        |      LEFT JOIN tc1 ON tc1.tok = string_split(b.g, ' ')[1]
+        |      CROSS JOIN tv GROUP BY b.doc_id),
+        |c AS (SELECT b.doc_id,
+        |        AVG(LN((COALESCE(cc2.c, 0) + 1.0)
+        |                / (COALESCE(cc1.c, 0) + cv.vsz))) AS lp
+        |      FROM bg b LEFT JOIN cc2 ON cc2.g = b.g
+        |      LEFT JOIN cc1 ON cc1.tok = string_split(b.g, ' ')[1]
+        |      CROSS JOIN cv GROUP BY b.doc_id)
+        |SELECT t.doc_id, t.n_bigrams, ROUND(t.lp, 4) AS lm_target,
+        |  ROUND(c.lp, 4) AS lm_corpus, ROUND(t.lp - c.lp, 4) AS weight,
+        |  CAST(ROUND(t.lp - c.lp, 4) > 0 AS INT) AS keep
+        |FROM t JOIN c ON c.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp

@@ -98,6 +98,37 @@ class TextKernelsSpec extends SparkTestBase {
     assert(pairCount == viaSplit.size)
   }
 
+  test("gram_tf_hashes matches hashed explode(bigrams) → groupBy exactly") {
+    import spark.implicits._
+    for (k <- Seq(2, 3)) {
+      val viaKernel = df.withColumn("rid", monotonically_increasing_id())
+        .select(col("rid"),
+          explode(TextFunctions.gramTfHashes(spark, col("text"), k)).as("g"))
+        .select(col("rid"), col("g.h"), col("g.hp"),
+          col("g.tf").cast("long").as("tf"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // Composed cross-check: gram/prefix strings from split, hashed
+      // with SQL xxhash64 (seed 42 over the UTF-8 bytes — the parity
+      // the kernel's scaladoc claims), counted by gram string.
+      val gram = (0 until k).map(j => s"w[i + $j]").mkString(", ")
+      val prefix = (0 until k - 1).map(j => s"w[i + $j]").mkString(", ")
+      val viaSplit = df.withColumn("rid", monotonically_increasing_id())
+        .select(col("rid"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= k)
+        .select(col("rid"), explode(expr(
+          s"""transform(sequence(0, size(w) - $k),
+             |  i -> struct(concat_ws(' ', $gram) AS g,
+             |              concat_ws(' ', $prefix) AS p))""".stripMargin))
+          .as("x"))
+        .groupBy(col("rid"), col("x.g"), col("x.p"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("rid"), xxhash64(col("g")), xxhash64(col("p")),
+          col("tf"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(viaKernel == viaSplit, s"k=$k")
+    }
+  }
+
   test("simhash64_text matches simhash64(split)") {
     val rows = df.select(
       TextFunctions.simhashText(spark, col("text")).as("fused"),
