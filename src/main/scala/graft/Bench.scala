@@ -54,6 +54,20 @@ object Bench {
     (cold.filter(c => ok(c._1)), steady, errors.toMap)
   }
 
+  /** Data-driven AQE start width: ~64 MB of INPUT per initial shuffle
+    * partition (replicating operators — salt×16, bin explode — multiply
+    * shuffle bytes past input size, hence tighter than the 128 MB scan
+    * split), floor 256 (the sf100-proven value), cap 4096. §8's sizing
+    * doctrine — per-task state scales with data volume, not core
+    * count — applied to the one knob a single session must pre-set. */
+  def defaultInitParts(dir: String): Int = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(sizeOf).sum).getOrElse(0L)
+    math.min(4096L, math.max(256L,
+      sizeOf(new java.io.File(dir)) / (64L << 20))).toInt
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -68,9 +82,13 @@ object Bench {
       // penalizing small stages. Measured necessity: at the sf100
       // (14 GB) probe, 32 static partitions put a ~10 M-row build in
       // every shuffled-hash task and OOM'd the salted join; at 256
-      // initial partitions the same plan runs in memory (BASELINE §11).
+      // initial partitions the same plan runs in memory (BASELINE §11);
+      // at sf300 static 256 went superlinear on the salted join's
+      // replicated build + output sort and the data-driven width
+      // restored linear scaling (188 → 129 s, BASELINE §13).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
+        sys.env.get("SPARK_GRAFT_INIT_PARTS")
+          .map(_.toInt).getOrElse(defaultInitParts(sfDir)))
       // OLAP engines build hash tables; Spark's sort-merge default exists
       // for giant-build-side safety, which AQE's size estimates already
       // guard. Shuffled-hash skips two whole-side sorts per join.
@@ -102,6 +120,12 @@ object Bench {
     val scaled = if (new java.io.File(s"$scaledDir/lineitem.parquet").exists) {
       graft.queries.DedupQueries.releaseShingles(sfDir)
       System.gc()
+      // Re-size the AQE start width for the bigger mirror (runtime SQL
+      // conf — read at each query's planning, safe to flip mid-session).
+      if (!sys.env.contains("SPARK_GRAFT_INIT_PARTS"))
+        spark.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          defaultInitParts(scaledDir))
       val oracleBacked = names.filter(n => SparkEntry.oracleSql.contains(n._1))
       val (_, timed, sErrs) = phase(spark, scaledDir, oracleBacked)
       s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_errors":${fmtErr(sErrs)},"scaled_ok":${timed.size},"scaled_expected":${oracleBacked.size},"scaled_dir":"$scaledDir""""

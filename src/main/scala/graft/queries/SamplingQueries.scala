@@ -110,10 +110,51 @@ object SamplingQueries {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based data mixing (the multilingual/multi-source
+    * rebalancing idiom — Conneau & Lample 2019 §3.1, the Pile's
+    * per-set epochs): per-source sampling rates that soften the
+    * natural source distribution toward uniform at temperature T = 2
+    * (weight ∝ √share), against a token budget of half the corpus.
+    * The keep decision is the [[hashBucket]] arithmetic hash against
+    * the source's percent-quantized rate — reproducible under
+    * resharding/reruns like q_hash_split, auditable from outside the
+    * engine, and a 1%-granularity honest quota (documented, not
+    * hidden in FP noise).
+    *
+    * Scale shape: token counts from the fused [[graft.functions
+    * .TokenStats]] kernel; per-source totals are a tiny aggregate
+    * whose rate table broadcasts back over the corpus scan; the keep
+    * filter and the final per-source roll-up are one map-side-combined
+    * aggregate — two corpus passes, no wide exchange at any size. */
+  def qDataMix(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenStats(s, col("text"))
+          .getField("n_tokens").cast("long").as("toks"))
+    val perSrc = perDoc.groupBy("source")
+      .agg(sum("toks").as("t"), count(lit(1)).as("n_docs"))
+    val tot = perSrc.agg(sum("t").as("g"), sum(sqrt(col("t"))).as("sw"))
+    val rates = perSrc.crossJoin(broadcast(tot))
+      .withColumn("weight", round(sqrt(col("t")) / col("sw"), 4))
+      .withColumn("pct", least(lit(100L),
+        floor(lit(100.0) * (col("g") / 2) * sqrt(col("t")) /
+          col("sw") / col("t")).cast("long")))
+      .select("source", "t", "n_docs", "weight", "pct")
+    perDoc.join(broadcast(rates), "source")
+      .withColumn("keep", hashBucket(col("doc_id")) < col("pct"))
+      .groupBy("source")
+      .agg(max("t").as("total_tokens"), max("n_docs").as("n_docs"),
+        max("weight").as("weight"), max("pct").as("pct"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hash_split" -> (qHashSplit _),
     "q_quota_sample" -> (qQuotaSample _),
     "q_pack_chunks" -> (qPackChunks _),
+    "q_data_mix" -> (qDataMix _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,5 +189,31 @@ object SamplingQueries {
         |  (cum0 + n - 1) // 512 AS end_seq,
         |  (cum0 + n - 1) // 512 - cum0 // 512 + 1 AS n_seqs
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_data_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |           FROM documents),
+        |s AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS t,
+        |        COUNT(*) AS n_docs FROM d GROUP BY source),
+        |g AS (SELECT CAST(SUM(t) AS BIGINT) AS g,
+        |        CAST(SUM(sqrt(t)) AS DOUBLE) AS sw FROM s),
+        |r AS (SELECT source, t, n_docs,
+        |        ROUND(sqrt(t) / sw, 4) AS weight,
+        |        LEAST(100, CAST(FLOOR(100.0 * (g / 2) * sqrt(t)
+        |          / sw / t) AS BIGINT)) AS pct
+        |      FROM s CROSS JOIN g),
+        |k AS (SELECT d.doc_id, d.source, d.toks, r.pct,
+        |        ((doc_id % 4294967296 // 65536 * 2654435761) % 65536 * 65536
+        |          + doc_id % 4294967296 % 65536 * 2654435761)
+        |          % 4294967296 % 100 AS bucket
+        |      FROM d JOIN r USING (source))
+        |SELECT r.source, r.t AS total_tokens, r.n_docs, r.weight, r.pct,
+        |  CAST(SUM(CASE WHEN k.bucket < k.pct THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS kept_docs,
+        |  CAST(SUM(CASE WHEN k.bucket < k.pct THEN k.toks ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens
+        |FROM k JOIN r USING (source)
+        |GROUP BY r.source, r.t, r.n_docs, r.weight, r.pct
+        |ORDER BY r.source""".stripMargin,
   )
 }

@@ -18,7 +18,8 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "256"))
+        sys.env.get("SPARK_GRAFT_INIT_PARTS").map(_.toInt)
+          .getOrElse(graft.Bench.defaultInitParts(dir)))
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.ui.enabled", "false")
