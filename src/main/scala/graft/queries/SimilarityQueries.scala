@@ -206,6 +206,48 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** kNN label-agreement audit (label-noise detection, the confident-
+    * learning idiom of Northcutt et al. 2021: an example whose nearest
+    * neighbors disagree with its own label is a likely annotation
+    * error). For a deterministic query sample (vec_id < 50) find the
+    * exact top-5 cosine neighbors and report, per label: how many
+    * queries carry it, the mean fraction of neighbors that agree, how
+    * many queries have majority agreement, and how many are flagged
+    * (≤ 1 of 5 neighbors agree — the review queue).
+    *
+    * Scale shape: identical to [[qAnnBruteforce]] — the query set is
+    * broadcast, the corpus never shuffles, each scan task emits only
+    * (q, neighbor, label, cos) tuples reduced by the per-query top-k
+    * window; the label rollup is a |labels|-row aggregate. At 100 TB
+    * the audit costs one corpus scan per query batch. */
+  def qKnnAgreement(s: SparkSession, dir: String): DataFrame = {
+    val corpus = emb(s, dir)
+    val queries = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val perQuery = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        dot(s, col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .select(col("q_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .groupBy("q_id", "q_label")
+      .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+        .as("agree"))
+    perQuery.groupBy(col("q_label").cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(col("agree") / lit(TopK.toDouble)), 4).as("avg_agree"),
+        sum(when(col("agree") >= 3, 1L).otherwise(0L)).as("majority_q"),
+        sum(when(col("agree") <= 1, 1L).otherwise(0L)).as("flagged_q"))
+      .orderBy("label")
+  }
+
   /** IVF-style approximate top-k over HONEST trained cells: the corpus
     * is partitioned by the in-engine spherical k-means of [[ivfModel]]
     * (no reliance on any pre-labeled column); each query probes only
@@ -336,6 +378,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_knn_agreement" -> (qKnnAgreement _),
   )
 
   // (IVF persistence lives in [[IvfStore]] below.)
@@ -370,6 +413,29 @@ object SimilarityQueries {
         |SELECT vec_id, label,
         |  ROUND(dotp / (SQRT(nv) * SQRT(nc)), 4) AS cos_centroid
         |FROM d ORDER BY cos_centroid, vec_id LIMIT 50""".stripMargin,
+    "q_knn_agreement" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS q_id, a.label AS q_label,
+        |         b.vec_id AS neighbor_id, b.label AS n_label,
+        |         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                CAST(b.embedding AS DOUBLE[])) AS cos
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        |  WHERE a.vec_id < 50),
+        |r AS (SELECT q_id, q_label, n_label,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |                           ORDER BY cos DESC, neighbor_id) AS rnk
+        |      FROM p),
+        |q AS (SELECT q_id, q_label,
+        |        SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS agree
+        |      FROM r WHERE rnk <= 5 GROUP BY q_id, q_label)
+        |SELECT CAST(q_label AS BIGINT) AS label,
+        |  COUNT(*) AS n_queries,
+        |  ROUND(AVG(agree / 5.0), 4) AS avg_agree,
+        |  CAST(SUM(CASE WHEN agree >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS majority_q,
+        |  CAST(SUM(CASE WHEN agree <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS flagged_q
+        |FROM q GROUP BY q_label ORDER BY label""".stripMargin,
   )
 }
 

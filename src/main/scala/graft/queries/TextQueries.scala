@@ -396,6 +396,62 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-rule filter funnel with per-rule attribution (the Gopher
+    * rules idiom, Rae et al. 2021 §A1.1: length / symbol / repetition /
+    * stopword gates applied as an ordered funnel). Every document is
+    * attributed to exactly ONE outcome — the first rule it fails, in a
+    * fixed order, or `pass` — so the per-source counts sum to the
+    * source's doc count and the report is self-auditing: a pipeline
+    * owner reads exactly where each source loses volume.
+    *
+    * Rules (first failing wins): too short (< 20 tokens); symbol soup
+    * (avg token length > 6.0 chars); repetitive (type-token ratio
+    * < 0.32); unnatural (< 2 stopwords).
+    *
+    * Scale shape: ONE corpus scan — counts from the fused
+    * [[graft.functions.TokenStats]] byte kernel plus one codegen'd
+    * stopword lambda, the verdict a map-side CASE chain — feeding a
+    * per-source hash aggregate whose output is |sources| rows. Nothing
+    * document-sized ever shuffles; at 100 TB the exchange carries one
+    * partial-agg row per (task, source). */
+  def qQualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val stopCount =
+      size(filter(toks, t => t.isin("the", "a", "and", "of"))).cast("long")
+    val scored = docs(s, dir).select(
+      col("source"),
+      length(col("text")).as("clen"),
+      graft.functions.TextFunctions.tokenStats(s, col("text")).as("ts"),
+      stopCount.as("n_stop"))
+      .select(
+        col("source"),
+        col("ts.n_tokens").cast("long").as("n_tokens"),
+        (col("ts.n_types") / (col("ts.n_tokens") * lit(1.0))).as("ttr"),
+        (col("clen") / (col("ts.n_tokens") * lit(1.0))).as("avg_tok_len"),
+        col("n_stop"))
+      .withColumn("verdict",
+        when(col("n_tokens") < 20, "short")
+          .when(col("avg_tok_len") > 6.0, "symbol")
+          .when(col("ttr") < 0.32, "repetitive")
+          .when(col("n_stop") < 2, "no_stopwords")
+          .otherwise("pass"))
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("verdict") === "short", 1L).otherwise(0L))
+          .as("fail_short"),
+        sum(when(col("verdict") === "symbol", 1L).otherwise(0L))
+          .as("fail_symbol"),
+        sum(when(col("verdict") === "repetitive", 1L).otherwise(0L))
+          .as("fail_repetitive"),
+        sum(when(col("verdict") === "no_stopwords", 1L).otherwise(0L))
+          .as("fail_stopwords"),
+        sum(when(col("verdict") === "pass", 1L).otherwise(0L))
+          .as("pass_docs"),
+        sum(when(col("verdict") === "pass", col("n_tokens"))
+          .otherwise(0L)).as("pass_tokens"))
+      .orderBy("source")
+  }
+
   /** Document fingerprinting: exact (md5 of text) + content fingerprint
     * (md5 of sorted distinct tokens — order/duplication-insensitive). */
   def qDocFingerprint(s: SparkSession, dir: String): DataFrame =
@@ -420,6 +476,7 @@ object TextQueries {
     "q_lm_score" -> (qLmScore _),
     "q_dsir_weights" -> (qDsirWeights _),
     "q_doc_fingerprint" -> (qDocFingerprint _),
+    "q_quality_funnel" -> (qQualityFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -602,5 +659,35 @@ object TextQueries {
       """SELECT doc_id, md5(text) AS fp,
         | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_funnel" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) * 1.0
+        |      / len(string_split(text, ' ')) AS ttr,
+        |    length(text) * 1.0 / len(string_split(text, ' ')) AS avg_tok_len,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'and', 'of'))) AS n_stop
+        |  FROM documents),
+        |v AS (SELECT source, n_tokens,
+        |    CASE WHEN n_tokens < 20 THEN 'short'
+        |         WHEN avg_tok_len > 6.0 THEN 'symbol'
+        |         WHEN ttr < 0.32 THEN 'repetitive'
+        |         WHEN n_stop < 2 THEN 'no_stopwords'
+        |         ELSE 'pass' END AS verdict
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN verdict = 'short' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_short,
+        |  CAST(SUM(CASE WHEN verdict = 'symbol' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS fail_symbol,
+        |  CAST(SUM(CASE WHEN verdict = 'repetitive' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fail_repetitive,
+        |  CAST(SUM(CASE WHEN verdict = 'no_stopwords' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS fail_stopwords,
+        |  CAST(SUM(CASE WHEN verdict = 'pass' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS pass_docs,
+        |  CAST(SUM(CASE WHEN verdict = 'pass' THEN n_tokens ELSE 0 END)
+        |    AS BIGINT) AS pass_tokens
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -353,4 +353,33 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(got(id) == want, s"doc_id=$id: got ${got(id)}, want $want")
     }
   }
+
+  test("quality funnel: exclusive attribution sums to the doc count") {
+    val rows = TextQueries.qQualityFunnel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val parts = Seq("fail_short", "fail_symbol", "fail_repetitive",
+        "fail_stopwords", "pass_docs").map(r.getAs[Long](_))
+      assert(parts.sum == n,
+        s"${r.getAs[String]("source")}: ${parts.mkString("+")} != $n")
+      assert(parts.forall(_ >= 0))
+    }
+    // The whole-corpus funnel accounts for every document exactly once.
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sf, "documents").count())
+  }
+
+  test("knn agreement: per-label counts bound by query sample and top-k") {
+    val rows = SimilarityQueries.qKnnAgreement(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_queries")).sum <= 50)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_queries")
+      val avg = r.getAs[Double]("avg_agree")
+      assert(avg >= 0.0 && avg <= 1.0)
+      assert(r.getAs[Long]("majority_q") <= n)
+      assert(r.getAs[Long]("flagged_q") <= n)
+    }
+  }
 }
