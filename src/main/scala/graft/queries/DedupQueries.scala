@@ -39,6 +39,46 @@ object DedupQueries {
       .select("keep_id", "n_dups")
       .orderBy("keep_id")
 
+  /** Cross-source duplication matrix — which sources copy from which
+    * (the provenance question behind per-source dedup budgets and
+    * crawl-overlap audits). Documents are keyed by their CONTENT
+    * fingerprint (md5 of sorted distinct tokens, the
+    * [[TextQueries.qDocFingerprint]] order/duplication-insensitive
+    * form — testdata's planted near-dups collide on it, exact text
+    * rarely does); the output row (source_a, source_b) counts the
+    * duplicate doc pairs and distinct shared fingerprints between the
+    * two sources (a = b rows are within-source duplication).
+    *
+    * Scale design: pair counts are computed WITHOUT enumerating doc
+    * pairs — one hash aggregate to (fp, source, n), then a self-join
+    * on fp whose groups are bounded by |sources| (not by cluster
+    * size: a 10^6-replica fingerprint contributes one row per source,
+    * and its pair count is a product n_a·n_b / a C(n,2) — the
+    * quadratic blow-up a naive fp self-join would hit at 100 TB is
+    * algebra here), then a |sources|²-bounded final aggregate. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(array_join(array_sort(array_distinct(
+      split(col("text"), " "))), " "))
+    val g = docs(s, dir).select(col("source"), fp.as("fp"))
+      .groupBy("fp", "source").agg(count(lit(1)).as("n"))
+    val a = g.select(col("fp"), col("source").as("source_a"),
+      col("n").as("n_a"))
+    val b = g.select(col("fp"), col("source").as("source_b"),
+      col("n").as("n_b"))
+    val cross = a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (col("n_a") * col("n_b")).as("pairs"))
+    val within = g.filter(col("n") >= 2)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        (col("n") * (col("n") - lit(1)) / lit(2)).cast("long").as("pairs"))
+    cross.union(within)
+      .groupBy("source_a", "source_b")
+      .agg(sum("pairs").as("dup_pairs"),
+        count(lit(1)).as("shared_fps"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** (doc_id, sha) where sha = the doc's distinct word-3-gram shingles
     * hashed to 64-bit longs by the codegen'd
     * [[graft.functions.ShingleHashes3]] kernel — ONE pass per document,
@@ -423,6 +463,7 @@ object DedupQueries {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_dedup_winnow" -> (qSpanDedupWinnow _),
+    "q_source_overlap" -> (qSourceOverlap _),
   )
 
   /** Shared DuckDB shingle CTE (word 3-grams, distinct, per doc). */
@@ -513,5 +554,23 @@ object DedupQueries {
         |SELECT doc_id FROM ex
         |WHERE doc_id NOT IN (SELECT d1 FROM nd)
         |ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH f AS (SELECT source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, source, COUNT(*) AS n FROM f GROUP BY fp, source),
+        |x AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        a.n * b.n AS pairs
+        |      FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source),
+        |w AS (SELECT source AS source_a, source AS source_b,
+        |        CAST(n * (n - 1) / 2 AS BIGINT) AS pairs
+        |      FROM g WHERE n >= 2)
+        |SELECT source_a, source_b,
+        |  CAST(SUM(pairs) AS BIGINT) AS dup_pairs,
+        |  COUNT(*) AS shared_fps
+        |FROM (SELECT * FROM x UNION ALL SELECT * FROM w) u
+        |GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin,
   )
 }

@@ -370,6 +370,20 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(total == Tables(spark, sf, "documents").count())
   }
 
+  test("source overlap: canonical pair orientation, pairs >= shared fps") {
+    val rows = DedupQueries.qSourceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a <= b, s"non-canonical pair ($a, $b)")
+      // Every shared fingerprint contributes at least one doc pair.
+      assert(r.getAs[Long]("dup_pairs") >= r.getAs[Long]("shared_fps"))
+    }
+    // Matrix rows are unique pairs.
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == rows.length)
+  }
+
   test("knn agreement: per-label counts bound by query sample and top-k") {
     val rows = SimilarityQueries.qKnnAgreement(spark, sf).collect()
     assert(rows.nonEmpty)
