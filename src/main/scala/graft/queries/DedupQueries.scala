@@ -79,6 +79,30 @@ object DedupQueries {
       .orderBy("source_a", "source_b")
   }
 
+  /** Duplication cluster-size histogram — the dedup-planning metric:
+    * how much of the corpus sits in clusters of 1 / 2 / 3–4 / … docs
+    * (singleton-heavy corpora don't pay for dedup; head-heavy ones
+    * dictate the replica-cap and the [[qSourceOverlap]] audit). Same
+    * content-fingerprint key; one hash aggregate to cluster sizes,
+    * then a constant-size bucket rollup — the CASE bucketing is on
+    * exact integers, so both engines bin identically. */
+  def qDupClusterHist(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(array_join(array_sort(array_distinct(
+      split(col("text"), " "))), " "))
+    val bucket = when(col("n") === 1, "1")
+      .when(col("n") === 2, "2")
+      .when(col("n") <= 4, "3-4")
+      .when(col("n") <= 8, "5-8")
+      .when(col("n") <= 16, "9-16")
+      .otherwise("17+")
+    docs(s, dir).select(fp.as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .select(bucket.as("cluster_size"), col("n"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum("n").as("n_docs"))
+      .orderBy("cluster_size")
+  }
+
   /** (doc_id, sha) where sha = the doc's distinct word-3-gram shingles
     * hashed to 64-bit longs by the codegen'd
     * [[graft.functions.ShingleHashes3]] kernel — ONE pass per document,
@@ -464,6 +488,7 @@ object DedupQueries {
     "q_span_dedup" -> (qSpanDedup _),
     "q_span_dedup_winnow" -> (qSpanDedupWinnow _),
     "q_source_overlap" -> (qSourceOverlap _),
+    "q_dup_cluster_hist" -> (qDupClusterHist _),
   )
 
   /** Shared DuckDB shingle CTE (word 3-grams, distinct, per doc). */
@@ -572,5 +597,20 @@ object DedupQueries {
         |FROM (SELECT * FROM x UNION ALL SELECT * FROM w) u
         |GROUP BY source_a, source_b
         |ORDER BY source_a, source_b""".stripMargin,
+    "q_dup_cluster_hist" ->
+      """WITH f AS (SELECT
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |g AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
+        |SELECT CASE WHEN n = 1 THEN '1'
+        |            WHEN n = 2 THEN '2'
+        |            WHEN n <= 4 THEN '3-4'
+        |            WHEN n <= 8 THEN '5-8'
+        |            WHEN n <= 16 THEN '9-16'
+        |            ELSE '17+' END AS cluster_size,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(SUM(n) AS BIGINT) AS n_docs
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

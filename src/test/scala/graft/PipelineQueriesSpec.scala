@@ -384,6 +384,15 @@ class PipelineQueriesSpec extends SparkTestBase {
       == rows.length)
   }
 
+  test("dup cluster histogram: docs and clusters account for the corpus") {
+    val rows = DedupQueries.qDupClusterHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == Tables(spark, sf, "documents").count())
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_docs") >= r.getAs[Long]("n_clusters")))
+  }
+
   test("knn agreement: per-label counts bound by query sample and top-k") {
     val rows = SimilarityQueries.qKnnAgreement(spark, sf).collect()
     assert(rows.nonEmpty)
