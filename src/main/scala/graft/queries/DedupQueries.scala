@@ -55,10 +55,15 @@ object DedupQueries {
     * size: a 10^6-replica fingerprint contributes one row per source,
     * and its pair count is a product n_a·n_b / a C(n,2) — the
     * quadratic blow-up a naive fp self-join would hit at 100 TB is
-    * algebra here), then a |sources|²-bounded final aggregate. */
+    * algebra here), then a |sources|²-bounded final aggregate. The
+    * fingerprint is the fused [[graft.functions.TextKernel.tokenSetHash]]
+    * kernel (8-byte key, one byte pass) — the key is only ever GROUPED
+    * on, so the oracle's md5-of-sorted-tokens key induces the same
+    * document partition and the aggregates match. C(n,2) uses integer
+    * `DIV` on both engines: exact at any n, where double division
+    * truncates past 2⁵³ (round-8 ADVICE). */
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val fp = md5(array_join(array_sort(array_distinct(
-      split(col("text"), " "))), " "))
+    val fp = graft.functions.TextFunctions.tokenSetHash(s, col("text"))
     val g = docs(s, dir).select(col("source"), fp.as("fp"))
       .groupBy("fp", "source").agg(count(lit(1)).as("n"))
     val a = g.select(col("fp"), col("source").as("source_a"),
@@ -71,7 +76,7 @@ object DedupQueries {
         (col("n_a") * col("n_b")).as("pairs"))
     val within = g.filter(col("n") >= 2)
       .select(col("source").as("source_a"), col("source").as("source_b"),
-        (col("n") * (col("n") - lit(1)) / lit(2)).cast("long").as("pairs"))
+        expr("n * (n - 1) DIV 2").as("pairs"))
     cross.union(within)
       .groupBy("source_a", "source_b")
       .agg(sum("pairs").as("dup_pairs"),
@@ -83,12 +88,20 @@ object DedupQueries {
     * how much of the corpus sits in clusters of 1 / 2 / 3–4 / … docs
     * (singleton-heavy corpora don't pay for dedup; head-heavy ones
     * dictate the replica-cap and the [[qSourceOverlap]] audit). Same
-    * content-fingerprint key; one hash aggregate to cluster sizes,
-    * then a constant-size bucket rollup — the CASE bucketing is on
-    * exact integers, so both engines bin identically. */
+    * fused content-fingerprint key ([[qSourceOverlap]]'s rationale);
+    * one hash aggregate to cluster sizes, then a constant-size bucket
+    * rollup — the CASE bucketing is on exact integers, so both engines
+    * bin identically. `bucket_lo` (the bucket's lower bound) keys the
+    * ordering so the histogram reads in numeric, not lexicographic,
+    * order (round-8 ADVICE). */
   def qDupClusterHist(s: SparkSession, dir: String): DataFrame = {
-    val fp = md5(array_join(array_sort(array_distinct(
-      split(col("text"), " "))), " "))
+    val fp = graft.functions.TextFunctions.tokenSetHash(s, col("text"))
+    val bucketLo = when(col("n") === 1, 1L)
+      .when(col("n") === 2, 2L)
+      .when(col("n") <= 4, 3L)
+      .when(col("n") <= 8, 5L)
+      .when(col("n") <= 16, 9L)
+      .otherwise(17L)
     val bucket = when(col("n") === 1, "1")
       .when(col("n") === 2, "2")
       .when(col("n") <= 4, "3-4")
@@ -97,10 +110,10 @@ object DedupQueries {
       .otherwise("17+")
     docs(s, dir).select(fp.as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n"))
-      .select(bucket.as("cluster_size"), col("n"))
-      .groupBy("cluster_size")
+      .select(bucketLo.as("bucket_lo"), bucket.as("cluster_size"), col("n"))
+      .groupBy("bucket_lo", "cluster_size")
       .agg(count(lit(1)).as("n_clusters"), sum("n").as("n_docs"))
-      .orderBy("cluster_size")
+      .orderBy("bucket_lo")
   }
 
   /** (doc_id, sha) where sha = the doc's distinct word-3-gram shingles
@@ -589,7 +602,7 @@ object DedupQueries {
         |        a.n * b.n AS pairs
         |      FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source),
         |w AS (SELECT source AS source_a, source AS source_b,
-        |        CAST(n * (n - 1) / 2 AS BIGINT) AS pairs
+        |        n * (n - 1) // 2 AS pairs
         |      FROM g WHERE n >= 2)
         |SELECT source_a, source_b,
         |  CAST(SUM(pairs) AS BIGINT) AS dup_pairs,
@@ -603,7 +616,10 @@ object DedupQueries {
         |      string_split(text, ' '))), ' ')) AS fp
         |  FROM documents),
         |g AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
-        |SELECT CASE WHEN n = 1 THEN '1'
+        |SELECT CAST(CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+        |            WHEN n <= 4 THEN 3 WHEN n <= 8 THEN 5
+        |            WHEN n <= 16 THEN 9 ELSE 17 END AS BIGINT) AS bucket_lo,
+        |  CASE WHEN n = 1 THEN '1'
         |            WHEN n = 2 THEN '2'
         |            WHEN n <= 4 THEN '3-4'
         |            WHEN n <= 8 THEN '5-8'
@@ -611,6 +627,6 @@ object DedupQueries {
         |            ELSE '17+' END AS cluster_size,
         |  COUNT(*) AS n_clusters,
         |  CAST(SUM(n) AS BIGINT) AS n_docs
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM g GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

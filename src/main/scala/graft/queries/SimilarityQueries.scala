@@ -186,14 +186,18 @@ object SimilarityQueries {
   /** Test hook: forget in-JVM models (simulates a fresh engine). */
   private[graft] def clearModelCache(): Unit = modelCache.clear()
 
-  /** Exact brute-force cosine top-k for query vectors vec_id < 10. */
+  /** Exact brute-force cosine top-k for query vectors vec_id < 10.
+    * Top-k membership orders on the cosine ROUNDED to 9 decimals (both
+    * engines): sub-ulp FP evaluation-order drift at a rank-boundary
+    * near-tie could otherwise swap a neighbor between engines (round-8
+    * ADVICE); at 9 decimals the tie-break neighbor_id decides instead. */
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
     val corpus = emb(s, dir)
     val queries = corpus.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val w = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(round(col("cos"), 9).desc, col("neighbor_id"))
     corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
@@ -225,8 +229,10 @@ object SimilarityQueries {
     val queries = corpus.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qnrm"))
+    // Rounded-cosine rank order: see [[qAnnBruteforce]] (round-8 ADVICE
+    // — the integer `agree` rollup amplifies a swapped neighbor).
     val w = Window.partitionBy("q_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
+      .orderBy(round(col("cos"), 9).desc, col("neighbor_id"))
     val perQuery = corpus.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
@@ -389,7 +395,7 @@ object SimilarityQueries {
         |FROM (
         |  SELECT q_id, neighbor_id, cos,
         |         ROW_NUMBER() OVER (PARTITION BY q_id
-        |                            ORDER BY cos DESC, neighbor_id) AS rnk
+        |                            ORDER BY ROUND(cos, 9) DESC, neighbor_id) AS rnk
         |  FROM (
         |    SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
         |           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -423,7 +429,7 @@ object SimilarityQueries {
         |  WHERE a.vec_id < 50),
         |r AS (SELECT q_id, q_label, n_label,
         |        ROW_NUMBER() OVER (PARTITION BY q_id
-        |                           ORDER BY cos DESC, neighbor_id) AS rnk
+        |                           ORDER BY ROUND(cos, 9) DESC, neighbor_id) AS rnk
         |      FROM p),
         |q AS (SELECT q_id, q_label,
         |        SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS agree

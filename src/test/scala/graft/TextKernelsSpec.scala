@@ -260,6 +260,34 @@ class TextKernelsSpec extends SparkTestBase {
     assert(cand.contains((1L, 2L)), cand.mkString(", "))
   }
 
+  test("token_set_hash induces the md5-of-sorted-distinct-tokens partition") {
+    // The fused fingerprint is a GROUPING key: it must equate exactly
+    // the documents the md5-of-sorted-distinct-tokens key equates —
+    // equal token SETS, insensitive to order and duplication — on
+    // every edge shape. Both directions: same md5 ⟹ same hash (sum is
+    // a function of the set) and same hash ⟹ same md5 (no collisions
+    // across these cases).
+    val rows = df.select(
+      graft.functions.TextFunctions.tokenSetHash(spark, col("text")).as("tsh"),
+      md5(array_join(array_sort(array_distinct(split(col("text"), " "))),
+        " ")).as("m")).collect()
+    val byMd5 = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(0)).toSet)
+    byMd5.foreach { case (m, hs) =>
+      assert(hs.size == 1, s"md5 group $m maps to ${hs.size} set-hashes")
+    }
+    val byHash = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet)
+    byHash.foreach { case (h, ms) =>
+      assert(ms.size == 1, s"set-hash $h maps to ${ms.size} md5 keys")
+    }
+    // Order/duplication insensitivity, pinned directly.
+    val Seq(h1, h2, h3, h4) = Seq("b a c", "c b a", "a a b c c", "a b")
+      .map(t => graft.functions.TextKernel.tokenSetHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    assert(h1 == h2 && h2 == h3 && h1 != h4)
+  }
+
   test("kernels stay inside whole-stage codegen") {
     // Over the parquet-backed table: a local relation would be
     // constant-folded into a LocalTableScan with no codegen at all.
