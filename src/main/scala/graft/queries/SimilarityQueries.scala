@@ -379,17 +379,72 @@ object SimilarityQueries {
       .limit(50)
   }
 
+  /** Deterministic recall verdict for an approximate top-k result
+    * against the in-engine brute-force ground truth — the driver-
+    * verifiable form of the ANN rows (round-8 verdict "next" #1). One
+    * row: `n_queries` (genuinely oracle-checked), `shape_ok` = every
+    * query produced exactly TopK rows ranked 1..TopK, `recall_ok` =
+    * aggregate recall@TopK ≥ `floor`. Everything is deterministic (no
+    * RNG anywhere: seeded hyperplanes, hash-seeded k-means, fixed
+    * data), so the verdict is a constant the oracle can state as a
+    * literal — and any recall/shape regression hash-fails the row. */
+  private def recallVerdict(approx: DataFrame, exact: DataFrame,
+      floor: Double): DataFrame = {
+    val hits = approx.select("q_id", "neighbor_id")
+      .join(exact.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    val shape = approx.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("mn"),
+        max("rnk").as("mx"), countDistinct("rnk").as("nd"))
+    exact.select("q_id").distinct()
+      .join(shape, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        min(when(col("n") === TopK && col("mn") === 1 &&
+          col("mx") === TopK && col("nd") === TopK, 1).otherwise(0))
+          .cast("int").as("shape_ok"),
+        (sum(coalesce(col("hits"), lit(0L))) * lit(1.0) /
+          (count(lit(1)) * TopK) >= floor).cast("int").as("recall_ok"))
+  }
+
+  /** [[qAnnIvf]] under the driver-verifiable recall contract. Floor
+    * 0.2 = the information-theoretic nprobe/k expectation on the
+    * driver's measured-uniform corpus (nprobe 2 of k 10 cells — no
+    * index can promise more on structureless vectors; suite-pinned);
+    * measured aggregate recall@5 at sf0.01 is 0.50. */
+  def qAnnIvfVerdict(s: SparkSession, dir: String): DataFrame =
+    recallVerdict(qAnnIvf(s, dir), qAnnBruteforce(s, dir), 0.2)
+
+  /** [[qAnnLsh]] under the driver-verifiable recall contract. Floor
+    * 0.035 = the multi-probe scan fraction (bits+1)/2^bits — the
+    * uniform-corpus expectation for 8-bit signatures probing 9
+    * buckets; measured aggregate recall@5 at sf0.01 is 0.08. */
+  def qAnnLshVerdict(s: SparkSession, dir: String): DataFrame =
+    recallVerdict(qAnnLsh(s, dir), qAnnBruteforce(s, dir), 0.035)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
-    "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
-    "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
+    "q_ann_ivf" -> (qAnnIvfVerdict _),
+    "q_ann_lsh" -> (qAnnLshVerdict _),
     "q_embed_outliers" -> (qEmbedOutliers _),
     "q_knn_agreement" -> (qKnnAgreement _),
   )
 
   // (IVF persistence lives in [[IvfStore]] below.)
 
+  /** n_queries is genuinely computed; the shape/recall verdicts are
+    * literal 1 — the engine computes them deterministically, so a
+    * regression hash-fails the row (see [[recallVerdict]]). */
+  private val annVerdictOracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      | 1 AS shape_ok, 1 AS recall_ok
+      |FROM embeddings WHERE vec_id < 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_ann_ivf" -> annVerdictOracle,
+    "q_ann_lsh" -> annVerdictOracle,
     "q_ann_bruteforce" ->
       """SELECT q_id, neighbor_id, ROUND(cos, 4) AS cos_sim, rnk
         |FROM (
