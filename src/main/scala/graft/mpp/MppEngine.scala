@@ -32,6 +32,21 @@ object MergeWhenMatched {
 final case class MergeWhenNotMatched(condition: Option[String],
     assigns: Option[Seq[(String, String)]])
 
+/** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …|DELETE` —
+  * acts on TARGET rows with no matching source row (ANSI full-merge
+  * surface; Spark's own `MergeIntoTable.notMatchedBySourceActions`
+  * models the same). `SET *` is meaningless here (there is no source
+  * row), so Update carries an explicit, non-empty assignment list;
+  * conditions reference target columns only, per ANSI. */
+sealed trait MergeWhenNotBySource { def condition: Option[String] }
+
+object MergeWhenNotBySource {
+  final case class Update(condition: Option[String],
+      sets: Seq[(String, String)]) extends MergeWhenNotBySource
+  final case class Delete(condition: Option[String])
+    extends MergeWhenNotBySource
+}
+
 /** The distributed-table engine: Spark-native port of the duckdb-mpp
   * capability layer (SURVEY.md §2.1).
   *
@@ -787,11 +802,25 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * Returns updated + deleted + inserted row count. */
   def merge(name: String, source0: DataFrame,
       matched: Seq[MergeWhenMatched],
-      notMatched: Seq[MergeWhenNotMatched]): Long = {
+      notMatched: Seq[MergeWhenNotMatched]): Long =
+    merge(name, source0, matched, notMatched, Nil)
+
+  /** Full-surface merge including `WHEN NOT MATCHED BY SOURCE [AND
+    * cond] THEN UPDATE SET …|DELETE` clauses (first-match-wins among
+    * themselves, acting on target rows without a source match). BY
+    * SOURCE clauses widen the rewrite to EVERY bucket — any bucket may
+    * hold unmatched target rows, so the affected-bucket pruning that
+    * makes matched/insert merges batch-local cannot apply; that is the
+    * ANSI semantics' true cost, not an implementation choice (an empty
+    * source, e.g., updates/deletes every target row). */
+  def merge(name: String, source0: DataFrame,
+      matched: Seq[MergeWhenMatched],
+      notMatched: Seq[MergeWhenNotMatched],
+      notBySource: Seq[MergeWhenNotBySource]): Long = {
     val t = info(name)
     val pc = t.partitionColumn
     val schema = userSchema(t)
-    require(matched.nonEmpty || notMatched.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || notBySource.nonEmpty,
       s"MERGE ${t.name}: at least one WHEN clause is required")
     val known = schema.fieldNames.map(_.toLowerCase).toSet
     def checkCols(what: String, cols: Seq[String]): Unit = {
@@ -806,6 +835,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         require(!ss.exists(_._1.equalsIgnoreCase(pc)),
           s"MERGE ${t.name}: cannot update the partition column $pc")
       case MergeWhenMatched.Delete(_) =>
+    }
+    notBySource.foreach {
+      case MergeWhenNotBySource.Update(_, ss) =>
+        require(ss.nonEmpty, s"MERGE ${t.name}: WHEN NOT MATCHED BY " +
+          "SOURCE THEN UPDATE needs an explicit SET list (there is no " +
+          "source row for SET *)")
+        checkCols("NOT MATCHED BY SOURCE UPDATE SET", ss.map(_._1))
+        require(!ss.exists(_._1.equalsIgnoreCase(pc)),
+          s"MERGE ${t.name}: cannot update the partition column $pc")
+      case MergeWhenNotBySource.Delete(_) =>
     }
     notMatched.foreach { cl =>
       cl.assigns.foreach { as =>
@@ -847,12 +886,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         collect_set(pmod(hash(col(pc)), lit(t.buckets))).as("bks"))
       .collect()(0)
     val nSrc = srcStats.getLong(0)
-    if (nSrc == 0L) return 0L
+    // An empty source is NOT a no-op under BY SOURCE clauses: every
+    // target row is then "not matched by source".
+    if (nSrc == 0L && notBySource.isEmpty) return 0L
     require(matched.isEmpty || srcStats.getLong(1) <= 1L,
       s"MERGE ${t.name}: source has duplicate join keys on $pc — a " +
         "target row would be updated by more than one source row " +
         "(ANSI MERGE cardinality violation)")
-    val affected = srcStats.getSeq[Int](2).toSet
+    val affected =
+      if (notBySource.nonEmpty) (0 until t.buckets).toSet
+      else srcStats.getSeq[Int](2).toSet
     def affectedScan: DataFrame =
       if (affected.size == t.buckets) readWithBucket(t)
       else readWithBucket(t).filter(col(BucketCol).isin(affected.toSeq: _*))
@@ -879,7 +922,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           }
           when(col("__i_act") === j, v.cast(f.dataType)).otherwise(e)
       }
-    if (matched.isEmpty) {
+    if (matched.isEmpty && notBySource.isEmpty) {
       // Insert-only fast path: anti-join the batch against the touched
       // buckets' KEYS (column-pruned scan), append the applicable
       // survivors — no COW rewrite, no swap. Renamed into the same
@@ -920,22 +963,42 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val deleteIdxs = matched.zipWithIndex.collect {
       case (MergeWhenMatched.Delete(_), i) => i
     }
+    // First-match-wins clause index over the NOT MATCHED BY SOURCE
+    // chain, evaluated only on target-only rows (target namespace; a
+    // stray __src_ reference is null there and condOf coalesces it to
+    // false, matching ANSI's target-columns-only rule).
+    val isTgtOnly = col("__t_present").isNotNull &&
+      col("__src_present").isNull
+    val bySrcActionIdx = notBySource.zipWithIndex.foldRight(
+        lit(-1): org.apache.spark.sql.Column) { case ((cl, i), e) =>
+      when(condOf(cl.condition), lit(i)).otherwise(e)
+    }
+    val sDeleteIdxs = notBySource.zipWithIndex.collect {
+      case (MergeWhenNotBySource.Delete(_), i) => i
+    }
     val withActs = joined
       .withColumn("__m_act", when(isM, matchedActionIdx).otherwise(lit(-1)))
       .withColumn("__i_act", when(isSrcOnly, insertActionIdx)
         .otherwise(lit(-1)))
+      .withColumn("__s_act", when(isTgtOnly, bySrcActionIdx)
+        .otherwise(lit(-1)))
     val isDel =
       if (deleteIdxs.isEmpty) lit(false)
       else col("__m_act").isin(deleteIdxs.map(Int.box): _*)
+    val isSDel =
+      if (sDeleteIdxs.isEmpty) lit(false)
+      else col("__s_act").isin(sDeleteIdxs.map(Int.box): _*)
     val obs = Observation()
     val observed = withActs.observe(obs,
       count(when(col("__m_act") >= 0 && !isDel, 1)).as("n"),
       count(when(isDel, 1)).as("del"),
-      count(when(col("__i_act") >= 0, 1)).as("ins"))
-    // Keep: target-only rows, matched rows not selected for DELETE,
-    // and source-only rows an insert clause accepted.
+      count(when(col("__i_act") >= 0, 1)).as("ins"),
+      count(when(col("__s_act") >= 0 && !isSDel, 1)).as("s_upd"),
+      count(when(isSDel, 1)).as("s_del"))
+    // Keep: target rows not selected for DELETE by either chain, and
+    // source-only rows an insert clause accepted.
     val kept = observed.filter(
-      (col("__t_present").isNotNull && !isDel) ||
+      (col("__t_present").isNotNull && !isDel && !isSDel) ||
         (isSrcOnly && col("__i_act") >= 0))
     def updateVal(sets: Seq[(String, String)],
         f: StructField): org.apache.spark.sql.Column = sets match {
@@ -950,8 +1013,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         case ((i, v), e) =>
           when(col("__m_act") === i, v.cast(f.dataType)).otherwise(e)
       }
+      val bySrcCascade = notBySource.zipWithIndex.collect {
+        case (MergeWhenNotBySource.Update(_, ss), i) =>
+          (i, ss.find(_._1.equalsIgnoreCase(f.name))
+            .map(a => expr(a._2)).getOrElse(col(f.name)))
+      }.foldRight(col(f.name): org.apache.spark.sql.Column) {
+        case ((i, v), e) =>
+          when(col("__s_act") === i, v.cast(f.dataType)).otherwise(e)
+      }
       when(isM, updCascade)
-        .when(col("__t_present").isNotNull, col(f.name))
+        .when(col("__t_present").isNotNull, bySrcCascade)
         .otherwise(insertVal(f))
         .as(f.name)
     }
@@ -963,7 +1034,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       case Some(x: Long) => x
       case _ => 0L
     }
-    observedLong(obs) + cnt("del") + cnt("ins")
+    observedLong(obs) + cnt("del") + cnt("ins") + cnt("s_upd") + cnt("s_del")
   }
 
   /** Parse the dialect's WHEN-clause tail into the engine's clause
@@ -974,13 +1045,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * Spark's full parser, has no such restriction). */
   private def parseMergeClauses(tableName: String, tAlias: String,
       tail: String, xlate: String => String)
-      : (Seq[MergeWhenMatched], Seq[MergeWhenNotMatched]) = {
+      : (Seq[MergeWhenMatched], Seq[MergeWhenNotMatched],
+        Seq[MergeWhenNotBySource]) = {
     def unsupported(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"MERGE INTO $tableName: $what (supported: WHEN MATCHED " +
           "[AND cond] THEN UPDATE SET */assignments | DELETE, " +
           "WHEN NOT MATCHED [AND cond] THEN INSERT * | " +
-          "INSERT (cols) VALUES (exprs))")
+          "INSERT (cols) VALUES (exprs), WHEN NOT MATCHED BY SOURCE " +
+          "[AND cond] THEN UPDATE SET assignments | DELETE)")
     def stripKey(k: String): String = k.trim.replaceFirst(
       "(?i)^(" + java.util.regex.Pattern.quote(tAlias) + "|" +
         java.util.regex.Pattern.quote(tableName) + ")\\.", "")
@@ -988,6 +1061,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     if (clauses.isEmpty) unsupported("no WHEN clause found")
     val m = Seq.newBuilder[MergeWhenMatched]
     val i = Seq.newBuilder[MergeWhenNotMatched]
+    val sb = Seq.newBuilder[MergeWhenNotBySource]
     def condThen(rest: String): (Option[String], String) = {
       val r = rest.trim
       val thenPos = keywordPositions(r, "THEN")
@@ -1004,7 +1078,22 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
     clauses.foreach {
       case c if MergeNotBySourceRe.matches(c.trim) =>
-        unsupported("WHEN NOT MATCHED BY SOURCE is not supported")
+        val MergeNotBySourceRe(rest) = c.trim: @unchecked
+        val (cond, action) = condThen(rest)
+        action match {
+          case MergeDeleteRe() => sb += MergeWhenNotBySource.Delete(cond)
+          case MergeUpdateRe(setsStr) =>
+            if (setsStr.trim == "*")
+              unsupported("NOT MATCHED BY SOURCE UPDATE SET * (no " +
+                "source row exists; list the assignments)")
+            val sets = splitTopLevel(setsStr).map { a =>
+              val Array(ck, e) = a.split("=", 2)
+              stripKey(ck) -> xlate(e.trim)
+            }
+            sb += MergeWhenNotBySource.Update(cond, sets)
+          case other =>
+            unsupported(s"NOT MATCHED BY SOURCE action '${other.take(60)}'")
+        }
       case MergeNotMatchedRe(rest) =>
         val (cond, action) = condThen(rest)
         action match {
@@ -1036,7 +1125,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
       case other => unsupported(s"clause 'WHEN ${other.take(60)}'")
     }
-    (m.result(), i.result())
+    (m.result(), i.result(), sb.result())
   }
 
   /** Minimal-shape sugar kept for the common upsert call sites:
@@ -1279,9 +1368,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           if (sourceStr.trim.startsWith("("))
             sourceStr.trim.drop(1).dropRight(1)
           else s"SELECT * FROM $sourceStr"
-        val (mcls, icls) =
+        val (mcls, icls, scls) =
           parseMergeClauses(t.name, tAlias, whenTail, xlate)
-        val n = merge(name, MppEngine.readSql(spark, srcSql), mcls, icls)
+        val n = merge(name, MppEngine.readSql(spark, srcSql), mcls, icls,
+          scls)
         Seq(n).toDF("Count")
       case DropRe(name) if catalog.state.liveTable(localKey(name)).isDefined =>
         dropTable(name)
@@ -1556,7 +1646,7 @@ object MppEngine {
   private[mpp] val MergeNotMatchedRe =
     """(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?\b(.*)$""".r
   private[mpp] val MergeNotBySourceRe =
-    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\b.*$""".r
+    """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\b(.*)$""".r
   private[mpp] val MergeAndCondRe = """(?is)^AND\s+(.+)$""".r
   private[mpp] val MergeDeleteRe = """(?is)^DELETE$""".r
   private[mpp] val MergeUpdateRe = """(?is)^UPDATE\s+SET\s+(.+)$""".r

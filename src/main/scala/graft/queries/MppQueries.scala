@@ -263,6 +263,28 @@ object MppQueries {
       "THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice) " +
       "VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus, " +
       "s.o_custkey * 3.0 + 0.125)")
+    // Merge 3 (round-9): WHEN NOT MATCHED BY SOURCE over the sentinel
+    // key set — every real row is unmatched here, so the BY SOURCE
+    // chain acts on the whole table (full-bucket COW by ANSI
+    // semantics): conditional DELETE permanently removes the non-%40
+    // 'F'/custkey%5 slice (idempotent: gone after pass 1, and merge 1
+    // only ever re-inserts %40 keys), conditional UPDATE reprices the
+    // non-%40 'O'/custkey%3 slice to a custkey-determined value
+    // (idempotent by construction). The matched branch re-asserts the
+    // sentinel price from TARGET columns — same fixpoint as merge 2's
+    // insert, so sentinels converge regardless of clause order.
+    e.sql("MERGE INTO orders_mf t USING (" +
+      s"SELECT o_orderkey + $base AS o_orderkey " +
+      "FROM orders_mrgf_src WHERE o_orderkey % 40 = 0 " +
+      "AND o_custkey % 2 = 0) s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET " +
+      "o_totalprice = t.o_custkey * 3.0 + 0.125 " +
+      "WHEN NOT MATCHED BY SOURCE AND o_orderkey % 40 <> 0 " +
+      "AND o_orderstatus = 'F' AND o_custkey % 5 = 0 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE AND o_orderkey % 40 <> 0 " +
+      "AND o_orderstatus = 'O' AND o_custkey % 3 = 0 " +
+      "THEN UPDATE SET o_totalprice = o_custkey * 5.0 + 0.5")
     e.sql("""SELECT o_orderstatus, count(1) AS n,
              round(sum(o_totalprice) / 1000000, 4) AS total_m,
              count(o_orderdate) AS n_dates
@@ -349,8 +371,13 @@ object MppQueries {
         |FROM f GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_mpp_merge_full" ->
       """WITH f AS (
-        |  SELECT o_orderstatus, o_totalprice AS p, o_orderdate AS d
+        |  SELECT o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'O' AND o_custkey % 3 = 0
+        |              THEN o_custkey * 5.0 + 0.5
+        |              ELSE o_totalprice END AS p,
+        |         o_orderdate AS d
         |  FROM orders WHERE o_orderkey % 40 <> 0
+        |    AND NOT (o_orderstatus = 'F' AND o_custkey % 5 = 0)
         |  UNION ALL
         |  SELECT o_orderstatus, o_custkey * 3.0 + 0.125 AS p, o_orderdate AS d
         |  FROM orders WHERE o_orderkey % 40 = 0 AND o_orderstatus <> 'F'

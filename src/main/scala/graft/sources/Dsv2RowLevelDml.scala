@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.util.V2ExpressionSQLBuilder
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.mpp.{MergeWhenMatched, MergeWhenNotMatched, MppEngine}
+import graft.mpp.{MergeWhenMatched, MergeWhenNotBySource, MergeWhenNotMatched, MppEngine}
 
 /** Row-level DML for the DSv2 catalog surface (reference W2/W3,
   * `/root/reference/src/execution/mpp_physical_update.cpp:21-119`, on the
@@ -118,15 +118,14 @@ object Dsv2MergeRule extends Rule[LogicalPlan] {
             "<source>.<partition col>, WHEN MATCHED [AND cond] THEN " +
             "UPDATE/DELETE, WHEN NOT MATCHED [AND cond] THEN INSERT)")
       if (m.withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-      if (m.notMatchedBySourceActions.nonEmpty)
-        unsupported("WHEN NOT MATCHED BY SOURCE")
       val tgtOut = m.targetTable.outputSet
       val srcOut = m.sourceTable.outputSet
       // Only act once the merge is fully resolved (star actions
       // expanded, references bound); until then leave the node for the
       // analyzer to keep resolving.
       val exprsResolved = m.mergeCondition.resolved &&
-        (m.matchedActions ++ m.notMatchedActions).forall(_.resolved)
+        (m.matchedActions ++ m.notMatchedActions ++
+          m.notMatchedBySourceActions).forall(_.resolved)
       if (!exprsResolved) m
       else {
         m.mergeCondition match {
@@ -185,8 +184,21 @@ object Dsv2MergeRule extends Rule[LogicalPlan] {
               Some(assigns.map(a => keyName(a) -> xlate(a.value))))
           case other => unsupported(s"WHEN NOT MATCHED action $other")
         }
+        // BY SOURCE actions see target rows only — ANSI forbids source
+        // references in them and the analyzer already enforces it, so
+        // xlate's __src_ rewrite is a no-op on these expressions.
+        val notBySource: Seq[MergeWhenNotBySource] =
+          m.notMatchedBySourceActions.map {
+            case DeleteAction(cond) =>
+              MergeWhenNotBySource.Delete(cond.map(xlate))
+            case UpdateAction(cond, assigns, _) =>
+              MergeWhenNotBySource.Update(cond.map(xlate),
+                assigns.map(a => keyName(a) -> xlate(a.value)))
+            case other =>
+              unsupported(s"WHEN NOT MATCHED BY SOURCE action $other")
+          }
         GraftDsv2Merge(ct.owner.warehouse, ct.name(), m.sourceTable,
-          matched, notMatched)
+          matched, notMatched, notBySource)
       }
   }
 }
@@ -196,7 +208,9 @@ object Dsv2MergeRule extends Rule[LogicalPlan] {
   * affected bucket). */
 final case class GraftDsv2Merge(warehouse: String, table: String,
     source: LogicalPlan, matched: Seq[MergeWhenMatched],
-    notMatched: Seq[MergeWhenNotMatched]) extends LeafRunnableCommand {
+    notMatched: Seq[MergeWhenNotMatched],
+    notBySource: Seq[MergeWhenNotBySource] = Nil)
+    extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Nil
 
@@ -206,7 +220,7 @@ final case class GraftDsv2Merge(warehouse: String, table: String,
     val engine = MppEngine.registry.getOrElse(warehouse,
       new MppEngine(spark, warehouse))
     val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, source)
-    engine.merge(table, src, matched, notMatched)
+    engine.merge(table, src, matched, notMatched, notBySource)
     Nil
   }
 }

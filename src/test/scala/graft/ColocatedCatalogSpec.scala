@@ -437,11 +437,24 @@ class ColocatedCatalogSpec extends SparkTestBase {
           "WHEN MATCHED THEN UPDATE SET *")
       }
       assert(err.getMessage.contains("not supported"), err.getMessage)
-      val err2 = intercept[Exception] {
-        s2.sql("MERGE INTO mppmrg.mrg t USING mrg_batch s ON t.k = s.k " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-      }
-      assert(err2.getMessage.contains("not supported"), err2.getMessage)
+      // WHEN NOT MATCHED BY SOURCE through the stock parser (round-9):
+      // keys 5/10 match (v := 0), target-only rows with v < 4 delete
+      // (k = 1, 2, 3), the rest get +1000.
+      s2.range(1, 3).toDF("k")
+        .withColumn("v", col("k") * 0.0)
+        .withColumn("k", col("k") * 5) // keys 5, 10
+        .createOrReplaceTempView("mrg_b3")
+      s2.sql("MERGE INTO mppmrg.mrg t USING mrg_b3 s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 4.0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1000.0")
+      val got3 = engine.table("mrg").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(!got3.contains(1L) && !got3.contains(2L) && !got3.contains(3L),
+        got3.toString)
+      assert(got3(5L) == 0.0 && got3(10L) == 0.0, got3.toString)
+      assert(got3(4L) == 1004.0 && got3(9L) == 1009.0 &&
+        got3(15L) == 1305.5, got3.toString)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       org.apache.spark.sql.SparkSession.clearDefaultSession()

@@ -314,11 +314,12 @@ class MppSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET k = s.k + 1")
     }
     assert(badSet.getMessage.contains("partition column"), badSet.getMessage)
-    val badClause = intercept[UnsupportedOperationException] {
+    // BY SOURCE UPDATE SET * is meaningless (no source row) — clean error.
+    val badStar = intercept[UnsupportedOperationException] {
       e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_one) s ON t.k = s.k " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *")
     }
-    assert(badClause.getMessage.contains("not supported"), badClause.getMessage)
+    assert(badStar.getMessage.contains("SET *"), badStar.getMessage)
     // Explicit INSERT list must carry the partition column from the
     // source — any other value could leave the bucket-local contract.
     val badPc = intercept[IllegalArgumentException] {
@@ -391,6 +392,42 @@ class MppSpec extends SparkTestBase {
       "WHEN MATCHED THEN UPDATE SET tag = 's.v is literal'")
     assert(e.table("m3").filter("k = 5").head().getString(2) ==
       "s.v is literal")
+  }
+
+  test("MERGE INTO: WHEN NOT MATCHED BY SOURCE acts on unmatched " +
+      "target rows (dialect; conditional chain, empty source)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE m4(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.sql("INSERT INTO m4 VALUES (1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)")
+    import spark.implicits._
+    Seq((2L, 20.0), (5L, 50.0)).toDF("k", "v")
+      .createOrReplaceTempView("m4_batch")
+    // k=2 matched-updates, k=5 inserts; of the unmatched target rows
+    // k=1 (v<2) deletes via the first BY SOURCE clause, k=3 and k=4
+    // update via the second (first-match-wins within the chain).
+    val n = e.sql("MERGE INTO m4 t USING (SELECT * FROM m4_batch) s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * " +
+      "WHEN NOT MATCHED BY SOURCE AND v < 2.0 THEN DELETE " +
+      "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = v + 100.0")
+      .head().getLong(0)
+    assert(n == 5L, s"1 upd + 1 ins + 1 bysrc-del + 2 bysrc-upd = 5, got $n")
+    val got = e.table("m4").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((2L, 20.0), (3L, 103.0), (4L, 104.0), (5L, 50.0)),
+      got.toString)
+    // ANSI corner: an EMPTY source makes every target row "not matched
+    // by source" — the merge is NOT a no-op.
+    val n2 = e.sql("MERGE INTO m4 t USING (SELECT * FROM m4_batch " +
+      "WHERE v > 1e9) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED BY SOURCE AND v >= 100.0 THEN DELETE")
+      .head().getLong(0)
+    assert(n2 == 2L, s"empty source still BY-SOURCE-deletes, got $n2")
+    val ks = e.table("m4").orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(ks == Seq(2L, 5L), ks.toString)
   }
 
   test("DROP TABLE marks metadata deleted and removes data (mpp.test)") {
