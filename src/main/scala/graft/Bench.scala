@@ -40,7 +40,15 @@ object Bench {
       try { fn(spark, dir).count() } catch {
         case e: Throwable => errors(name) = e.getClass.getSimpleName
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // GC-debt isolation (round-8 verdict #7): a multi-second row
+      // leaves young-gen debt that inflates the NEXT rows by 0.3-1.5 s
+      // (measured: q_mpp_update read 6.4 s bench-context vs 5.0 s
+      // isolated). Collect it on the heavy row's own clock boundary so
+      // every row times its plan, not its predecessor's garbage. The
+      // ~0.1 s GC pause is outside both rows' timers.
+      if (sec > 2.0) System.gc()
+      name -> sec
     }
     val cold = pass()
     (1 until warmPasses).foreach { _ => System.gc(); pass() }
@@ -98,8 +106,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).count() // JIT the scheduler path
-    // Deterministic (sorted) order for cross-round comparability.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Deterministic (sorted) order for cross-round comparability, with
+    // one amendment (round-8 verdict #7): the two span-dedup rows — the
+    // heaviest of the surface — run LAST, so their allocation pressure
+    // can never bleed into the rows that would otherwise follow them
+    // alphabetically. Per-row numbers stay comparable across rounds;
+    // only the execution order moved.
+    val heavyTail = Seq("q_span_dedup", "q_span_dedup_winnow")
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = sorted.filterNot(n => heavyTail.contains(n._1)) ++
+      heavyTail.flatMap(h => sorted.find(_._1 == h))
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val (cold, steady, errors) = phase(spark, sfDir, names)

@@ -257,15 +257,11 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       point: String, lo: String, hi: String,
       keys: Seq[String], maxBinsPerInterval: Int): DataFrame = {
-    val w = autoBinWidth(intervals, lo, hi)
-    // Density guard (round-7 verdict): the width-free path already paid
-    // one aggregate over the intervals, so a second constant-size
-    // aggregate estimating intervals-per-cell and residual waste is in
-    // the same cost class. Dense cells get the documented warning; the
-    // sweep fires only when the hash path would also WASTE ≫ its
-    // output (see WasteThreshold — provably unreachable at the p75
-    // width, so under auto sizing this logs rather than reroutes).
-    val (density, waste) = cellStats(intervals, lo, hi, w, keys)
+    // ONE probe job (round-8 verdict #6 — the former autoBinWidth +
+    // cellStats pair scanned the intervals twice): a single aggregate
+    // yields the p75 width plus the w-independent moments from which
+    // density and waste derive algebraically (see [[probeStats]]).
+    val (w, density, waste) = probeStats(intervals, lo, hi)
     if (density > DenseCellThreshold) {
       val useSweep = waste > WasteThreshold
       log.warn(f"RangeJoin: ~$density%.0f intervals per occupied cell at " +
@@ -353,6 +349,44 @@ object RangeJoin {
   private[graft] def cellDensity(intervals: DataFrame, lo: String,
       hi: String, w: Long, keys: Seq[String] = Nil): Double =
     cellStats(intervals, lo, hi, w, keys)._1
+
+  /** Fused one-pass probe of the width-free variant: (p75 width,
+    * density estimate, waste). [[cellStats]] needs the width to bin,
+    * so pairing it with [[autoBinWidth]] cost two full scans; instead
+    * ONE aggregate collects the p75 plus w-INDEPENDENT moments (n,
+    * Σlen, avg len, domain span) and derives at the chosen width:
+    * replication ≈ n + Σlen/w (each interval spans len/w cells ± 1),
+    * occupied cells ≤ min(replication, span/w + 1), density =
+    * replication / that bound, waste = 1 + w/avgLen (the exact
+    * [[cellStats]] formula). The density is an UNDER-estimate when
+    * intervals cluster in a sub-span (occupied ≪ span/w) — acceptable
+    * because at the p75 width the sweep reroute is provably
+    * unreachable (waste ≤ 5, see [[WasteThreshold]]) and density only
+    * gates the diagnostic warning; [[cellStats]] remains the exact
+    * reference, suite-compared on the dense regime. */
+  private[graft] def probeStats(intervals: DataFrame, lo: String,
+      hi: String): (Long, Double, Double) = {
+    val len = col(hi).cast("long") - col(lo).cast("long") + lit(1L)
+    val row = intervals
+      .filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+      .agg(
+        approx_percentile(len, lit(0.75), lit(1000)).as("p75"),
+        count(lit(1)).as("n"),
+        coalesce(sum(len), lit(0L)).as("sumLen"),
+        avg(len).as("avgLen"),
+        min(col(lo).cast("long")).as("mn"),
+        max(col(hi).cast("long")).as("mx"))
+      .head()
+    if (row.isNullAt(0)) return (1L, 0.0, 1.0)
+    val w = math.max(1L, row.getLong(0))
+    val n = row.getLong(1)
+    val sumLen = row.getLong(2)
+    val avgLen = if (row.isNullAt(3)) 1.0 else math.max(1.0, row.getDouble(3))
+    val span = (row.getLong(5) - row.getLong(4) + 1).toDouble
+    val replicated = n + sumLen / w.toDouble
+    val cellsUpper = math.max(1.0, math.min(replicated, span / w + 1.0))
+    (w, replicated / cellsUpper, 1.0 + w / avgLen)
+  }
 
   /** Upper-quartile interval length (closed-interval cell count,
     * `hi-lo+1`) as the data-driven bin width. The cost model wants a

@@ -202,7 +202,25 @@ class RangeJoinPropertySpec extends SparkTestBase {
       val (_, wasteM) = RangeJoin.cellStats(mix, "lo", "hi", wm)
       assert(wasteM <= 5.0 + 1e-9,
         s"mix $mi: auto width $wm gives waste $wasteM > 5")
+      // Fused one-pass probe (round-9): same width as autoBinWidth,
+      // same waste as cellStats, density within the documented
+      // order-of-magnitude envelope of the exact binned count.
+      val (wf, df2, wastef) = RangeJoin.probeStats(mix, "lo", "hi")
+      assert(wf == wm, s"mix $mi: fused width $wf != $wm")
+      assert(math.abs(wastef - wasteM) < 1e-9,
+        s"mix $mi: fused waste $wastef != $wasteM")
+      // Density may UNDER-estimate on clustered data (documented: the
+      // span-based cell bound; it only gates a warning) but must never
+      // wildly over-estimate — that would spuriously warn.
+      val (dExact, _) = RangeJoin.cellStats(mix, "lo", "hi", wm)
+      assert(df2 <= dExact * 10 + 1,
+        s"mix $mi: fused density $df2 over-estimates exact $dExact")
     }
+    // The dense geometry above: the fused probe must also flag it.
+    val (wD, densityF, _) = RangeJoin.probeStats(ivs, "lo", "hi")
+    assert(wD == w, s"fused width $wD != $w on the dense geometry")
+    assert(densityF > RangeJoin.DenseCellThreshold,
+      s"fused density $densityF missed the dense regime (exact $density)")
   }
 
   test("inputs carrying a __bin column are rejected up front") {
