@@ -427,6 +427,80 @@ object TextKernel {
     hs
   }
 
+  /** Per-byte random table + polynomial base for the ROLLING gram
+    * hash: [[slideHashes]] re-hashes the full k-byte window at every
+    * position — k× the text volume in hash work, the dominant CPU of
+    * any long-gram consumer. The rolling form pays O(1) per position:
+    * per-character values v(j) (a splitmix-tabled byte fold, one pass),
+    * then H(i) = Σ B^(k-1-j)·v(i+j) over Z/2⁶⁴ with the standard
+    * Rabin-Karp update. Equality-proxy quality is the polynomial-hash
+    * standard (≈2⁻⁶⁴ for non-adversarial text — the same collision
+    * class every gram consumer here already accepts); NOT aligned with
+    * xxhash64, so only consumers comparing within ONE hash universe
+    * may use it. */
+  private val ByteMix: Array[Long] = {
+    val t = new Array[Long](256)
+    var i = 0
+    while (i < 256) {
+      t(i) = fmix64(0x9E3779B97F4A7C15L * (i + 1L)); i += 1
+    }
+    t
+  }
+  private val RollB = 0x9E3779B97F4A7C15L // odd → invertible mod 2^64
+
+  /** DISTINCT k-character-gram hashes of `s`, sorted — the positionless
+    * set form of [[gramPosHashes]] (one fused pass, in-row dedup): when
+    * a consumer only needs WHICH grams a document contains (pair
+    * generation, containment checks), emitting the distinct set removes
+    * the corpus-sized distinct exchange a `explode → distinct` plan
+    * pays, and the ROLLING hash (doc above) removes the k× hashing
+    * cost. Own hash universe — do not intersect with xxhash-based
+    * kernels. */
+  def gramSetHashes(s: UTF8String, k: Int): ArrayData = {
+    val cs = charStarts(s)
+    val n = cs.length - 1
+    val m = n - k + 1
+    if (m <= 0)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // Per-character values: tabled byte fold (one pass over the text).
+    val v = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      var acc = 0L
+      var b = cs(j)
+      while (b < cs(j + 1)) {
+        acc = acc * 31L + ByteMix(Platform.getByte(base, off + b) & 0xFF)
+        b += 1
+      }
+      v(j) = acc
+      j += 1
+    }
+    var bk = 1L // B^(k-1)
+    var e = 0
+    while (e < k - 1) { bk *= RollB; e += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * RollB + v(j); j += 1 }
+    hs(0) = fmix64(h)
+    var i = 1
+    while (i < m) {
+      h = (h - bk * v(i - 1)) * RollB + v(i + k - 1)
+      hs(i) = fmix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** `gram_pos_hashes(text, k)`: the hash of EVERY k-character window
     * of `s` with its 1-based character start position — the positional
     * gram table of exact substring-span dedup (Lee et al. 2021 detect
@@ -625,6 +699,29 @@ object GramPosHashes {
     containsNull = false)
 }
 
+/** `gram_set_hashes(text, k)` → array<long>: sorted DISTINCT
+  * k-character-gram hashes ([[TextKernel.gramSetHashes]]). */
+case class GramSetHashes(child: Expression, k: Int)
+    extends StringKernelExpression {
+  require(k >= 1, s"gram window must be >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "gram_set_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.gramSetHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernel.gramSetHashes($a, $k)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GramSetHashes = copy(child = newChild)
+}
+
 /** `winnow_pos_hashes(text, k, w)` → array<struct<h:bigint, pos:int>>:
   * robust-winnowed fingerprints (window w over the k-char gram hashes). */
 case class WinnowPosHashes(child: Expression, k: Int, w: Int)
@@ -775,6 +872,10 @@ object TextFunctions {
         GramPosHashes(exprs.head, litInt(exprs(1), "gram_pos_hashes")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_set_hashes", exprs =>
+        GramSetHashes(exprs.head, litInt(exprs(1), "gram_set_hashes")),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_pos_hashes", exprs =>
         WinnowPosHashes(exprs.head, litInt(exprs(1), "winnow_pos_hashes"),
           litInt(exprs(2), "winnow_pos_hashes")),
@@ -836,6 +937,12 @@ object TextFunctions {
   def gramPosHashes(spark: SparkSession, text: Column, k: Int): Column = {
     register(spark)
     call_function("gram_pos_hashes", text, lit(k))
+  }
+
+  /** Sorted DISTINCT k-character-gram hashes of `text` (set form). */
+  def gramSetHashes(spark: SparkSession, text: Column, k: Int): Column = {
+    register(spark)
+    call_function("gram_set_hashes", text, lit(k))
   }
 
   /** Robust-winnowed (hash, pos) fingerprints of `text`. */

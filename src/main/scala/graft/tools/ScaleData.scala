@@ -23,6 +23,11 @@ import graft.Tables
   *    handles via its schema branch.
   *
   * Usage: runMain graft.tools.ScaleData <srcDir> <outDir> [factor]
+  *        [tables] — optional comma-separated subset (e.g.
+  *        `documents,events`) for disk-budgeted deep-scale mirrors
+  *        (round-8 verdict "next" #9: a column/table-pruned mirror
+  *        pushes the dedup/text rows another decade within the disk
+  *        budget a full mirror would blow).
   */
 object ScaleData {
 
@@ -49,14 +54,22 @@ object ScaleData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    synthesize(spark, src, out, k)
+    val tables =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set.empty[String]
+    synthesize(spark, src, out, k, tables)
     spark.stop()
   }
 
   def synthesize(spark: SparkSession, src: String, out: String,
-      k: Int): Unit = {
+      k: Int, only: Set[String] = Set.empty): Unit = {
     def t(n: String) = Tables(spark, src, n)
     def shift(c: String, stride: Long) = col(c) + col("copy") * stride
+    def want(n: String): Boolean = only.isEmpty || only.contains(n)
+    // Deep-scale mirrors need more, splittable files per table: scale
+    // the per-table file count with k so no single output file exceeds
+    // a few hundred MB and local[32] scans parallelize.
+    def files(base: Int): Int = math.min(64, math.max(base, k / 250))
 
     // Split output across files so scans parallelize: the driver's
     // single-row-group source files cap scan parallelism at one task
@@ -79,34 +92,34 @@ object ScaleData {
       df.drop("copy").write.mode("overwrite")
         .parquet(s"$out/$name.parquet")
 
-    write(t("region").repartition(1), "region")
-    write(t("nation").repartition(1), "nation")
-    write(scaled(t("customer"), 8)
+    if (want("region")) write(t("region").repartition(1), "region")
+    if (want("nation")) write(t("nation").repartition(1), "nation")
+    if (want("customer")) write(scaled(t("customer"), files(8))
       .withColumn("c_custkey", shift("c_custkey", C)), "customer")
-    write(scaled(t("supplier"), 4)
+    if (want("supplier")) write(scaled(t("supplier"), files(4))
       .withColumn("s_suppkey", shift("s_suppkey", S)), "supplier")
-    write(scaled(t("part"), 8)
+    if (want("part")) write(scaled(t("part"), files(8))
       .withColumn("p_partkey", shift("p_partkey", P)), "part")
-    write(scaled(t("orders"), 16)
+    if (want("orders")) write(scaled(t("orders"), files(16))
       .withColumn("o_orderkey", shift("o_orderkey", O))
       .withColumn("o_custkey", shift("o_custkey", C)), "orders")
-    write(scaled(t("lineitem"), 32)
+    if (want("lineitem")) write(scaled(t("lineitem"), files(32))
       .withColumn("l_orderkey", shift("l_orderkey", O))
       .withColumn("l_partkey", shift("l_partkey", P))
       .withColumn("l_suppkey", shift("l_suppkey", S)), "lineitem")
-    write(scaled(t("events"), 16)
+    if (want("events")) write(scaled(t("events"), files(16))
       .withColumn("event_id", shift("event_id", E))
       .withColumn("user_id", shift("user_id", U)), "events")
     // Bijective per-copy token suffix (copy 0 untouched): exact
     // within-copy jaccard, zero cross-copy shingle overlap.
-    write(scaled(t("documents"), 8)
+    if (want("documents")) write(scaled(t("documents"), files(8))
       .withColumn("text",
         when(col("copy") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " "),
             w => concat(w, lit("~"), col("copy"))))))
       .withColumn("doc_id", shift("doc_id", D))
       .withColumn("n_chars", length(col("text"))), "documents")
-    write(scaled(t("embeddings"), 8)
+    if (want("embeddings")) write(scaled(t("embeddings"), files(8))
       .withColumn("vec_id", shift("vec_id", V))
       .withColumn("label",
         (col("label") + col("copy") * L).cast("int")), "embeddings")

@@ -260,6 +260,31 @@ class TextKernelsSpec extends SparkTestBase {
     assert(cand.contains((1L, 2L)), cand.mkString(", "))
   }
 
+  test("gram_set_hashes: distinct k-char-substring set semantics " +
+      "(rolling hash universe)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = edgeCases ++ randomCases.take(60)
+    for (t <- cases; k <- Seq(2, 5, 8)) {
+      val got = graft.functions.TextKernel
+        .gramSetHashes(UTF8String.fromString(t), k).toLongArray()
+      val want =
+        if (t.length < k) Set.empty[String]
+        else (0 to t.length - k).map(i => t.substring(i, i + k)).toSet
+      assert(got.length == want.size,
+        s"|grams| for '$t' k=$k: ${got.length} vs ${want.size}")
+      assert(got.toSeq == got.toSeq.sorted.distinct, s"unsorted for '$t'")
+    }
+    // Shared-substring truth: docs sharing a >= k-char substring have
+    // intersecting sets; disjoint-alphabet docs do not.
+    def set(t: String, k: Int) = graft.functions.TextKernel
+      .gramSetHashes(UTF8String.fromString(t), k).toLongArray().toSet
+    val shared = "the quick brown fox jumps"
+    val a = "AAA " + shared + " BBB"
+    val b = "CCC " + shared + " DDD"
+    assert((set(a, 10) & set(b, 10)).nonEmpty)
+    assert((set("aaaaaaaaaaaa", 5) & set("bbbbbbbbbbbb", 5)).isEmpty)
+  }
+
   test("token_set_hash induces the md5-of-sorted-distinct-tokens partition") {
     // The fused fingerprint is a GROUPING key: it must equate exactly
     // the documents the md5-of-sorted-distinct-tokens key equates —
