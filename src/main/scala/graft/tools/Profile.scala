@@ -41,7 +41,8 @@ object Profile {
         val reps = sys.env.getOrElse("GRAFT_PROFILE_REPS", "3").toInt
         (1 to reps).foreach { i =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          // Full-plan execution, not Dataset.count() — see Bench.pass.
+          fn(spark, dir).queryExecution.toRdd.count()
           println(f"$n rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
         }
       }
