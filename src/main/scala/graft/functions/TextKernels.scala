@@ -387,6 +387,78 @@ object TextKernel {
     acc
   }
 
+  /** (n_bpe_tokens, n_bpe_types) of the BPE-ish segmentation
+    * `[a-z]+|[0-9]+|[^a-z0-9\s]` over the LOWERCASED text, one fused
+    * pass — the regex-free form of
+    * `regexp_extract_all(lower(text), …)` + `array_distinct` (two
+    * java.util.regex passes plus a token-array materialization per
+    * row; measured the dominant cost of the tokenizer-pricing row).
+    * Segmentation: maximal ASCII-letter runs (A-Z folded in place),
+    * maximal ASCII-digit runs, every other non-whitespace CHARACTER
+    * (code point, multi-byte included) as a single token; whitespace
+    * = the regex `\s` class (space, \t, \n, \x0B, \f, \r — identical
+    * in Java and RE2 for these code points). Distinctness is BY HASH
+    * (rolling fold + fmix64, the [[gramTfHashes]] precedent): a 2⁻⁶⁴
+    * collision under-counts types by one, far below the row's
+    * verification resolution. */
+  def bpeStats(s: UTF8String): InternalRow = {
+    val cs = charStarts(s)
+    val n = cs.length - 1
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var cap = 16
+    while (cap < n * 2) cap <<= 1 // tokens <= chars => load factor <= 0.5
+    val set = new Array[Long](cap)
+    var types = 0
+    var count = 0
+    def add(h0: Long): Unit = {
+      val h = fmix64(if (h0 == 0L) 0x27d4eb2f165667c5L else h0)
+      count += 1
+      var p = (h & (cap - 1)).toInt
+      while (set(p) != 0L && set(p) != h) p = (p + 1) & (cap - 1)
+      if (set(p) == 0L) { set(p) = h; types += 1 }
+    }
+    var runClass = 0 // 0 none, 1 letters, 2 digits
+    var runHash = 0L
+    var i = 0
+    while (i < n) {
+      val st = cs(i)
+      val len = cs(i + 1) - st
+      val b = Platform.getByte(base, off + st)
+      val cls =
+        if (len > 1) 3 // non-ASCII code point → OTHER
+        else if (b >= 'a' && b <= 'z' || b >= 'A' && b <= 'Z') 1
+        else if (b >= '0' && b <= '9') 2
+        else if (b == ' ' || b == '\t' || b == '\n' || b == 0x0B ||
+          b == '\f' || b == '\r') -1
+        else 3
+      if (cls != runClass && runClass != 0) { add(runHash); runClass = 0 }
+      cls match {
+        case 1 =>
+          val fb = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          runHash = (if (runClass == 1) runHash else 0x61c8864680b583ebL) *
+            RollB + ByteMix(fb & 0xFF)
+          runClass = 1
+        case 2 =>
+          runHash = (if (runClass == 2) runHash else 0x3c6ef372fe94f82aL) *
+            RollB + ByteMix(b & 0xFF)
+          runClass = 2
+        case 3 =>
+          var h = 0x1f83d9abfb41bd6bL
+          var j = st
+          while (j < st + len) {
+            h = h * RollB + ByteMix(Platform.getByte(base, off + j) & 0xFF)
+            j += 1
+          }
+          add(h)
+        case _ => // whitespace: no token
+      }
+      i += 1
+    }
+    if (runClass != 0) add(runHash)
+    new GenericInternalRow(Array[Any](count, types))
+  }
+
   /** Byte offsets of CHARACTER starts in `s` (UTF-8 lead bytes), plus a
     * numBytes sentinel — so character i spans bytes [cs(i), cs(i+1)).
     * Character positions (not byte positions) are the contract the
@@ -819,6 +891,27 @@ case class SimHash64Text(child: Expression) extends StringKernelExpression {
       newChild: Expression): SimHash64Text = copy(child = newChild)
 }
 
+/** `bpe_stats(text)` → struct<n_bpe:int, n_types:int>
+  * ([[TextKernel.bpeStats]] — the fused BPE-ish segmentation counts). */
+case class BpeStats(child: Expression) extends StringKernelExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bpe", IntegerType, nullable = false),
+    StructField("n_types", IntegerType, nullable = false)))
+
+  override def prettyName: String = "bpe_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.bpeStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernel.bpeStats($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeStats = copy(child = newChild)
+}
+
 /** `token_set_hash(text)` → long: order/duplication-insensitive content
   * fingerprint ([[TextKernel.tokenSetHash]] — the fused grouping-key
   * replacement for md5-of-sorted-distinct-tokens). */
@@ -853,6 +946,8 @@ object TextFunctions {
       "token_tf_pairs", exprs => TokenTfPairs(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_set_hash", exprs => TokenSetHash(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_stats", exprs => BpeStats(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shinglek_hashes_text", exprs => {
         val k = exprs(1) match {
@@ -925,6 +1020,13 @@ object TextFunctions {
   def tokenSetHash(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("token_set_hash", text)
+  }
+
+  /** struct(n_bpe, n_types) of the BPE-ish segmentation, one fused
+    * pass (regex-free `regexp_extract_all(lower(text), …)` counts). */
+  def bpeStats(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("bpe_stats", text)
   }
 
   /** Distinct hashed word-k-gram shingles of `text` (k fixed per plan). */

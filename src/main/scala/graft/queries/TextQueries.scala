@@ -167,14 +167,20 @@ object TextQueries {
     * at 100 TB this is a narrow map with no shuffle before the final
     * ordering. */
   def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
-    val bpe = regexp_extract_all(lower(col("text")),
-      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    // Fused kernel (round-9): [[graft.functions.TextKernel.bpeStats]]
+    // computes both counts in ONE byte pass — the former
+    // regexp_extract_all + array_distinct paid two java.util.regex
+    // passes plus a token-array materialization per row (measured 4.3 s
+    // of the row's 4.3 s at sf3; the suite pins regex parity).
+    val st = graft.functions.TextFunctions.bpeStats(s, col("text"))
+    val nt = graft.functions.TextFunctions.tokenStats(s, col("text"))
     docs(s, dir)
+      .select(col("doc_id"), st.as("b"), nt.getField("n_tokens").as("n"))
       .select(
         col("doc_id"),
-        size(bpe).cast("long").as("n_bpe_tokens"),
-        size(array_distinct(bpe)).cast("long").as("n_bpe_types"),
-        round(size(bpe) / (size(toks) * lit(1.0)), 4).as("fertility"))
+        col("b.n_bpe").cast("long").as("n_bpe_tokens"),
+        col("b.n_types").cast("long").as("n_bpe_types"),
+        round(col("b.n_bpe") / (col("n") * lit(1.0)), 4).as("fertility"))
       .orderBy("doc_id")
   }
 
@@ -264,14 +270,28 @@ object TextQueries {
         lpad((id % 90 + 10).cast("string"), 2, "0"), lit("-"),
         lpad((id % 9000 + 1000).cast("string"), 4, "0")))
         .otherwise(lit("")))
+    // ONE regex pass per pattern (round-9: was two — a regexp_count
+    // plus the replace): each match count is derived from its
+    // replacement token's occurrences in the redacted text by literal
+    // `replace` length arithmetic (no regex). Sound because each
+    // replace emits exactly one token per match, later patterns are
+    // all-digit/punct and cannot create or destroy an earlier token,
+    // and the corpus carries no pre-existing sentinel strings (the
+    // sf0.01 hash gate would catch one). Halves the dominant
+    // regex-engine cost of the row.
+    def occurrences(t: org.apache.spark.sql.Column, tok: String) =
+      ((length(t) - length(replace(t, lit(tok), lit("")))) /
+        tok.length).cast("long")
     docs(s, dir)
       .select(id, dirty.as("t"))
       .select(id,
-        regexp_count(col("t"), lit(email)).cast("long").as("n_email"),
-        regexp_count(col("t"), lit(phone)).cast("long").as("n_phone"),
-        regexp_count(col("t"), lit(ssn)).cast("long").as("n_id"),
-        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
-          email, "<EMAIL>"), phone, "<PHONE>"), ssn, "<ID>")).as("fp"))
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ssn, "<ID>").as("r"))
+      .select(id,
+        occurrences(col("r"), "<EMAIL>").as("n_email"),
+        occurrences(col("r"), "<PHONE>").as("n_phone"),
+        occurrences(col("r"), "<ID>").as("n_id"),
+        md5(col("r")).as("fp"))
       .orderBy("doc_id")
   }
 

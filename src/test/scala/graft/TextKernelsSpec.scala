@@ -260,6 +260,24 @@ class TextKernelsSpec extends SparkTestBase {
     assert(cand.contains((1L, 2L)), cand.mkString(", "))
   }
 
+  test("bpe_stats matches regexp_extract_all(lower, …) counts exactly") {
+    import spark.implicits._
+    val extra = Seq("abc123def", "A1 b2 C3", "3.14 x!? €5", "ABC ABC abc",
+      "12 34 12", "...", "é9语a", "MiXeD CaSe MIXED case")
+    val d2 = (edgeCases ++ extra ++ randomCases.take(100)).toDF("text")
+    val bpe = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    val rows = d2.select(
+      TextFunctions.bpeStats(spark, col("text")).as("k"),
+      size(bpe).as("n"), size(array_distinct(bpe)).as("ty"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val k = r.getStruct(0)
+      assert(k.getInt(0) == r.getInt(1), s"n_bpe for '${r.getString(3)}'")
+      assert(k.getInt(1) == r.getInt(2), s"n_types for '${r.getString(3)}'")
+    }
+  }
+
   test("gram_set_hashes: distinct k-char-substring set semantics " +
       "(rolling hash universe)") {
     import org.apache.spark.unsafe.types.UTF8String
