@@ -575,12 +575,22 @@ object AnalyticQueries {
     * three-sigma envelope of the estimator; measured error on the test
     * data ≈ 1%). The sketch is deterministic on fixed data; the oracle
     * states the verdict as literal 1, so an accuracy regression
-    * hash-fails the row. */
+    * hash-fails the row.
+    *
+    * Plan shape (the 100M-row lesson, round 9): `countDistinct` +
+    * `approx_count_distinct` in ONE agg makes Catalyst's distinct
+    * rewrite key the PARTIAL HLL by (event_type, user_id) — a 52-long
+    * sketch buffer per distinct PAIR and a 54-column shuffle (measured
+    * 30.8 s at the 1000×-events mirror). HLL is duplicate-insensitive
+    * (same value → same register), so deduping the pairs FIRST yields a
+    * bit-identical estimate while the shuffle carries 2 columns and the
+    * sketch count drops to |event_type|: 30.8 → ~4 s, same output. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
+        count(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=

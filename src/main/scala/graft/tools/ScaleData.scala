@@ -68,8 +68,13 @@ object ScaleData {
     def want(n: String): Boolean = only.isEmpty || only.contains(n)
     // Deep-scale mirrors need more, splittable files per table: scale
     // the per-table file count with k so no single output file exceeds
-    // a few hundred MB and local[32] scans parallelize.
-    def files(base: Int): Int = math.min(64, math.max(base, k / 250))
+    // a few tens of MB and local[32] scans parallelize. (Round-9
+    // lesson: k/250 left the 1000× events table at 16 one-row-group
+    // 70 MB files — a 16-way scan ceiling that HALVED stage-1
+    // parallelism on 32 cores and showed up as a flat 2× on every
+    // events row; parquet row groups are the split floor, so the
+    // WRITER decides scan parallelism for every engine downstream.)
+    def files(base: Int): Int = math.min(128, math.max(base, k / 10))
 
     // Split output across files so scans parallelize: the driver's
     // single-row-group source files cap scan parallelism at one task
