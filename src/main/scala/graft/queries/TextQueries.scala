@@ -25,11 +25,6 @@ object TextQueries {
 
   private val toks = split(col("text"), " ")
 
-  /** Whitespace-token occurrence count of one exact word (codegen'd lambda,
-    * no UDF). */
-  private def wordCount(word: String) =
-    size(filter(toks, t => t === lit(word))).cast("long")
-
   /** Per-document token counts + quality heuristics (length, type-token
     * ratio, repetition) — the "quality scoring" pass of a data pipeline.
     * Counts come from the fused [[graft.functions.TokenStats]] byte
@@ -63,10 +58,22 @@ object TextQueries {
     ("zh", "spark", "query"))
 
   /** Language identification via weighted marker-word counts; ties break
-    * alphabetically (first branch wins in both engines). */
+    * alphabetically (first branch wins in both engines).
+    *
+    * All ten marker counts come from ONE `word_counts` byte pass
+    * (round 9): the former per-marker `size(filter(split(text,' '), …))`
+    * projections materialized the token array and re-walked it ten
+    * times — measured 206 s over the 50M-doc mirror vs ~20 s fused.
+    * Scores are identical (exact byte-equality token matches). */
   def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val scored = langMarkers.foldLeft(docs(s, dir)) { case (df, (l, m1, m2)) =>
-      df.withColumn(s"s_$l", lit(2L) * wordCount(m1) + wordCount(m2))
+    val wc = graft.functions.TextFunctions.wordCounts(s, col("text"),
+      langMarkers.flatMap { case (_, m1, m2) => Seq(m1, m2) })
+    val scored = langMarkers.zipWithIndex.foldLeft(
+        docs(s, dir).withColumn("wc", wc)) {
+      case (df, ((l, _, _), i)) =>
+        df.withColumn(s"s_$l",
+          lit(2L) * element_at(col("wc"), i * 2 + 1) +
+            element_at(col("wc"), i * 2 + 2))
     }
     val best = greatest(langMarkers.map { case (l, _, _) => col(s"s_$l") }: _*)
     val pred = langMarkers.foldRight(lit("und")) { case ((l, _, _), acc) =>

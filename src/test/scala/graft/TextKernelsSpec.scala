@@ -278,6 +278,24 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("word_counts matches size(filter(split)) per word, incl. empty/" +
+      "multibyte words and empty-token edge cases") {
+    import spark.implicits._
+    val words = Seq("a", "b", "the", "语", "é", "token", "x")
+    val d2 = (edgeCases ++ Seq("the the a THE", "é é 语") ++
+      randomCases.take(100)).toDF("text")
+    val toks = split(col("text"), " ")
+    val rows = d2.select(
+      TextFunctions.wordCounts(spark, col("text"), words).as("wc"),
+      array(words.map(w =>
+        size(filter(toks, t => t === lit(w))).cast("long")): _*).as("ref"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"word counts for '${r.getString(2)}'")
+    }
+  }
+
   test("gram_set_hashes: distinct k-char-substring set semantics " +
       "(rolling hash universe)") {
     import org.apache.spark.unsafe.types.UTF8String
