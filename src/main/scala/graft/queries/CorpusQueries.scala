@@ -48,15 +48,27 @@ object CorpusQueries {
       .select("doc_id", "lang", "n_tokens")
   }
 
+  /** Survivor shingle arrays for the near-dup stage. While the corpus
+    * fits the shingle-persist budget, localCheckpoint materializes the
+    * window-dedup + join once for all consumers (band generation plus
+    * both verification probes); at scale the checkpoint would be a
+    * near-corpus-sized array materialization — the same 30-TB-at-100-TB
+    * trap as the shingle cache — so the relation stays lazy and
+    * [[DedupQueries.lshPairs]] is told to candidate-restrict its verify
+    * joins instead (`restrictVerify = small` below flips both in
+    * lockstep). */
+  private def survivorArrays(s: SparkSession, dir: String,
+      surv: DataFrame): (DataFrame, Boolean) = {
+    val small = DedupQueries.smallCorpus(s, dir)
+    val da = DedupQueries.shingleArrays(s, dir)
+      .join(surv.select("doc_id"), "doc_id")
+    (if (small) da.localCheckpoint() else da, small)
+  }
+
   def qCorpusClean(s: SparkSession, dir: String): DataFrame = {
     val surv = survivors(s, dir)
-    // Near-dup pairs restricted to survivors (both endpoints).
-    // localCheckpoint: the survivor shingle set feeds band generation
-    // plus BOTH verification probes — materialize the window-dedup +
-    // join once instead of replaying it per consumer.
-    val da = DedupQueries.shingleArrays(s, dir)
-      .join(surv.select("doc_id"), "doc_id").localCheckpoint()
-    val drop = DedupQueries.lshPairs(s, da, 0.7)
+    val (da, small) = survivorArrays(s, dir, surv)
+    val drop = DedupQueries.lshPairs(s, da, 0.7, restrictVerify = !small)
       .select(col("d2").as("doc_id")).distinct()
     surv.join(drop, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
@@ -72,9 +84,9 @@ object CorpusQueries {
     * top of the suite's union-find pin. */
   def qCorpusCleanCc(s: SparkSession, dir: String): DataFrame = {
     val surv = survivors(s, dir)
-    val da = DedupQueries.shingleArrays(s, dir)
-      .join(surv.select("doc_id"), "doc_id").localCheckpoint()
-    val pairs = DedupQueries.lshPairs(s, da, 0.7).select("d1", "d2")
+    val (da, small) = survivorArrays(s, dir, surv)
+    val pairs = DedupQueries.lshPairs(s, da, 0.7, restrictVerify = !small)
+      .select("d1", "d2")
     val drop = graft.operators.ConnectedComponents.dropSet(pairs)
     surv.join(drop, Seq("doc_id"), "left_anti").orderBy("doc_id")
   }

@@ -123,30 +123,68 @@ object DedupQueries {
     * downstream join payload to 8 bytes/shingle; the 2^-64 collision
     * rate is far below the oracle's 4-decimal jaccard resolution.
     *
-    * Cached ONCE per scale dir (it feeds both sides of self-joins plus
-    * verification across several queries); memoized so repeated queries
-    * never re-issue `.cache()` on the same data, and released explicitly
-    * via [[releaseShingles]] — no session-lifetime cache accretion. */
+    * Cached ONCE per scale dir while the corpus is small enough for the
+    * materialized arrays to be a win (it feeds both sides of self-joins
+    * plus verification across several queries); memoized so repeated
+    * queries never re-issue `.cache()` on the same data, and released
+    * explicitly via [[releaseShingles]] — no session-lifetime cache
+    * accretion.
+    *
+    * ADAPTIVE, not unconditional (round 9): the shingle arrays are
+    * ~10× the compressed text — a 100 TB corpus would persist ~30 TB
+    * of hashes, and the 15M-doc local probe filled 50 GB of scratch
+    * before DNF'ing. Above `graft.shingle.persistBudget` bytes of
+    * source parquet (default 1 GiB ≈ the sf30 mirror) the relation is
+    * returned UNPERSISTED: each consumer recomputes the fused kernel
+    * from text — one cheap columnar scan per use, the classic Spark
+    * recompute-beats-materialize trade for wide-but-cheap projections. */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private[queries] def shingleArrays(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(dir,
-      docs(s, dir)
-        // Fused split+shingle kernel: one byte pass over the raw UTF-8,
-        // no token-array materialization (see [[graft.functions.TextKernel]]).
-        // Empty sha ⟺ fewer than 3 tokens, so the size filter keeps the
-        // exact same rows as the former filter(size(split(text)) >= 3).
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.shingle3Text(s, col("text")).as("sha"))
-        .filter(size(col("sha")) >= 1)
-        .cache())
+  private def docsParquetBytes(dir: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+    sz(new java.io.File(dir, "documents.parquet"))
+  }
+
+  /** True while `dir`'s documents fit the shingle-persist budget — the
+    * one switch deciding whether shingle-derived relations are
+    * materialized (cache/localCheckpoint) or recomputed per consumer. */
+  private[queries] def smallCorpus(s: SparkSession, dir: String): Boolean = {
+    val budget = s.conf.getOption("graft.shingle.persistBudget")
+      .map(_.toLong).getOrElse(1L << 30)
+    docsParquetBytes(dir) <= budget
+  }
+
+  private[queries] def shingleArrays(s: SparkSession, dir: String): DataFrame = {
+    def plain = docs(s, dir)
+      // Fused split+shingle kernel: one byte pass over the raw UTF-8,
+      // no token-array materialization (see [[graft.functions.TextKernel]]).
+      // Empty sha ⟺ fewer than 3 tokens, so the size filter keeps the
+      // exact same rows as the former filter(size(split(text)) >= 3).
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingle3Text(s, col("text")).as("sha"))
+      .filter(size(col("sha")) >= 1)
+    if (!smallCorpus(s, dir)) plain
+    else shingleCache.getOrElseUpdate(dir, plain.cache())
+  }
+
+  /** Candidate-pair persists issued by [[lshPairs]] (bounded: the
+    * near-dup sliver, 16 bytes/pair), released with the shingles. */
+  private val pairCaches =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
 
   /** Unpersist the memoized shingle cache for `dir` (all dirs when
-    * empty) — pipeline-scoped cache hygiene hook. */
+    * empty) plus any candidate-pair persists — pipeline-scoped cache
+    * hygiene hook. */
   def releaseShingles(dir: String = ""): Unit = {
     val keys = if (dir.isEmpty) shingleCache.keys.toSeq else Seq(dir)
     keys.foreach(k => shingleCache.remove(k).foreach(_.unpersist()))
+    pairCaches.synchronized {
+      pairCaches.foreach(_.unpersist())
+      pairCaches.clear()
+    }
   }
 
   /** Exact n-gram Jaccard near-dup pairs (the correctness baseline):
@@ -206,7 +244,7 @@ object DedupQueries {
     * reusable core of [[qDedupMinhashLsh]] and the corpus-clean
     * pipeline. Returns exact-verified (d1 < d2, jaccard ≥ thresh). */
   private[queries] def lshPairs(s: SparkSession, da: DataFrame,
-      thresh: Double): DataFrame = {
+      thresh: Double, restrictVerify: Boolean = true): DataFrame = {
     val bands = da.select(col("doc_id"),
       posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
         .as(Seq("band", "bv")))
@@ -223,12 +261,29 @@ object DedupQueries {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .select("band", "bv")
     val hotBands = bands.join(hot, Seq("band", "bv"), "left_semi")
-    val cand = hotBands.as("x").join(hotBands.hint("shuffle_hash").as("y"),
+    val cand0 = hotBands.as("x").join(hotBands.hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    verifyJaccard(da, cand, thresh)
+    // With the id restriction on, the candidate set feeds verification
+    // THREE ways (the id semi join plus both array probes): persist
+    // it — it is the near-dup sliver, 16 bytes/pair, bounded by the
+    // output the query exists to produce — so the band-join subtree
+    // executes once, not once per consumer. Released in
+    // [[releaseShingles]]. A caller whose `da` is already a
+    // materialized sliver (corpus-clean's survivor checkpoint) passes
+    // restrictVerify = false and keeps the single-consumer shape: the
+    // restriction would only add exchanges there.
+    val cand =
+      if (!restrictVerify) cand0
+      else {
+        val c = cand0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairCaches.synchronized { pairCaches += c }
+        c
+      }
+    verifyJaccard(da, cand, thresh, restrictVerify)
   }
 
   /** Exact-jaccard verification of an LSH candidate (d1, d2) set against
@@ -239,12 +294,27 @@ object DedupQueries {
     * large in production); a hash-partitioned join moves the same bytes
     * once, in parallel, executor-to-executor. */
   private def verifyJaccard(da: DataFrame, cand: DataFrame,
-      thresh: Double): DataFrame = {
+      thresh: Double, restrict: Boolean): DataFrame = {
+    // Restrict the array relation to candidate doc_ids BEFORE any
+    // exchange (round 9): the former plan hash-partitioned the FULL
+    // (doc_id, sha) relation into both verify joins — at corpus scale
+    // that shuffles every shingle array twice to verify a sliver of
+    // pairs. The semi join carries 8-byte ids only (AQE broadcasts the
+    // candidate set while it is small), so the array exchange below
+    // moves the candidate sliver alone. Callers whose `da` is already
+    // a small materialized sliver skip the restriction.
+    val dav =
+      if (!restrict) da
+      else {
+        val ids = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        da.join(ids, Seq("doc_id"), "left_semi")
+      }
     val withA = cand.hint("shuffle_hash")
-      .join(da.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(dav.as("sa"), col("d1") === col("sa.doc_id"))
       .select(col("d1"), col("d2"), col("sa.sha").as("sha1"))
     withA.hint("shuffle_hash")
-      .join(da.as("sb"), col("d2") === col("sb.doc_id"))
+      .join(dav.as("sb"), col("d2") === col("sb.doc_id"))
       .withColumn("c",
         size(array_intersect(col("sha1"), col("sb.sha"))))
       .withColumn("jac", col("c") * lit(1.0) /
@@ -328,12 +398,25 @@ object DedupQueries {
       .select(col("doc_id"),
         posexplode(graft.functions.VectorFunctions.minhashBands(s, col("sha")))
           .as(Seq("band", "bv")))
-    val cand = bandsOf(exactSurv).as("x")
+    val cand0 = bandsOf(exactSurv).as("x")
       .join(bandsOf(corpus.select("doc_id")).hint("shuffle_hash").as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    val nearDrop = verifyJaccard(da, cand, 0.7).select("d1").distinct()
+    // Same small/large split as [[lshPairs]]: at scale, persist the
+    // bounded batch×corpus collision sliver and candidate-restrict the
+    // array probes; under the budget keep the single-consumer shape.
+    val small = smallCorpus(s, dir)
+    val cand =
+      if (small) cand0
+      else {
+        val c = cand0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairCaches.synchronized { pairCaches += c }
+        c
+      }
+    val nearDrop = verifyJaccard(da, cand, 0.7, restrict = !small)
+      .select("d1").distinct()
     exactSurv.join(nearDrop, col("doc_id") === col("d1"), "left_anti")
       .orderBy("doc_id")
   }
