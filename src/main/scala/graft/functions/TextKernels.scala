@@ -147,6 +147,117 @@ object TextKernel {
     new GenericArrayData(counts)
   }
 
+  /** PII redaction in ONE anchored byte pass — the scanner form of the
+    * sequential triple
+    * `regexp_replace(regexp_replace(regexp_replace(t, EMAIL, "<EMAIL>"),
+    * PHONE, "<PHONE>"), SSN, "<ID>")` with
+    * EMAIL = `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}`,
+    * PHONE = `\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}`,
+    * SSN   = `[0-9]{3}-[0-9]{2}-[0-9]{4}`.
+    *
+    * Equivalence argument (each step pinned by the randomized suite
+    * test against the actual regex composition):
+    *  - every EMAIL match contains exactly one `@` (neither side class
+    *    admits it); its local part is the maximal local-class run
+    *    ending at that `@` — maximal because PHONE/SSN alphabets are
+    *    subsets of the local class, so nothing matchable is ever
+    *    left-adjacent to a local run; its domain end is the RIGHTMOST
+    *    dot (Java's greedy `+` backtracks from the right) inside the
+    *    maximal domain-class run that has ≥1 domain char before it and
+    *    ≥2 letters after it, extended over the maximal letter run;
+    *  - replacement tokens contain no pattern-class bytes, and the
+    *    digit-group shapes of PHONE/SSN cannot span a removed EMAIL
+    *    region, so one left-to-right pass with same-start priority
+    *    email > phone > ssn (the sequential application order) yields
+    *    the identical redacted string;
+    *  - a local-class run whose terminator is not `@` (or whose domain
+    *    has no valid dot) can host no email starting ANYWHERE inside
+    *    it (all inner starts share the same run end), so the scanner
+    *    marks the whole run failed and stays O(n).
+    *
+    * Replaces three full java.util.regex passes over the corpus (each
+    * position re-attempted per pattern with backtracking) by one
+    * anchored scan. Returns (redacted, n_email, n_phone, n_id). */
+  def piiRedact(s: UTF8String): InternalRow = {
+    val len = s.numBytes
+    val src = s.getBytes
+    val out = new java.io.ByteArrayOutputStream(len + 16)
+    var nEmail = 0L; var nPhone = 0L; var nId = 0L
+    def isDigit(b: Byte) = b >= '0' && b <= '9'
+    def isAlpha(b: Byte) =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')
+    def isLocal(b: Byte) = isAlpha(b) || isDigit(b) ||
+      b == '.' || b == '_' || b == '%' || b == '+' || b == '-'
+    def isDomain(b: Byte) = isAlpha(b) || isDigit(b) ||
+      b == '.' || b == '-'
+    var i = 0
+    var emailFailUntil = -1
+    while (i < len) {
+      val b = src(i)
+      var matched = 0 // 0 none, else new position after the match
+      // EMAIL, unless this local run already failed.
+      if (isLocal(b) && i >= emailFailUntil) {
+        var j = i
+        while (j < len && isLocal(src(j))) j += 1
+        if (j < len && src(j) == '@') {
+          var k = j + 1
+          while (k < len && isDomain(src(k))) k += 1
+          // Rightmost dot with ≥1 domain char before, ≥2 letters after.
+          var d = k - 1
+          var end = -1
+          while (d >= j + 2 && end < 0) {
+            if (src(d) == '.' && d + 2 < k &&
+                isAlpha(src(d + 1)) && isAlpha(src(d + 2))) {
+              var p = d + 1
+              while (p < k && isAlpha(src(p))) p += 1
+              end = p
+            } else d -= 1
+          }
+          if (end > 0) { out.write(EMAIL_TOK); nEmail += 1; matched = end }
+          else emailFailUntil = j + 1
+        } else emailFailUntil = j
+      }
+      // PHONE: `+` then 1-2 digits, -, 3 digits, -, 4 digits (greedy
+      // {1,2}: two digits first, then one).
+      if (matched == 0 && b == '+') {
+        var dg = i + 1
+        while (dg < len && dg <= i + 2 && isDigit(src(dg))) dg += 1
+        // Greedy {1,2}: hyphen tried after 2 consumed digits first,
+        // then after 1 (h1 walks dg → i+2; no digits → loop is empty).
+        var e = -1
+        var h1 = dg
+        while (e < 0 && h1 >= i + 2) {
+          if (h1 + 9 <= len && src(h1) == '-' &&
+              isDigit(src(h1 + 1)) && isDigit(src(h1 + 2)) &&
+              isDigit(src(h1 + 3)) && src(h1 + 4) == '-' &&
+              isDigit(src(h1 + 5)) && isDigit(src(h1 + 6)) &&
+              isDigit(src(h1 + 7)) && isDigit(src(h1 + 8)))
+            e = h1 + 9
+          else h1 -= 1
+        }
+        if (e > 0) { out.write(PHONE_TOK); nPhone += 1; matched = e }
+      }
+      // SSN: 3 digits, -, 2 digits, -, 4 digits.
+      if (matched == 0 && isDigit(b) && i + 11 <= len &&
+          isDigit(src(i + 1)) && isDigit(src(i + 2)) &&
+          src(i + 3) == '-' &&
+          isDigit(src(i + 4)) && isDigit(src(i + 5)) &&
+          src(i + 6) == '-' &&
+          isDigit(src(i + 7)) && isDigit(src(i + 8)) &&
+          isDigit(src(i + 9)) && isDigit(src(i + 10))) {
+        out.write(ID_TOK); nId += 1; matched = i + 11
+      }
+      if (matched > 0) i = matched
+      else { out.write(b.toInt); i += 1 }
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromBytes(out.toByteArray), nEmail, nPhone, nId))
+  }
+
+  private val EMAIL_TOK = "<EMAIL>".getBytes
+  private val PHONE_TOK = "<PHONE>".getBytes
+  private val ID_TOK = "<ID>".getBytes
+
   /** Per-document token frequencies in one pass: one (token, tf) pair
     * per DISTINCT token (split-on-0x20 semantics, empty tokens
     * included — matching `split`/`string_split` to the row), first-seen
@@ -1005,6 +1116,35 @@ case class WordCounts(child: Expression, words: String)
       newChild: Expression): WordCounts = copy(child = newChild)
 }
 
+/** `pii_redact(text)` → struct<redacted:string, n_email:bigint,
+  * n_phone:bigint, n_id:bigint>: the one-pass anchored scanner form of
+  * the email/phone/SSN `regexp_replace` triple
+  * ([[TextKernel.piiRedact]]). */
+case class PiiRedact(child: Expression) extends StringKernelExpression {
+
+  override def dataType: DataType = PiiRedact.schema
+
+  override def prettyName: String = "pii_redact"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernel.piiRedact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextKernel.piiRedact($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PiiRedact = copy(child = newChild)
+}
+
+object PiiRedact {
+  val schema: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_email", LongType, nullable = false),
+    StructField("n_phone", LongType, nullable = false),
+    StructField("n_id", LongType, nullable = false)))
+}
+
 /** Column-API entry points (mirrors [[VectorFunctions]]' registry style). */
 object TextFunctions {
 
@@ -1021,6 +1161,8 @@ object TextFunctions {
       "token_set_hash", exprs => TokenSetHash(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_stats", exprs => BpeStats(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_redact", exprs => PiiRedact(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_counts", exprs => {
         val w = exprs(1) match {
@@ -1110,6 +1252,13 @@ object TextFunctions {
   def bpeStats(spark: SparkSession, text: Column): Column = {
     register(spark)
     call_function("bpe_stats", text)
+  }
+
+  /** struct(redacted, n_email, n_phone, n_id) — one-pass anchored
+    * email/phone/SSN redaction of `text`. */
+  def piiRedact(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    call_function("pii_redact", text)
   }
 
   /** Occurrence counts of the listed words among the tokens of `text`

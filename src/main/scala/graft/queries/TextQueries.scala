@@ -264,9 +264,6 @@ object TextQueries {
     * ordering, scan-streamed at 100 TB like the other text kernels. */
   def qPiiRedact(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
-    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
     val dirty = concat(col("text"),
       when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
         lit("@mail.example.com"))).otherwise(lit("")),
@@ -277,28 +274,23 @@ object TextQueries {
         lpad((id % 90 + 10).cast("string"), 2, "0"), lit("-"),
         lpad((id % 9000 + 1000).cast("string"), 4, "0")))
         .otherwise(lit("")))
-    // ONE regex pass per pattern (round-9: was two — a regexp_count
-    // plus the replace): each match count is derived from its
-    // replacement token's occurrences in the redacted text by literal
-    // `replace` length arithmetic (no regex). Sound because each
-    // replace emits exactly one token per match, later patterns are
-    // all-digit/punct and cannot create or destroy an earlier token,
-    // and the corpus carries no pre-existing sentinel strings (the
-    // sf0.01 hash gate would catch one). Halves the dominant
-    // regex-engine cost of the row.
-    def occurrences(t: org.apache.spark.sql.Column, tok: String) =
-      ((length(t) - length(replace(t, lit(tok), lit("")))) /
-        tok.length).cast("long")
+    // ZERO regex passes (round 9; round-9a had one per pattern, the
+    // original two): the fused [[graft.functions.PiiRedact]] scanner
+    // produces the redacted text AND the per-pattern counts in one
+    // anchored byte pass, bit-equal to the sequential regexp_replace
+    // triple in the scaladoc above (equivalence argued at the kernel,
+    // pinned by the randomized suite test against the actual regex
+    // composition and by this row's driver hash gate — the oracle
+    // still redacts with RE2).
     docs(s, dir)
       .select(id, dirty.as("t"))
       .select(id,
-        regexp_replace(regexp_replace(regexp_replace(col("t"),
-          email, "<EMAIL>"), phone, "<PHONE>"), ssn, "<ID>").as("r"))
+        graft.functions.TextFunctions.piiRedact(s, col("t")).as("pr"))
       .select(id,
-        occurrences(col("r"), "<EMAIL>").as("n_email"),
-        occurrences(col("r"), "<PHONE>").as("n_phone"),
-        occurrences(col("r"), "<ID>").as("n_id"),
-        md5(col("r")).as("fp"))
+        col("pr.n_email").as("n_email"),
+        col("pr.n_phone").as("n_phone"),
+        col("pr.n_id").as("n_id"),
+        md5(col("pr.redacted")).as("fp"))
       .orderBy("doc_id")
   }
 

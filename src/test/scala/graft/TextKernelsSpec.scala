@@ -296,6 +296,54 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("pii_redact matches the sequential regexp_replace triple on " +
+      "adversarial pattern-char salad") {
+    import spark.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val directed = Seq(
+      "", "@", "+", "-", "a@b.cc", "a@b.c", "a@.cc", "a@..cc", "a@b@c.dd",
+      "x@y.zz23", "123-45-6789@mail.ex", "0123-45-6789@y.zz",
+      "123-45-6789abc@x.yy", "+1-555-0123", "+12-345-6789", "+123-456-7890",
+      "+1-555-01234", "1234-56-7890", "123-45-6789", "12-34-5678",
+      "+1-234-56-78-9012", "a@b.cc555-01-2345", "+1-555-01x@y.zz23",
+      "call +1-555-0042 id 042-52-1042 contact user42@mail.example.com",
+      "é@b.cc", "a@é.cc", "...@...", "%_+-@-.-aa", "a@b-c.dd-ee",
+      "a@b.cc.dd", "a@b.cc.d", "+9-123-4567+8-901-2345")
+    val rng = new scala.util.Random(42)
+    val alpha = "a1@.+-% _z9"
+    val fuzz = Seq.fill(4000)(
+      (0 until rng.nextInt(40)).map(_ => alpha(rng.nextInt(alpha.length)))
+        .mkString)
+    val d2 = (directed ++ fuzz).toDF("text")
+    def occ(t: org.apache.spark.sql.Column, tok: String) =
+      ((length(t) - length(replace(t, lit(tok), lit("")))) /
+        tok.length).cast("long")
+    val ref = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      email, "<EMAIL>"), phone, "<PHONE>"), ssn, "<ID>")
+    val rows = d2.select(
+      TextFunctions.piiRedact(spark, col("text")).as("pr"),
+      ref.as("ref"), col("text")).collect()
+    rows.foreach { r =>
+      val pr = r.getStruct(0)
+      val ref0 = r.getString(1)
+      assert(pr.getString(0) == ref0,
+        s"redaction for '${r.getString(2)}'")
+    }
+    // Counts equal the token occurrences of the regex result.
+    val cnt = d2.select(
+      TextFunctions.piiRedact(spark, col("text")).as("pr"), ref.as("rf"))
+      .select(
+        col("pr.n_email"), occ(col("rf"), "<EMAIL>"),
+        col("pr.n_phone"), occ(col("rf"), "<PHONE>"),
+        col("pr.n_id"), occ(col("rf"), "<ID>")).collect()
+    cnt.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3) &&
+        r.getLong(4) == r.getLong(5))
+    }
+  }
+
   test("gram_set_hashes: distinct k-char-substring set semantics " +
       "(rolling hash universe)") {
     import org.apache.spark.unsafe.types.UTF8String
