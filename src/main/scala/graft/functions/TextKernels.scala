@@ -553,7 +553,14 @@ object TextKernel {
     * row; measured the dominant cost of the tokenizer-pricing row).
     * Segmentation: maximal ASCII-letter runs (A-Z folded in place),
     * maximal ASCII-digit runs, every other non-whitespace CHARACTER
-    * (code point, multi-byte included) as a single token; whitespace
+    * (code point, multi-byte included) as a single token — SIMPLE-
+    * case-folded (Character.toLowerCase per code point) before
+    * hashing, so 'É'/'é' are one type like the regex contract; the
+    * FULL-mapping cases (String.toLowerCase expansions like 'İ' →
+    * "i"+U+0307, or fold-to-ASCII letters like Kelvin 'K' → 'k' that
+    * the regex would re-classify into a letter run) remain single
+    * OTHER tokens here, a documented and spec-pinned divergence;
+    * whitespace
     * = the regex `\s` class (space, \t, \n, \x0B, \f, \r — identical
     * in Java and RE2 for these code points). Distinctness is BY HASH
     * (rolling fold + fmix64, the [[gramTfHashes]] precedent): a 2⁻⁶⁴
@@ -602,11 +609,39 @@ object TextKernel {
             RollB + ByteMix(b & 0xFF)
           runClass = 2
         case 3 =>
+          // Decode the code point and SIMPLE-case-fold it
+          // (Character.toLowerCase on the code point) before hashing,
+          // so 'É' and 'é' are one type — matching
+          // `regexp_extract_all(lower(text), …)` for the 1:1-mapping
+          // majority. Documented divergence: full-mapping characters
+          // ('İ' → "i"+U+0307 under String.toLowerCase) and fold-to-
+          // ASCII letters ('K' → 'k') stay single OTHER tokens here,
+          // where the regex would re-classify them into letter runs;
+          // pinned in TextKernelsSpec.
+          var cp = Platform.getByte(base, off + st) & 0xFF
+          if (len > 1) {
+            cp = cp & (0x3F >> (len - 1))
+            var j = st + 1
+            while (j < st + len) {
+              cp = (cp << 6) | (Platform.getByte(base, off + j) & 0x3F)
+              j += 1
+            }
+          }
+          val lc = Character.toLowerCase(cp)
           var h = 0x1f83d9abfb41bd6bL
-          var j = st
-          while (j < st + len) {
-            h = h * RollB + ByteMix(Platform.getByte(base, off + j) & 0xFF)
-            j += 1
+          if (lc < 0x80) h = h * RollB + ByteMix(lc)
+          else if (lc < 0x800) {
+            h = h * RollB + ByteMix(0xC0 | (lc >> 6))
+            h = h * RollB + ByteMix(0x80 | (lc & 0x3F))
+          } else if (lc < 0x10000) {
+            h = h * RollB + ByteMix(0xE0 | (lc >> 12))
+            h = h * RollB + ByteMix(0x80 | ((lc >> 6) & 0x3F))
+            h = h * RollB + ByteMix(0x80 | (lc & 0x3F))
+          } else {
+            h = h * RollB + ByteMix(0xF0 | (lc >> 18))
+            h = h * RollB + ByteMix(0x80 | ((lc >> 12) & 0x3F))
+            h = h * RollB + ByteMix(0x80 | ((lc >> 6) & 0x3F))
+            h = h * RollB + ByteMix(0x80 | (lc & 0x3F))
           }
           add(h)
         case _ => // whitespace: no token

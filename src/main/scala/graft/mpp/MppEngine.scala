@@ -912,10 +912,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // An empty source is NOT a no-op under BY SOURCE clauses: every
     // target row is then "not matched by source".
     if (nSrc == 0L && notBySource.isEmpty) return 0L
-    require(matched.isEmpty || srcStats.getLong(1) <= 1L,
+    // Guard EVERY path that takes the full-outer COW rewrite (i.e.
+    // anything but the insert-only fast path): a duplicate-keyed
+    // source there joins each matched target row N times, and with no
+    // matched clause all N copies would pass the keep-filter — silent
+    // row duplication. The insert-only path is exempt by design: ANSI
+    // inserts one row per unmatched source row, duplicates included.
+    require((matched.isEmpty && notBySource.isEmpty) ||
+        srcStats.getLong(1) <= 1L,
       s"MERGE ${t.name}: source has duplicate join keys on $pc — a " +
-        "target row would be updated by more than one source row " +
-        "(ANSI MERGE cardinality violation)")
+        "matched target row would be joined by more than one source " +
+        "row (ANSI MERGE cardinality violation)")
     val affected =
       if (notBySource.nonEmpty) (0 until t.buckets).toSet
       else srcStats.getSeq[Int](2).toSet

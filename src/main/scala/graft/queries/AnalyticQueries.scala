@@ -250,7 +250,9 @@ object AnalyticQueries {
     val li = t(s, dir, "lineitem")
     def dc(c: String, as: String) =
       li.select(col("l_returnflag"), col(c)).distinct()
-        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+        // count(col) not count(1): a NULL value survives .distinct()
+        // as a (group, NULL) row, but COUNT(DISTINCT c) skips NULLs.
+        .groupBy(col("l_returnflag")).agg(count(col(c)).as(as))
     dc("l_partkey", "n_parts")
       .join(dc("l_suppkey", "n_supps"), "l_returnflag")
       .join(dc("l_orderkey", "n_orders"), "l_returnflag")

@@ -9,6 +9,8 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.unsafe.types.UTF8String
 
+import scala.jdk.CollectionConverters._
+
 /** File-level zone maps for the co-located tables: per-file (min, max,
   * null-presence) per column, derived from the parquet FOOTERS the
   * write path already produced, evaluated against pushed filters at
@@ -275,16 +277,30 @@ final class ZoneMapFileIndex(
       spark.conf.get(ZoneMaps.EnabledConf, "true").toBoolean
     if (!enabled || dataFilters.isEmpty) return dirs
     val conf = spark.sessionState.newHadoopConf()
+    // Footer reads are the cold-cache cost here and they are blocking
+    // I/O on the planner thread: fan them out over a bounded parallel
+    // stream (zonesFor's TrieMap cache is thread-safe; warm listings
+    // stay in-memory lookups). Keep-decisions land in a concurrent
+    // map so each filter pass below is pure lookup.
+    val keep = new java.util.concurrent.ConcurrentHashMap[String, Boolean]
+    dirs.flatMap(_.files).asJava.parallelStream.forEach { f =>
+      keep.put(f.getPath.toString,
+        dataFilters.forall(c => ZoneMaps.mightMatch(c,
+          ZoneMaps.zonesFor(conf, f.getPath.toString,
+            f.getModificationTime, f.getLen))))
+    }
+    // Counters are locals of THIS invocation; the diagnostic publish
+    // is one volatile tuple write, so concurrent queries can at worst
+    // overwrite each other's (kept, total) pair — never interleave
+    // halves of it.
     var kept = 0
     var total = 0
     val pruned = dirs.map { d =>
       val fs = d.files.filter { f =>
         total += 1
-        val keep = dataFilters.forall(c => ZoneMaps.mightMatch(c,
-          ZoneMaps.zonesFor(conf, f.getPath.toString,
-            f.getModificationTime, f.getLen)))
-        if (keep) kept += 1
-        keep
+        val k = keep.get(f.getPath.toString)
+        if (k) kept += 1
+        k
       }
       d.copy(files = fs)
     }

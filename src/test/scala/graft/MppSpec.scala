@@ -303,6 +303,19 @@ class MppSpec extends SparkTestBase {
         "WHEN MATCHED THEN UPDATE SET *")
     }
     assert(dup.getMessage.contains("duplicate join keys"), dup.getMessage)
+    // Regression (round-10, advisor high): with NO matched clause but a
+    // BY SOURCE clause, the full-outer COW rewrite still runs — a
+    // dup-key source used to slip past the guard and each matched
+    // target row came out of the rewrite N× (silent duplication).
+    val dupBySrc = intercept[IllegalArgumentException] {
+      e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_dup) s ON t.k = s.k " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(dupBySrc.getMessage.contains("duplicate join keys"),
+      dupBySrc.getMessage)
+    assert(e.table("m2").count() == 1L,
+      "rejected merge must not have touched the table")
     val badOn = intercept[IllegalArgumentException] {
       e.sql("MERGE INTO m2 t USING (SELECT * FROM m2_dup) s ON t.v = s.v " +
         "WHEN MATCHED THEN UPDATE SET *")

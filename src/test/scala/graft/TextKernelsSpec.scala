@@ -262,8 +262,10 @@ class TextKernelsSpec extends SparkTestBase {
 
   test("bpe_stats matches regexp_extract_all(lower, …) counts exactly") {
     import spark.implicits._
+    // 'É é' pins the simple-case-fold contract: both are one type,
+    // exactly as regexp over lower(text) sees them.
     val extra = Seq("abc123def", "A1 b2 C3", "3.14 x!? €5", "ABC ABC abc",
-      "12 34 12", "...", "é9语a", "MiXeD CaSe MIXED case")
+      "12 34 12", "...", "é9语a", "MiXeD CaSe MIXED case", "É é", "Ü ü Ü")
     val d2 = (edgeCases ++ extra ++ randomCases.take(100)).toDF("text")
     val bpe = regexp_extract_all(lower(col("text")),
       lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
@@ -276,6 +278,25 @@ class TextKernelsSpec extends SparkTestBase {
       assert(k.getInt(0) == r.getInt(1), s"n_bpe for '${r.getString(3)}'")
       assert(k.getInt(1) == r.getInt(2), s"n_types for '${r.getString(3)}'")
     }
+  }
+
+  test("bpe_stats full-mapping divergence is pinned: 'İ' stays one " +
+      "OTHER token (simple fold), where String.toLowerCase expands it") {
+    import spark.implicits._
+    // Simple fold: 'İ' (U+0130) → one token, one type; the regex over
+    // lower(text) ("i" + U+0307) would count 2 tokens. The kernel's
+    // contract is the SIMPLE per-code-point fold — assert the kernel's
+    // own behavior directly so any silent contract change fails here.
+    val rows = Seq("İ", "İ İ", "\u212A k").toDF("text")
+      .select(TextFunctions.bpeStats(spark, col("text")).as("k"),
+        col("text")).collect()
+      .map(r => r.getString(1) -> (r.getStruct(0).getInt(0),
+        r.getStruct(0).getInt(1))).toMap
+    assert(rows("İ") == ((1, 1)))
+    assert(rows("İ İ") == ((2, 1)))
+    // Kelvin sign folds to 'k' but stays an OTHER-class token, so it
+    // is a distinct type from the letter-run token "k".
+    assert(rows("\u212A k") == ((2, 2)))
   }
 
   test("word_counts matches size(filter(split)) per word, incl. empty/" +
