@@ -175,6 +175,14 @@ object DedupQueries {
   private val pairCaches =
     scala.collection.mutable.ListBuffer.empty[DataFrame]
 
+  /** Register a bounded scratch persist (candidate pairs, per-pass
+    * partials) for release by [[releaseShingles]] — the shared ledger
+    * for every multi-pass operator's forced materializations. */
+  private[queries] def registerScratch(df: DataFrame): DataFrame = {
+    pairCaches.synchronized { pairCaches += df }
+    df
+  }
+
   /** Unpersist the memoized shingle cache for `dir` (all dirs when
     * empty) plus any candidate-pair persists — pipeline-scoped cache
     * hygiene hook. */
@@ -242,7 +250,23 @@ object DedupQueries {
   /** MinHash-LSH candidate generation + exact `array_intersect`
     * verification over an arbitrary (doc_id, sha) relation — the
     * reusable core of [[qDedupMinhashLsh]] and the corpus-clean
-    * pipeline. Returns exact-verified (d1 < d2, jaccard ≥ thresh). */
+    * pipeline. Returns exact-verified (d1 < d2, jaccard ≥ thresh).
+    *
+    * Peak-scratch knob (round 10): `graft.lsh.bandPasses` = B (default
+    * 1) processes the 32 LSH bands in B SEQUENTIAL jobs of 32/B bands
+    * each, unioning the per-pass candidate pairs. Band membership is
+    * partitioned across passes, so "collides in some band" is exactly
+    * "collides in some pass" — the union over passes IS the
+    * single-pass candidate set, and the verified output is identical.
+    * What changes is the resource shape: each pass's band exchange
+    * (the corpus-proportional term — 32 rows/doc at B=1) shrinks to
+    * 32/B rows/doc, and because each pass is FORCED (persist + count)
+    * before the next starts, peak scratch is ÷B for ~B× the scan cost
+    * — and §17 measured the scan as the cheap side. The per-pass
+    * candidate persists are the bounded near-dup sliver (16
+    * bytes/pair), not corpus-sized. This is the 100 TB deployment's
+    * per-node-scratch knob: a cluster with S bytes of scratch per node
+    * picks B ≈ (corpus band bytes / nodes) / S. */
   private[queries] def lshPairs(s: SparkSession, da: DataFrame,
       thresh: Double, restrictVerify: Boolean = true): DataFrame = {
     val bands = da.select(col("doc_id"),
@@ -256,16 +280,28 @@ object DedupQueries {
     // pair-generating self-join runs over colliding rows ONLY — never
     // over the full 32×|docs| band table — and every operator stays in
     // whole-stage codegen (no object-based collect_list churning the
-    // heap).
-    val hot = bands.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-      .select("band", "bv")
-    val hotBands = bands.join(hot, Seq("band", "bv"), "left_semi")
-    val cand0 = hotBands.as("x").join(hotBands.hint("shuffle_hash").as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    // heap). Hot-bucket detection is per-pass safe: a bucket's rows
+    // all carry the same band, so bucket population is identical
+    // whether counted over all bands or the pass's subset.
+    def candOf(b: DataFrame): DataFrame = {
+      val hot = b.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .select("band", "bv")
+      val hotBands = b.join(hot, Seq("band", "bv"), "left_semi")
+      hotBands.as("x").join(hotBands.hint("shuffle_hash").as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+    }
+    val passes = math.max(1,
+      s.conf.getOption("graft.lsh.bandPasses").map(_.toInt).getOrElse(1))
+    def persistPairs(df: DataFrame): DataFrame = {
+      val c = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairCaches.synchronized { pairCaches += c }
+      c
+    }
     // With the id restriction on, the candidate set feeds verification
     // THREE ways (the id semi join plus both array probes): persist
     // it — it is the near-dup sliver, 16 bytes/pair, bounded by the
@@ -276,12 +312,28 @@ object DedupQueries {
     // restrictVerify = false and keeps the single-consumer shape: the
     // restriction would only add exchanges there.
     val cand =
-      if (!restrictVerify) cand0
-      else {
-        val c = cand0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairCaches.synchronized { pairCaches += c }
-        c
+      if (passes <= 1) {
+        val cand0 = candOf(bands)
+        if (!restrictVerify) cand0 else persistPairs(cand0)
+      } else {
+        val parts = (0 until passes).map { p =>
+          val c = persistPairs(
+            candOf(bands.filter(pmod(col("band"), lit(passes)) === p)))
+          // Force THIS pass to completion before the next is planned —
+          // lazy union would run all B band exchanges concurrently and
+          // reconstruct the single-pass peak. The GC nudge lets the
+          // ContextCleaner drop the finished pass's shuffle files now
+          // rather than at the (30-min default) periodic sweep, which
+          // is the difference between ÷B scratch and accumulating all
+          // B passes on disk anyway.
+          c.count()
+          System.gc()
+          c
+        }
+        val u = persistPairs(parts.reduce(_ union _).distinct())
+        u.count()
+        parts.foreach(_.unpersist())
+        u
       }
     verifyJaccard(da, cand, thresh, restrictVerify)
   }

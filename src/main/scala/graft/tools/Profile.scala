@@ -13,7 +13,7 @@ object Profile {
     val names = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +23,14 @@ object Profile {
       .config("spark.sql.join.preferSortMergeJoin",
         sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Arbitrary probe confs, e.g. GRAFT_SPARK_CONFS=
+    // "graft.lsh.bandPasses=4;spark.sql.adaptive.enabled=false".
+    sys.env.get("GRAFT_SPARK_CONFS").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The mpp warm-up builds distributed tables for the q_mpp_* rows —
     // skip it when profiling pure-parquet queries (GRAFT_PROFILE_NOWARM).

@@ -19,6 +19,33 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("hash-range multi-pass (graft.vocab.passes) matches single-pass: " +
+      "boilerplate bit-identical, lm_score within one rounding step") {
+    val boilSingle = CorpusQueries.qBoilerplate(spark, sf).collect().toSeq
+    val lmSingle = TextQueries.qLmScore(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    spark.conf.set("graft.vocab.passes", "3")
+    try {
+      // df counts partition exactly by gram hash → identical hot set →
+      // identical output, row for row.
+      val boilMulti = CorpusQueries.qBoilerplate(spark, sf).collect().toSeq
+      assert(boilMulti == boilSingle)
+      // Per-gram log-prob terms are identical; only the per-doc
+      // summation regroups (per-range partials), so the 4-decimal
+      // score may differ by at most one final-rounding step.
+      val lmMulti = TextQueries.qLmScore(spark, sf)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(lmMulti.keySet == lmSingle.keySet)
+      lmMulti.foreach { case (id, (nb, lp)) =>
+        assert(nb == lmSingle(id)._1, s"n_bigrams for doc $id")
+        assert(math.abs(lp - lmSingle(id)._2) <= 1.0001e-4,
+          s"lm_score for doc $id: $lp vs ${lmSingle(id)._2}")
+      }
+    } finally spark.conf.unset("graft.vocab.passes")
+  }
+
   test("corpus clean removes exact and near duplicates, keeps the rest") {
     val docs = Tables(spark, sf, "documents")
     val kept = CorpusQueries.qCorpusClean(spark, sf)
@@ -118,6 +145,27 @@ class PipelineQueriesSpec extends SparkTestBase {
       .filter(col("jaccard") >= 0.7)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("banded multi-pass LSH (graft.lsh.bandPasses) returns the exact " +
+      "single-pass pair set") {
+    // The peak-scratch knob partitions band membership across B
+    // sequential jobs; "collides in some band" = "collides in some
+    // pass", so the union of per-pass candidates must be the
+    // single-pass candidate set and the verified output identical.
+    val single = DedupQueries.qDedupMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(single.nonEmpty)
+    for (b <- Seq(2, 4)) {
+      spark.conf.set("graft.lsh.bandPasses", b.toString)
+      try {
+        val multi = DedupQueries.qDedupMinhashLsh(spark, sf)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        assert(multi == single,
+          s"B=$b: missed ${single -- multi}, extra ${multi -- single}")
+      } finally spark.conf.unset("graft.lsh.bandPasses")
+    }
   }
 
   test("simhash near-dups cover the planted high-jaccard duplicates") {
