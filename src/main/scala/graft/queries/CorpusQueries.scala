@@ -160,10 +160,14 @@ object CorpusQueries {
     val hot =
       if (passes <= 1) hotOf(grams)
       else (0 until passes).map { p =>
+        // Eager localCheckpoint: forces the pass AND truncates its
+        // lineage so the finished pass's shuffle files are cleanable —
+        // a persist would pin every pass's ShuffleDependency and
+        // scratch would accumulate to the single-pass total (see
+        // lshPairs). Checkpointed blocks are the hot-gram sliver.
         val part = graft.queries.DedupQueries.registerScratch(
-          hotOf(grams.filter(pmod(col("h"), lit(passes)) === p)).persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        part.count()
+          hotOf(grams.filter(pmod(col("h"), lit(passes)) === p))
+            .localCheckpoint())
         System.gc()
         part
       }.reduce(_ union _)

@@ -317,23 +317,26 @@ object DedupQueries {
         if (!restrictVerify) cand0 else persistPairs(cand0)
       } else {
         val parts = (0 until passes).map { p =>
-          val c = persistPairs(
-            candOf(bands.filter(pmod(col("band"), lit(passes)) === p)))
-          // Force THIS pass to completion before the next is planned —
-          // lazy union would run all B band exchanges concurrently and
-          // reconstruct the single-pass peak. The GC nudge lets the
-          // ContextCleaner drop the finished pass's shuffle files now
-          // rather than at the (30-min default) periodic sweep, which
-          // is the difference between ÷B scratch and accumulating all
-          // B passes on disk anyway.
-          c.count()
+          // localCheckpoint, NOT persist: an eager checkpoint both
+          // forces THIS pass to completion before the next is planned
+          // (lazy union would run all B band exchanges concurrently
+          // and reconstruct the single-pass peak) AND truncates the
+          // lineage — a persist would keep every pass's
+          // ShuffleDependency strongly referenced for recompute
+          // safety, so NO pass's shuffle files could be cleaned and
+          // scratch would accumulate to the single-pass total anyway
+          // (measured: the persist variant hit 35 GB by pass 3 at the
+          // 50M-doc probe). The GC nudge lets the ContextCleaner drop
+          // the now-unreferenced shuffles immediately rather than at
+          // the periodic sweep. Checkpointed blocks are the bounded
+          // candidate sliver (16 bytes/pair).
+          val c = candOf(bands.filter(pmod(col("band"), lit(passes)) === p))
+            .localCheckpoint()
+          pairCaches.synchronized { pairCaches += c }
           System.gc()
           c
         }
-        val u = persistPairs(parts.reduce(_ union _).distinct())
-        u.count()
-        parts.foreach(_.unpersist())
-        u
+        persistPairs(parts.reduce(_ union _).distinct())
       }
     verifyJaccard(da, cand, thresh, restrictVerify)
   }

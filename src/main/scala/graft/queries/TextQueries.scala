@@ -405,11 +405,16 @@ object TextQueries {
       // the single-pass plan; only the per-doc summation regroups
       // (per-range partials then a final sum) — the same
       // order-of-summation freedom any distributed sum already has.
-      // The unigram relation is built ONCE and persisted (it is the
-      // smaller vocabulary — token types, not bigram types); V rides
-      // along as a driver scalar from the same materialization.
+      // The unigram relation is built ONCE and checkpointed (it is the
+      // smaller vocabulary — token types, not bigram types); the
+      // eager localCheckpoint truncates its lineage so its build
+      // shuffle is cleanable, and V rides along as a driver scalar
+      // from the same materialization. Per-pass forcing likewise uses
+      // localCheckpoint, not persist: persist would keep every pass's
+      // ShuffleDependency referenced for recompute safety and scratch
+      // would accumulate to the single-pass total (see lshPairs).
       val uniP = graft.queries.DedupQueries.registerScratch(
-        uni.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        uni.localCheckpoint())
       val vsz = uniP.count()
       val parts = (0 until passes).map { p =>
         val part = grams.filter(pmod(col("h"), lit(passes)) === p)
@@ -423,9 +428,7 @@ object TextQueries {
               log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
                 (coalesce(col("c1"), lit(0L)) + lit(vsz)))).as("slp"))
         val forced = graft.queries.DedupQueries.registerScratch(
-          part.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        forced.count()
+          part.localCheckpoint())
         System.gc() // let the ContextCleaner drop this pass's shuffles
         forced
       }
