@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+/** EXACT `COUNT(DISTINCT col)` as a single mergeable bitmap aggregate —
+  * the OLAP-engine idiom (Doris `BITMAP_UNION_COUNT`, ClickHouse
+  * `groupBitmap`, Druid's bitmap metrics) expressed as a Catalyst
+  * [[TypedImperativeAggregate]] over Spark's bundled RoaringBitmap.
+  *
+  * Why this exists when `count(distinct x)` does: Catalyst plans an
+  * exact distinct as dedup-then-count — a full exchange of the
+  * (group, value) pairs, and with SEVERAL distinct columns either one
+  * exchange per column or an Expand that replicates every input row
+  * once per column. This aggregate computes any number of exact
+  * distinct counts in ONE scan with ONE tiny exchange: the partial
+  * state is a compressed bitmap per (group, column), the shuffle
+  * carries |groups| × |partitions| serialized bitmaps instead of the
+  * distinct pairs themselves, and merge is bitmap OR. On clustered
+  * keys (TPC-H's orderkey runs) Roaring's run-length containers make
+  * the partial bitmaps KBs where the pair exchange was hundreds of MB.
+  *
+  * Exactness: a bitmap holds the value SET itself, so the final
+  * cardinality is exact for any integral column — unlike HLL
+  * (`approx_count_distinct`, the [[graft.queries.AnalyticQueries]]
+  * q_approx_distinct scale path), which stays the right tool once a
+  * single group's distinct set outgrows bitmap memory. Scale bound,
+  * stated plainly: memory per (group, partition) is O(distinct values
+  * present), ~2 bytes/value worst-case and far less on runs; at 1e9
+  * distinct longs per group the merged bitmap is ~100s of MB — still
+  * one-node-mergeable, and the partial-merge tree Spark already runs
+  * (partition partials → final merge per group) is exactly the Doris
+  * BITMAP_UNION topology. NULLs are skipped, matching COUNT(DISTINCT)
+  * semantics. Long-typed inputs only (integral SQL types widen
+  * losslessly; strings/doubles have no exact bitmap form — hash-keyed
+  * variants would trade exactness, which is this operator's point).
+  */
+case class BitmapDistinctAgg(child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Roaring64Bitmap] {
+
+  override def createAggregationBuffer(): Roaring64Bitmap =
+    new Roaring64Bitmap()
+
+  override def update(buf: Roaring64Bitmap,
+      input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.addLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Roaring64Bitmap,
+      other: Roaring64Bitmap): Roaring64Bitmap = {
+    buf.or(other)
+    buf
+  }
+
+  override def eval(buf: Roaring64Bitmap): Any = buf.getLongCardinality
+
+  override def serialize(buf: Roaring64Bitmap): Array[Byte] = {
+    buf.runOptimize() // run-length-pack clustered keys before shipping
+    val bos = new java.io.ByteArrayOutputStream()
+    buf.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
+    val bm = new Roaring64Bitmap()
+    bm.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+  override def prettyName: String = "bitmap_distinct"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"bitmap_distinct expects a bigint column, got ${child.dataType.sql}")
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapDistinctAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapDistinctAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BitmapDistinctAgg =
+    copy(child = newChildren.head)
+}
+
+object BitmapDistinct {
+
+  private def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_distinct", {
+        case Seq(c) => BitmapDistinctAgg(c)
+        case other => throw new IllegalArgumentException(
+          s"bitmap_distinct(col), got ${other.size} args")
+      }, "built-in")
+
+  /** Exact distinct count of an integral column as an aggregate
+    * Column; integral inputs are widened to bigint. */
+  def distinctCount(spark: SparkSession, col: Column): Column = {
+    register(spark)
+    call_function("bitmap_distinct", col.cast("long"))
+  }
+}

@@ -238,24 +238,25 @@ object AnalyticQueries {
 
   /** Distinct aggregates: exact distinct counts per group.
     *
-    * Shape (round-9): one dedup-then-count pipeline PER distinct
-    * column, joined on the |groups|-row key — not a single
-    * multi-distinct aggregate, which Catalyst plans as an Expand that
-    * REPLICATES every input row once per distinct column (3× the scan
-    * rows through one exchange; measured 3.4 s vs 1.3 s at sf3). Each
-    * pipeline's first aggregate is map-side combinable on (group,
-    * value), so the exchanges carry ~distinct values, and the three
-    * pipelines run as independent stages. */
+    * Shape (round-10): ONE scan, three [[graft.functions
+    * .BitmapDistinctAgg]] bitmap aggregates — the Doris/ClickHouse
+    * exact-distinct idiom. The two prior shapes both paid
+    * corpus-proportional exchanges: Catalyst's multi-distinct Expand
+    * replicates every row once per column (3.4 s at sf3), and the
+    * round-9 per-column dedup pipelines exchanged the (group, value)
+    * pair sets themselves (2.3 s isolated, 3 scans + 3 exchanges).
+    * Bitmap partials compress each partition's value set (run-length
+    * on TPC-H's clustered orderkeys), so the single exchange carries
+    * |groups|×|partitions| KB-scale bitmaps and merge is bitmap OR.
+    * Exact at any scale; the approximate path for
+    * set-outgrows-memory cardinalities is q_approx_distinct's HLL. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    def dc(c: String, as: String) =
-      li.select(col("l_returnflag"), col(c)).distinct()
-        // count(col) not count(1): a NULL value survives .distinct()
-        // as a (group, NULL) row, but COUNT(DISTINCT c) skips NULLs.
-        .groupBy(col("l_returnflag")).agg(count(col(c)).as(as))
-    dc("l_partkey", "n_parts")
-      .join(dc("l_suppkey", "n_supps"), "l_returnflag")
-      .join(dc("l_orderkey", "n_orders"), "l_returnflag")
+    import graft.functions.BitmapDistinct.distinctCount
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(distinctCount(s, col("l_partkey")).as("n_parts"),
+        distinctCount(s, col("l_suppkey")).as("n_supps"),
+        distinctCount(s, col("l_orderkey")).as("n_orders"))
       .orderBy("l_returnflag")
   }
 

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
 
 import graft.queries.AnalyticQueries
 
@@ -96,5 +97,32 @@ class AnalyticQueriesSpec extends SparkTestBase {
     val plan = AnalyticQueries.q5RegionRevenue(spark, sf)
       .queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in q5")
+  }
+
+  test("bitmap_distinct equals countDistinct across partitions, skips " +
+      "NULLs, rejects non-bigint input") {
+    import spark.implicits._
+    import graft.functions.BitmapDistinct.distinctCount
+    val d = spark.range(0, 100000, 1, 16)
+      .select((col("id") % 7).as("g"),
+        when(col("id") % 11 =!= 0, col("id") % 5000).as("v"))
+    val got = d.groupBy("g")
+      .agg(distinctCount(spark, col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = d.groupBy("g").agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // All-NULL group → 0, like COUNT(DISTINCT).
+    val z = Seq((1L, Option.empty[Long]), (1L, None)).toDF("g", "v")
+      .groupBy("g").agg(distinctCount(spark, col("v")).as("n"))
+      .head().getLong(1)
+    assert(z == 0L)
+    // The implicit cast widens integrals; a string child must fail
+    // analysis, not silently hash.
+    intercept[Exception] {
+      Seq(("a", "b")).toDF("g", "v").groupBy("g")
+        .agg(org.apache.spark.sql.functions.call_function(
+          "bitmap_distinct", col("v"))).collect()
+    }
   }
 }
