@@ -311,8 +311,14 @@ object AnalyticQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
+        // Quantized domain (integer quantities): the built-in's
+        // value→count map IS the compression — keep it. Continuous
+        // domain (prices): the primitive-array aggregate skips the
+        // boxed map entirely (round 10; see
+        // [[graft.functions.ExactPercentilesAgg]]).
         expr("percentile(l_quantity, 0.5)").as("e50"),
-        expr("percentile(l_extendedprice, array(0.9, 0.99))").as("e9x"),
+        graft.functions.ExactPercentiles.percentiles(s,
+          col("l_extendedprice"), 0.9, 0.99).as("e9x"),
         expr("percentile_approx(l_quantity, 0.5, 2000)").as("a50"),
         expr("percentile_approx(l_extendedprice, array(0.9, 0.99), 2000)")
           .as("a9x"))

@@ -99,6 +99,40 @@ class AnalyticQueriesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins in q5")
   }
 
+  test("exact_percentiles matches the built-in percentile on continuous " +
+      "data across partitions, incl. NULLs and single-value groups") {
+    import graft.functions.ExactPercentiles
+    val d = spark.range(0, 50000, 1, 16)
+      .select((col("id") % 5).as("g"),
+        when(col("id") % 13 =!= 0,
+          sin(col("id").cast("double")) * 1000 + col("id") % 997)
+          .as("v"))
+    val rows = d.groupBy("g").agg(
+        ExactPercentiles.percentiles(spark, col("v"), 0.5, 0.9, 0.99)
+          .as("mine"),
+        expr("percentile(v, array(0.5D, 0.9D, 0.99D))").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val mine = r.getSeq[Double](1)
+      val ref = r.getSeq[Double](2)
+      mine.zip(ref).foreach { case (m, e) =>
+        assert(math.abs(m - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"group ${r.get(0)}: $mine vs $ref")
+      }
+    }
+    import spark.implicits._
+    val single = Seq((1L, 42.5)).toDF("g", "v").groupBy("g")
+      .agg(ExactPercentiles.percentiles(spark, col("v"), 0.25, 0.75)
+        .as("p")).head().getSeq[Double](1)
+    assert(single == Seq(42.5, 42.5))
+    // All-NULL group → NULL, like the built-in.
+    val allNull = Seq((1L, Option.empty[Double])).toDF("g", "v")
+      .groupBy("g")
+      .agg(ExactPercentiles.percentiles(spark, col("v"), 0.5).as("p"))
+      .head()
+    assert(allNull.isNullAt(1))
+  }
+
   test("bitmap_distinct equals countDistinct across partitions, skips " +
       "NULLs, rejects non-bigint input") {
     import spark.implicits._
