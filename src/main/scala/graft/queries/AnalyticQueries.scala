@@ -278,7 +278,11 @@ object AnalyticQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        // Continuous domain → the primitive-array exact aggregate
+        // (round 10); the quantized quantity keeps the built-in's
+        // value→count compression.
+        round(graft.functions.ExactPercentiles.percentiles(s,
+          col("l_extendedprice"), 0.9)(0), 4).as("p90_price"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4)
           .as("corr_qp"),
