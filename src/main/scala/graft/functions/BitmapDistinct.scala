@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
-import org.roaringbitmap.longlong.Roaring64Bitmap
+import org.roaringbitmap.longlong.Roaring64NavigableMap
 
 /** EXACT `COUNT(DISTINCT col)` as a single mergeable bitmap aggregate —
   * the OLAP-engine idiom (Doris `BITMAP_UNION_COUNT`, ClickHouse
@@ -43,35 +43,35 @@ import org.roaringbitmap.longlong.Roaring64Bitmap
 case class BitmapDistinctAgg(child: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Roaring64Bitmap] {
+    extends TypedImperativeAggregate[Roaring64NavigableMap] {
 
-  override def createAggregationBuffer(): Roaring64Bitmap =
-    new Roaring64Bitmap()
+  override def createAggregationBuffer(): Roaring64NavigableMap =
+    new Roaring64NavigableMap(false)
 
-  override def update(buf: Roaring64Bitmap,
-      input: InternalRow): Roaring64Bitmap = {
+  override def update(buf: Roaring64NavigableMap,
+      input: InternalRow): Roaring64NavigableMap = {
     val v = child.eval(input)
     if (v != null) buf.addLong(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(buf: Roaring64Bitmap,
-      other: Roaring64Bitmap): Roaring64Bitmap = {
+  override def merge(buf: Roaring64NavigableMap,
+      other: Roaring64NavigableMap): Roaring64NavigableMap = {
     buf.or(other)
     buf
   }
 
-  override def eval(buf: Roaring64Bitmap): Any = buf.getLongCardinality
+  override def eval(buf: Roaring64NavigableMap): Any = buf.getLongCardinality
 
-  override def serialize(buf: Roaring64Bitmap): Array[Byte] = {
+  override def serialize(buf: Roaring64NavigableMap): Array[Byte] = {
     buf.runOptimize() // run-length-pack clustered keys before shipping
     val bos = new java.io.ByteArrayOutputStream()
     buf.serialize(new java.io.DataOutputStream(bos))
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap = {
-    val bm = new Roaring64Bitmap()
+  override def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = {
+    val bm = new Roaring64NavigableMap(false)
     bm.deserialize(new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes)))
     bm
