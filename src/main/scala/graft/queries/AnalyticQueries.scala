@@ -590,20 +590,27 @@ object AnalyticQueries {
     * states the verdict as literal 1, so an accuracy regression
     * hash-fails the row.
     *
-    * Plan shape (the 100M-row lesson, round 9): `countDistinct` +
+    * Plan shape, third generation. Round 9: `countDistinct` +
     * `approx_count_distinct` in ONE agg makes Catalyst's distinct
     * rewrite key the PARTIAL HLL by (event_type, user_id) — a 52-long
     * sketch buffer per distinct PAIR and a 54-column shuffle (measured
-    * 30.8 s at the 1000×-events mirror). HLL is duplicate-insensitive
-    * (same value → same register), so deduping the pairs FIRST yields a
-    * bit-identical estimate while the shuffle carries 2 columns and the
-    * sketch count drops to |event_type|: 30.8 → ~4 s, same output. */
+    * 30.8 s at the 1000×-events mirror); deduping the pairs first is
+    * bit-identical HLL output (duplicate-insensitive registers) with a
+    * 2-column shuffle (30.8 → ~4 s). Round 10 removes even that: the
+    * exact side is a [[graft.functions.BitmapDistinctAgg]], so BOTH
+    * aggregates run in one scan with NO row-level exchange at all —
+    * the shuffle carries |groups| × |partitions| compressed bitmaps +
+    * HLL sketches. The dedup-first exchange was the row's dominant
+    * term at the seventh decade (2B rows: 193 s, vs the oracle's 65 —
+    * the exchange IS corpus-sized); the bitmap exchange is KB-scale
+    * at any size. Estimates are bit-identical again: HLL registers
+    * are max-based, so raw vs deduped input cannot differ. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(
-        count(col("user_id")).as("exact_users"),
+        graft.functions.BitmapDistinct.distinctCount(s, col("user_id"))
+          .as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx") - col("exact_users")) <=
