@@ -465,7 +465,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       .withColumn(BucketCol,
         pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       .observe(obs, count(lit(1)).as("n"))
-      .repartition(t.buckets, col(BucketCol))
+      // bucketRouting, not repartition(n, bucket): one bucket per
+      // write task, no birthday collisions (see stageAndSwap).
+      .repartition(t.buckets, bucketRouting((0 until t.buckets).toSet))
       .write.mode(SaveMode.Append).partitionBy(BucketCol)
       .parquet(dataPath(t.name))
     refreshView(t)
@@ -697,16 +699,66 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       else changedBuckets
     val work = scanOf(affected)
     val out = transform(work)
-    stageAndSwap(t, affected, out)
+    // Rows can only change bucket when the partition column is SET
+    // (rewriteAll): everything else rewrites narrow — no exchange
+    // between the bucket-grouped scan and the bucket-partitioned write.
+    stageAndSwap(t, affected, out, shuffle = rewriteAll)
     matchedRows
+  }
+
+  /** Exact bucket→write-task routing for the shuffled COW write: for
+    * each affected bucket, pick a probe integer whose Murmur3 hash —
+    * the same seed-42 function Spark's `HashPartitioning` applies to a
+    * `repartition(n, expr)` key — lands in a distinct partition slot.
+    * `repartition(n, bucketRouting)` then gives exactly one bucket per
+    * write task: deterministic, collision-free, and with no
+    * range-sampling pass (the bucket values are known up front; the
+    * search is a driver-side loop of a few expected probes per slot).
+    * Brittle only against Spark changing HashPartitioning's hash, which
+    * shuffle-layout compatibility pins. */
+  private[mpp] def bucketRouting(affected: Set[Int])
+      : org.apache.spark.sql.Column = {
+    val n = affected.size
+    val pairs = affected.toSeq.sorted.zipWithIndex.map { case (b, slot) =>
+      var v = 0
+      while ((
+          (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+            % n) + n) % n != slot) v += 1
+      (b, v)
+    }
+    element_at(
+      map(pairs.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*),
+      col(BucketCol))
   }
 
   /** Staging write + atomic per-bucket swap shared by every COW writer
     * (UPDATE/DELETE rewrites and MERGE): write `out` (user columns +
     * bucket) under a leased staging dir, then swap each affected bucket
-    * directory in with move-aside rollback safety. */
+    * directory in with move-aside rollback safety.
+    *
+    * `shuffle = false` is the NARROW write path for rewrites whose rows
+    * cannot change bucket (UPDATE without a partition-column SET,
+    * DELETE, broadcast MERGE): the scan already reads rows grouped by
+    * bucket directory, so the dynamic-partition writer routes each row
+    * to its dir without any exchange — the rewrite is scan→transform→
+    * write, shuffle-free at any scale. Write parallelism then follows
+    * the READ split size, so the rewrite scan is planned under
+    * `graft.cow.maxPartitionBytes` (default 32 MiB, vs the 128 MiB scan
+    * default) — bytes-proportional tasks instead of one straggler per
+    * fat bucket.
+    *
+    * `shuffle = true` (rows may move buckets; OPTIMIZE compaction wants
+    * its file-per-bucket layout) routes each bucket to its OWN
+    * partition via [[bucketRouting]]. Plain hash
+    * `repartition(n, bucket)` re-hashes the n distinct bucket values
+    * into n partitions with birthday collisions — measured at sf3: 8
+    * buckets → tasks holding 2-3 buckets, the write stage running at
+    * 1.73 s straggler speed vs 0.63 s balanced — and
+    * `repartitionByRange` would pay a full sampling pass over the
+    * rewrite frame to learn split points we already know. */
   private def stageAndSwap(t: TableInfo, affected: Set[Int],
-      out: DataFrame, sortBy: Seq[String] = Nil): Unit = {
+      out: DataFrame, sortBy: Seq[String] = Nil,
+      shuffle: Boolean = true): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(conf)
@@ -731,20 +783,34 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     heartbeat.setDaemon(true)
     heartbeat.start()
     try {
-      val shaped0 = out.repartition(affected.size, col(BucketCol))
-      // OPTIMIZE … SORT BY: cluster within the bucket (bucket col first
-      // keeps the dynamic-partition writer's per-dir grouping intact).
       val shaped =
-        if (sortBy.isEmpty) shaped0
-        else shaped0.sortWithinPartitions(
-          (BucketCol +: sortBy).map(col): _*)
+        if (!shuffle) out // narrow: dir-grouped scan feeds the writer
+        else {
+          val shaped0 =
+            out.repartition(affected.size, bucketRouting(affected))
+          // OPTIMIZE … SORT BY: cluster within the bucket (bucket col
+          // first keeps the dynamic-partition writer's per-dir grouping
+          // intact).
+          if (sortBy.isEmpty) shaped0
+          else shaped0.sortWithinPartitions(
+            (BucketCol +: sortBy).map(col): _*)
+        }
       val maxPerFile =
         spark.conf.get("graft.optimize.maxRecordsPerFile", "0").toLong
       val writer = shaped.write.mode(SaveMode.Overwrite)
         .partitionBy(BucketCol)
-      (if (maxPerFile > 0)
-        writer.option("maxRecordsPerFile", maxPerFile)
-      else writer).parquet(staging)
+      val mpbKey = "spark.sql.files.maxPartitionBytes"
+      val prevMpb = spark.conf.get(mpbKey)
+      if (!shuffle) spark.conf.set(mpbKey,
+        spark.conf.get("graft.cow.maxPartitionBytes",
+          (32L * 1024 * 1024).toString))
+      try {
+        (if (maxPerFile > 0)
+          writer.option("maxRecordsPerFile", maxPerFile)
+        else writer).parquet(staging)
+      } finally {
+        if (!shuffle) spark.conf.set(mpbKey, prevMpb)
+      }
     } finally {
       heartbeat.interrupt()
     }
@@ -957,11 +1023,27 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // buckets' KEYS (column-pruned scan), append the applicable
       // survivors — no COW rewrite, no swap. Renamed into the same
       // __src_ namespace as the joined frame so clause SQL evaluates
-      // identically on both paths.
+      // identically on both paths. A batch-sized source keeps even the
+      // anti-join narrow: Spark can only broadcast the RIGHT side of a
+      // left-anti, and the right side here is the table's keys — so
+      // flip it into a narrow semi (target keys × broadcast batch
+      // keys, output ≤ distinct batch keys) and anti the batch against
+      // that bounded set. The table's keys never shuffle.
+      val iBcastMax =
+        spark.conf.get("graft.merge.broadcastMaxRows", "4000000").toLong
       val obs = Observation()
-      val srcOnly = src
-        .join(affectedScan.select(col(pc).as(s"__t_$pc")),
-          col(pc) === col(s"__t_$pc"), "left_anti")
+      val srcOnly =
+        if (nSrc > iBcastMax) src
+          .join(affectedScan.select(col(pc).as(s"__t_$pc")),
+            col(pc) === col(s"__t_$pc"), "left_anti")
+        else {
+          val mKeys = affectedScan.select(col(pc).as(s"__t_$pc"))
+            .join(broadcast(src.select(col(pc)).distinct()),
+              col(pc) === col(s"__t_$pc"), "left_semi")
+            .distinct()
+          src.join(broadcast(mKeys), col(pc) === col(s"__t_$pc"),
+            "left_anti")
+        }
       val ns = srcOnly.select(src.columns.map(c =>
         col(c).as(s"__src_$c")): _*)
       val kept = ns.withColumn("__i_act", insertActionIdx)
@@ -971,7 +1053,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .withColumn(BucketCol, pmod(hash(col(pc)), lit(t.buckets)))
       enforceNotNull(t, inserts)
         .observe(obs, count(lit(1)).as("n"))
-        .repartition(affected.size, col(BucketCol))
+        .repartition(affected.size, bucketRouting(affected))
         .write.mode(SaveMode.Append).partitionBy(BucketCol)
         .parquet(dataPath(t.name))
       refreshView(t)
@@ -981,7 +1063,41 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val srcR = src.select(src.columns.map(c =>
         col(c).as(s"__src_$c")): _*)
       .withColumn("__src_present", lit(1))
-    val joined = tgt.join(srcR, col(pc) === col(s"__src_$pc"), "full_outer")
+    // Low-shuffle merge (the Delta-Lake-style design): a batch-sized
+    // source broadcasts, so the TARGET NEVER SHUFFLES — the COW frame
+    // is a narrow broadcast left-outer over the bucket-grouped scan,
+    // written back shuffle-free by stageAndSwap. Source-only rows (the
+    // insert side, full-outer's third quadrant) are reconstructed only
+    // when an insert clause exists, via two bounded joins: a
+    // column-pruned key scan of the target semi-joined to the source
+    // keys (narrow, output ≤ matched keys), then source anti that
+    // key set. At 100 TB a MERGE of a batch into a corpus costs one
+    // narrow pass over the affected buckets plus one key-only scan —
+    // no table-wide exchange; above the row bound
+    // (`graft.merge.broadcastMaxRows`) it falls back to the shuffled
+    // full-outer, which is the right plan for table-sized sources.
+    val bcastMax =
+      spark.conf.get("graft.merge.broadcastMaxRows", "4000000").toLong
+    val joined =
+      if (nSrc > bcastMax)
+        tgt.join(srcR, col(pc) === col(s"__src_$pc"), "full_outer")
+      else {
+        val tj = tgt.join(broadcast(srcR),
+          col(pc) === col(s"__src_$pc"), "left_outer")
+        if (notMatched.isEmpty) tj // inserts impossible: one narrow pass
+        else {
+          val mKeys = affectedScan.select(col(pc).as("__mk"))
+            .join(broadcast(srcR.select(col(s"__src_$pc"))),
+              col("__mk") === col(s"__src_$pc"), "left_semi")
+            .distinct()
+          val srcOnlyRows = srcR.join(broadcast(mKeys),
+            col(s"__src_$pc") === col("__mk"), "left_anti")
+          val have = srcOnlyRows.columns.toSet
+          tj.unionByName(srcOnlyRows.select(tj.schema.fields.map(f =>
+            if (have(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)): _*))
+        }
+      }
     val isM = col("__t_present").isNotNull && col("__src_present").isNotNull
     val isSrcOnly = col("__t_present").isNull
     // First-match-wins clause index over the WHEN MATCHED chain
@@ -1059,7 +1175,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val out = enforceNotNull(t, kept.select(outCols :+
       coalesce(col(BucketCol),
         pmod(hash(col(s"__src_$pc")), lit(t.buckets))).as(BucketCol): _*))
-    stageAndSwap(t, affected, out)
+    stageAndSwap(t, affected, out, shuffle = nSrc > bcastMax)
     def cnt(k: String): Long = obs.get.get(k) match {
       case Some(x: Long) => x
       case _ => 0L
