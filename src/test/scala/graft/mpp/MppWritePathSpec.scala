@@ -1,0 +1,87 @@
+package graft.mpp
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the COW write-path mechanics added for the shuffle-free
+  * rewrite / broadcast-merge design: bucket→task routing must be
+  * collision-free, and the broadcast low-shuffle merge must be
+  * result-identical to the shuffled full-outer fallback on every
+  * clause combination (same engine semantics, different plan). */
+class MppWritePathSpec extends SparkTestBase {
+
+  private def freshEngine(): MppEngine =
+    new MppEngine(spark, Files.createTempDirectory("graft-mpp-test").toString)
+
+  test("bucketRouting maps each affected bucket to a distinct " +
+      "write partition (no birthday collisions at any size)") {
+    val e = freshEngine()
+    import spark.implicits._
+    val t = Seq(Set(0, 1, 2), (0 until 8).toSet, (0 until 32).toSet,
+      Set(3, 7, 11, 200), (0 until 257).toSet)
+    t.foreach { affected =>
+      val n = affected.size
+      // Apply the exact partitioner expression Spark's repartition
+      // uses — pmod(murmur3(expr, seed 42), n) — to the routing column
+      // and require a bijection affected → slots.
+      val df = affected.toSeq.toDF(BucketPruning.BucketCol)
+      val slots = df.withColumn("slot",
+          pmod(hash(e.bucketRouting(affected)), lit(n)))
+        .select("slot").collect().map(_.getInt(0)).toSet
+      assert(slots == (0 until n).toSet,
+        s"affected=$affected routed to $slots")
+    }
+  }
+
+  test("broadcast merge ≡ shuffled full-outer merge: same final state " +
+      "for matched/insert/BY SOURCE clauses and the insert-only path") {
+    def run(forceShuffle: Boolean): Seq[(Long, Double, String)] = {
+      val e = freshEngine()
+      if (forceShuffle)
+        spark.conf.set("graft.merge.broadcastMaxRows", "0")
+      else spark.conf.unset("graft.merge.broadcastMaxRows")
+      try {
+        e.sql("CREATE TABLE bm(k BIGINT, v DOUBLE, tag TEXT " +
+          "DEFAULT 'dflt') PARTITION BY (k) WITH BUCKETS 4")
+        e.sql("INSERT INTO bm VALUES (1, 1.0, 'a'), (2, 2.0, 'b'), " +
+          "(3, 3.0, 'c'), (4, 4.0, 'd'), (5, 5.0, 'e')")
+        import spark.implicits._
+        Seq((2L, 20.0, "upd"), (3L, -1.0, "del"), (6L, 60.0, "ins"),
+            (7L, -1.0, "skip"))
+          .toDF("k", "v", "tag").createOrReplaceTempView("bm_batch")
+        // Full clause surface in one statement: conditional update,
+        // conditional delete, conditional insert, BY SOURCE update +
+        // delete over the unmatched remainder.
+        e.sql("MERGE INTO bm t USING (SELECT * FROM bm_batch) s " +
+          "ON t.k = s.k " +
+          "WHEN MATCHED AND s.tag = 'del' THEN DELETE " +
+          "WHEN MATCHED AND s.tag = 'upd' THEN UPDATE SET " +
+          "v = t.v + s.v, tag = s.tag " +
+          "WHEN NOT MATCHED AND s.tag = 'ins' THEN INSERT (k, v) " +
+          "VALUES (s.k, s.v * 2) " +
+          "WHEN NOT MATCHED BY SOURCE AND v < 2 THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE AND v > 4 THEN UPDATE SET " +
+          "tag = 'stale'")
+        // Insert-only merge (duplicate keys legal) on the same table.
+        Seq((8L, 80.0, "x"), (8L, 81.0, "x"), (2L, -9.0, "x"))
+          .toDF("k", "v", "tag").createOrReplaceTempView("bm_b2")
+        e.sql("MERGE INTO bm t USING (SELECT * FROM bm_b2) s " +
+          "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *")
+        e.table("bm").orderBy("k", "v").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+      } finally spark.conf.unset("graft.merge.broadcastMaxRows")
+    }
+    val broadcastState = run(forceShuffle = false)
+    val shuffledState = run(forceShuffle = true)
+    assert(broadcastState == shuffledState,
+      s"broadcast=$broadcastState shuffled=$shuffledState")
+    // And the state itself is the semantically expected one.
+    assert(broadcastState == Seq(
+      (2L, 22.0, "upd"), (4L, 4.0, "d"), (5L, 5.0, "stale"),
+      (6L, 120.0, "dflt"), (8L, 80.0, "x"), (8L, 81.0, "x")),
+      broadcastState.toString)
+  }
+}
