@@ -759,6 +759,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   private def stageAndSwap(t: TableInfo, affected: Set[Int],
       out: DataFrame, sortBy: Seq[String] = Nil,
       shuffle: Boolean = true): Unit = {
+    // Operational knob: `graft.cow.shuffleWrites=true` forces every
+    // rewrite through the routed exchange — a deployment that values
+    // the compact file-per-bucket layout over rewrite latency (e.g.
+    // read-heavy tables where OPTIMIZE would otherwise run after every
+    // DML) opts in; the default narrow write is the latency/shuffle
+    // winner and lets file counts ride the normal OPTIMIZE cadence.
+    val doShuffle = shuffle ||
+      spark.conf.get("graft.cow.shuffleWrites", "false").toBoolean
     val conf = spark.sessionState.newHadoopConf()
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(conf)
@@ -784,7 +792,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     heartbeat.start()
     try {
       val shaped =
-        if (!shuffle) out // narrow: dir-grouped scan feeds the writer
+        if (!doShuffle) out // narrow: dir-grouped scan feeds the writer
         else {
           val shaped0 =
             out.repartition(affected.size, bucketRouting(affected))
@@ -801,7 +809,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .partitionBy(BucketCol)
       val mpbKey = "spark.sql.files.maxPartitionBytes"
       val prevMpb = spark.conf.get(mpbKey)
-      if (!shuffle) spark.conf.set(mpbKey,
+      if (!doShuffle) spark.conf.set(mpbKey,
         spark.conf.get("graft.cow.maxPartitionBytes",
           (32L * 1024 * 1024).toString))
       try {
@@ -809,7 +817,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           writer.option("maxRecordsPerFile", maxPerFile)
         else writer).parquet(staging)
       } finally {
-        if (!shuffle) spark.conf.set(mpbKey, prevMpb)
+        if (!doShuffle) spark.conf.set(mpbKey, prevMpb)
       }
     } finally {
       heartbeat.interrupt()

@@ -356,4 +356,58 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** CDC apply: reduce a change batch to its LATEST row per key
+    * (last-writer-wins on `seqCol` — the LSN/offset every CDC feed
+    * carries; `(key, seq)` pairs are assumed unique per the standard
+    * CDC contract, with an xxhash64 tiebreak so even a violated
+    * contract stays deterministic), then MERGE it into the
+    * distributed table: matched keys take the change row (`SET *`),
+    * new keys insert. The foreachBatch body of [[upsertPipeline]] and
+    * the unit its driver-gate batch replay (`q_stream_upsert`) times.
+    *
+    * Scale shape: a micro-batch is small by construction, so the merge
+    * rides [[graft.mpp.MppEngine.merge]]'s broadcast low-shuffle path —
+    * per batch, one narrow COW pass over the key-affected buckets and
+    * one column-pruned key scan; the table never shuffles. Re-applying
+    * a batch (foreachBatch is at-least-once) re-merges the same rows
+    * to the same values — convergent, which is the replay-safety story
+    * for this sink. Returns the merged row count. */
+  def upsertBatch(e: graft.mpp.MppEngine, table: String, keyCol: String,
+      seqCol: String, batch: DataFrame): Long = {
+    val others = batch.columns.filterNot(c =>
+      c.equalsIgnoreCase(seqCol) || c.equalsIgnoreCase(keyCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc,
+        xxhash64(others.map(col).toIndexedSeq: _*).desc)
+    // Eager checkpoint: the merge consumes its source several times
+    // (cardinality stats, the broadcast join, the insert-side key
+    // semi/anti) — a micro-batch is bounded by definition, so pin the
+    // reduced rows once instead of re-running the window per consumer.
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", seqCol)
+      .localCheckpoint()
+    e.merge(table, latest,
+      Seq(graft.mpp.MergeWhenMatched.Update(None, Nil)),
+      Seq(graft.mpp.MergeWhenNotMatched(None, None)))
+  }
+
+  /** Continuous CDC upsert into a distributed table: each micro-batch
+    * of change rows is [[upsertBatch]]-applied — the Lakehouse
+    * "MERGE the stream" maintenance pattern, here against the engine's
+    * COW tables. Checkpointing makes it restartable; replayed batches
+    * converge (see [[upsertBatch]]). */
+  def upsertPipeline(e: graft.mpp.MppEngine, table: String,
+      keyCol: String, seqCol: String, updates: DataFrame,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(e, table, keyCol, seqCol, batch)
+        ()
+      }
+      .start()
 }

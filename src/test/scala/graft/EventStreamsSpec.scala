@@ -417,4 +417,41 @@ class EventStreamsSpec extends SparkTestBase {
     assert(sessions.exists(s => s.user_id == 5 && s.n_events == 2 &&
       s.session_end == ts(10)))
   }
+
+  test("streaming CDC upsert maintains a distributed table: " +
+      "last-writer-wins per batch, replay converges") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val e = new graft.mpp.MppEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString)
+    e.sql("CREATE TABLE cdc(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.sql("INSERT INTO cdc VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    def state(): Seq[(Long, Double)] = e.table("cdc").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val mem = MemoryStream[(Long, Double, Long)]
+    val updates = mem.toDF().toDF("k", "v", "seq")
+    val cp = java.nio.file.Files.createTempDirectory("graft-stream")
+    val q = EventStreams.upsertPipeline(e, "cdc", "k", "seq",
+      updates, cp.toString)
+    try {
+      // Batch 1: update k=2 (two changes, the seq=11 one must win),
+      // insert k=5.
+      mem.addData((2L, -9.0, 10L), (2L, 20.0, 11L), (5L, 50.0, 10L))
+      runBatches(q)
+      assert(state() == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0),
+        (5L, 50.0)))
+      // Batch 2: k=5 now matched (updates, not duplicates); k=1 moves.
+      mem.addData((5L, 55.0, 20L), (1L, 10.0, 20L))
+      runBatches(q)
+      assert(state() == Seq((1L, 10.0), (2L, 20.0), (3L, 3.0),
+        (5L, 55.0)))
+    } finally q.stop()
+    // foreachBatch is at-least-once: re-applying a delivered batch via
+    // the same unit the sink runs must not change the state.
+    EventStreams.upsertBatch(e, "cdc", "k", "seq",
+      Seq((5L, 55.0, 20L), (1L, 10.0, 20L)).toDF("k", "v", "seq"))
+    assert(state() == Seq((1L, 10.0), (2L, 20.0), (3L, 3.0),
+      (5L, 55.0)))
+  }
 }

@@ -84,4 +84,65 @@ class MppWritePathSpec extends SparkTestBase {
       (6L, 120.0, "dflt"), (8L, 80.0, "x"), (8L, 81.0, "x")),
       broadcastState.toString)
   }
+
+  test("narrow COW writes really are shuffle-free: UPDATE, DELETE and " +
+      "broadcast MERGE staging plans shuffle nothing outside a " +
+      "broadcast subtree") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeLike, ShuffleExchangeLike}
+    val plans =
+      new java.util.concurrent.CopyOnWriteArrayList[SparkPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        if (qe.executedPlan.toString.contains(".staging/"))
+          plans.add(qe.executedPlan)
+        ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // Everything under a BroadcastExchange is bounded by the broadcast
+    // size contract — the matched-key distinct is SUPPOSED to exchange
+    // its (bounded) key set there. What must never shuffle is the
+    // table-side spine above it.
+    def offending(p: SparkPlan): Seq[String] = p match {
+      case _: BroadcastExchangeLike => Nil
+      case s: ShuffleExchangeLike => Seq(s.nodeName)
+      case other => other.children.flatMap(offending)
+    }
+    spark.listenerManager.register(listener)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = freshEngine()
+      e.sql("CREATE TABLE nw(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 4")
+      e.sql("INSERT INTO nw SELECT id, id * 1.0 FROM range(1000)")
+      e.sql("UPDATE nw SET v = v + 1 WHERE k % 3 = 0")
+      e.sql("DELETE FROM nw WHERE k % 17 = 0")
+      import spark.implicits._
+      Seq((5L, -5.0), (2000L, 1.0)).toDF("k", "v")
+        .createOrReplaceTempView("nw_batch")
+      e.sql("MERGE INTO nw t USING (SELECT * FROM nw_batch) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      // The listener bus delivers asynchronously — poll briefly.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.size < 3 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(plans.size >= 3, s"expected 3 staging writes, saw $plans")
+      plans.forEach { p =>
+        val bad = offending(p)
+        assert(bad.isEmpty,
+          s"narrow COW write planned a table-side shuffle $bad:\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.listenerManager.unregister(listener)
+    }
+  }
 }
