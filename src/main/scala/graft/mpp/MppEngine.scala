@@ -466,9 +466,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       .observe(obs, count(lit(1)).as("n"))
       // bucketRouting, not repartition(n, bucket): one bucket per
-      // write task, no birthday collisions (see stageAndSwap).
+      // write task, no birthday collisions (see stageAndSwap). Row
+      // groups bounded for later intra-bucket scan parallelism (see
+      // stageAndSwap's rationale).
       .repartition(t.buckets, bucketRouting((0 until t.buckets).toSet))
-      .write.mode(SaveMode.Append).partitionBy(BucketCol)
+      .write.mode(SaveMode.Append)
+      .option("parquet.block.size",
+        spark.conf.get("graft.cow.rowGroupBytes",
+          (32L * 1024 * 1024).toString))
+      .partitionBy(BucketCol)
       .parquet(dataPath(t.name))
     refreshView(t)
     observedLong(obs)
@@ -805,7 +811,18 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
       val maxPerFile =
         spark.conf.get("graft.optimize.maxRecordsPerFile", "0").toLong
+      // Bounded row groups (default 32 MiB vs parquet's 128 MiB): a
+      // COW cycle that writes one fat row group per bucket caps every
+      // LATER scan of the table at one non-empty split per bucket —
+      // parquet splits yield rows only where a row-group midpoint
+      // falls, so parallelism collapses to the bucket count no matter
+      // the split size (measured at the sf30 mirror: 32 scheduled
+      // tasks, 8 doing all the work). Smaller groups keep rewrite and
+      // read parallelism bytes-proportional INSIDE a bucket.
       val writer = shaped.write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size",
+          spark.conf.get("graft.cow.rowGroupBytes",
+            (32L * 1024 * 1024).toString))
         .partitionBy(BucketCol)
       val mpbKey = "spark.sql.files.maxPartitionBytes"
       val prevMpb = spark.conf.get(mpbKey)
@@ -1062,7 +1079,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       enforceNotNull(t, inserts)
         .observe(obs, count(lit(1)).as("n"))
         .repartition(affected.size, bucketRouting(affected))
-        .write.mode(SaveMode.Append).partitionBy(BucketCol)
+        .write.mode(SaveMode.Append)
+        .option("parquet.block.size",
+          spark.conf.get("graft.cow.rowGroupBytes",
+            (32L * 1024 * 1024).toString))
+        .partitionBy(BucketCol)
         .parquet(dataPath(t.name))
       refreshView(t)
       return observedLong(obs)
