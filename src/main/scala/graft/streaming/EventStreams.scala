@@ -377,10 +377,11 @@ object EventStreams {
       seqCol: String, batch: DataFrame): Long = {
     val others = batch.columns.filterNot(c =>
       c.equalsIgnoreCase(seqCol) || c.equalsIgnoreCase(keyCol))
+    val tiebreak =
+      if (others.isEmpty) lit(0L) else xxhash64(others.map(col): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(col(seqCol).desc,
-        xxhash64(others.map(col).toIndexedSeq: _*).desc)
+      .orderBy(col(seqCol).desc, tiebreak.desc)
     // Eager checkpoint: the merge consumes its source several times
     // (cardinality stats, the broadcast join, the insert-side key
     // semi/anti) — a micro-batch is bounded by definition, so pin the
