@@ -1014,15 +1014,60 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       s"MERGE ${t.name}: source has duplicate join keys on $pc — a " +
         "matched target row would be joined by more than one source " +
         "row (ANSI MERGE cardinality violation)")
-    val affected =
-      if (notBySource.nonEmpty) (0 until t.buckets).toSet
-      else srcStats.getSeq[Int](2).toSet
-    def affectedScan: DataFrame =
-      if (affected.size == t.buckets) readWithBucket(t)
-      else readWithBucket(t).filter(col(BucketCol).isin(affected.toSeq: _*))
     def condOf(c: Option[String]): org.apache.spark.sql.Column =
       c.map(s => coalesce(expr(s).cast("boolean"), lit(false)))
         .getOrElse(lit(true))
+    val bcastMax0 =
+      spark.conf.get("graft.merge.broadcastMaxRows", "4000000").toLong
+    // Bucket set the rewrite must cover. Matched/insert clauses touch
+    // only the source keys' buckets (srcBks). BY SOURCE clauses act on
+    // target rows WITHOUT a source match, which any bucket may hold —
+    // but only buckets that actually contain a target-only row
+    // satisfying some BY SOURCE condition need rewriting, and with a
+    // broadcastable source one narrow match-prune pass finds them
+    // (left-anti the target against the source keys, per-bucket count
+    // of condition hits — the merge twin of rewriteBuckets' match
+    // pruning). `MERGE … WHEN NOT MATCHED BY SOURCE AND <selective
+    // cond> THEN DELETE` then costs the touched buckets, not the
+    // table. Conditions referencing __src_ columns are null on
+    // target-only rows by ANSI (condOf coalesces to false), so such a
+    // clause can never fire and resolution failure on the anti frame —
+    // where __src_ columns do not exist — falls back conservatively to
+    // every bucket rather than guessing.
+    val srcBks = srcStats.getSeq[Int](2).toSet
+    val bySourcePrune =
+      spark.conf.get("graft.merge.bySourcePrune", "true").toBoolean
+    // The other clause families force the source keys' buckets into the
+    // rewrite regardless; when those already cover every bucket the
+    // prepass cannot prune anything — skip it exactly then.
+    val srcForced =
+      if (matched.nonEmpty || notMatched.nonEmpty) srcBks else Set[Int]()
+    val affected: Set[Int] =
+      if (notBySource.isEmpty) srcBks
+      else if (nSrc > bcastMax0 || !bySourcePrune ||
+          srcForced.size == t.buckets)
+        (0 until t.buckets).toSet
+      else {
+        val anyCond = notBySource.map(cl => condOf(cl.condition))
+          .reduce(_ || _)
+        val condBks =
+          try {
+            readWithBucket(t)
+              .join(broadcast(src.select(col(pc).as("__sk"))),
+                col(pc) === col("__sk"), "left_anti")
+              .filter(anyCond)
+              .select(col(BucketCol)).distinct()
+              .collect().map(_.getInt(0)).toSet
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              (0 until t.buckets).toSet
+          }
+        condBks ++ srcForced
+      }
+    if (affected.isEmpty) return 0L // no clause can touch any bucket
+    def affectedScan: DataFrame =
+      if (affected.size == t.buckets) readWithBucket(t)
+      else readWithBucket(t).filter(col(BucketCol).isin(affected.toSeq: _*))
     // First-match-wins clause index over the NOT MATCHED chain
     // (evaluated in the __src_ namespace; -1 = no clause applies →
     // the row is not inserted).
@@ -1054,11 +1099,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // flip it into a narrow semi (target keys × broadcast batch
       // keys, output ≤ distinct batch keys) and anti the batch against
       // that bounded set. The table's keys never shuffle.
-      val iBcastMax =
-        spark.conf.get("graft.merge.broadcastMaxRows", "4000000").toLong
       val obs = Observation()
       val srcOnly =
-        if (nSrc > iBcastMax) src
+        if (nSrc > bcastMax0) src
           .join(affectedScan.select(col(pc).as(s"__t_$pc")),
             col(pc) === col(s"__t_$pc"), "left_anti")
         else {
@@ -1105,8 +1148,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // no table-wide exchange; above the row bound
     // (`graft.merge.broadcastMaxRows`) it falls back to the shuffled
     // full-outer, which is the right plan for table-sized sources.
-    val bcastMax =
-      spark.conf.get("graft.merge.broadcastMaxRows", "4000000").toLong
+    val bcastMax = bcastMax0
     val joined =
       if (nSrc > bcastMax)
         tgt.join(srcR, col(pc) === col(s"__src_$pc"), "full_outer")

@@ -85,6 +85,50 @@ class MppWritePathSpec extends SparkTestBase {
       broadcastState.toString)
   }
 
+  test("BY SOURCE merges rewrite only buckets holding condition-" +
+      "matching target-only rows (match-pruned, other files untouched)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE bs(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 8")
+    e.sql("INSERT INTO bs SELECT id, id * 1.0 FROM range(1000)")
+    def fileState(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(e.warehouse, "data", "bs")
+      val out = scala.collection.mutable.Map[String, Long]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          out(p.toString) = java.nio.file.Files.getLastModifiedTime(p)
+            .toMillis
+      }
+      out.toMap
+    }
+    val before = fileState()
+    import spark.implicits._
+    // Empty source; the BY SOURCE DELETE condition selects exactly one
+    // key → one bucket. Only that bucket's files may change.
+    spark.emptyDataset[(Long, Double)].toDF("k", "v")
+      .createOrReplaceTempView("bs_empty")
+    e.sql("MERGE INTO bs t USING (SELECT * FROM bs_empty) s " +
+      "ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE AND k = 137 THEN DELETE")
+    assert(e.table("bs").count() == 999L)
+    assert(e.table("bs").filter("k = 137").count() == 0L)
+    val after = fileState()
+    val changed = (before.keySet ++ after.keySet).filter(p =>
+      before.get(p) != after.get(p))
+    val buckets = changed.map(p =>
+      p.split("bucket=")(1).split("/")(0)).toSet
+    assert(buckets.size == 1,
+      s"expected exactly one rewritten bucket, got $buckets ($changed)")
+    // A condition no row satisfies rewrites nothing at all.
+    val before2 = fileState()
+    val n = e.sql("MERGE INTO bs t USING (SELECT * FROM bs_empty) s " +
+      "ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE AND k < 0 THEN UPDATE SET v = -1")
+      .head().getLong(0)
+    assert(n == 0L)
+    assert(fileState() == before2, "no-op BY SOURCE merge touched files")
+  }
+
   test("narrow COW writes really are shuffle-free: UPDATE, DELETE and " +
       "broadcast MERGE staging plans shuffle nothing outside a " +
       "broadcast subtree") {
