@@ -641,27 +641,29 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val root = new Path(dataPath(t.name))
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return (0, 0)
-    val counts: Seq[(Int, Int)] = fs.listStatus(root).toSeq
+    val counts: Seq[(Int, Int, Long)] = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory &&
         st.getPath.getName.startsWith(BucketCol + "="))
       .map { st =>
         val b = st.getPath.getName.drop(BucketCol.length + 1).toInt
-        b -> fs.listStatus(st.getPath).count { f =>
+        val dataFiles = fs.listStatus(st.getPath).filter { f =>
           val n = f.getPath.getName
           f.isFile && !n.startsWith("_") && !n.startsWith(".")
         }
+        (b, dataFiles.length, dataFiles.map(_.getLen).sum)
       }
     val affected = counts.collect {
-      case (b, n) if n > 1 || (sortBy.nonEmpty && n > 0) => b
+      case (b, n, _) if n > 1 || (sortBy.nonEmpty && n > 0) => b
     }.toSet
     if (affected.isEmpty) return (0, 0)
     val work =
       if (affected.size == t.buckets) readWithBucket(t)
       else readWithBucket(t)
         .filter(col(BucketCol).isin(affected.toSeq: _*))
-    stageAndSwap(t, affected, work, sortBy)
+    val bytes = counts.collect { case (b, _, sz) if affected(b) => sz }.sum
+    stageAndSwap(t, affected, work, sortBy, sizeHint = bytes)
     (affected.size,
-      counts.collect { case (b, n) if affected(b) => n }.sum)
+      counts.collect { case (b, n, _) if affected(b) => n }.sum)
   }
 
   /** Shared COW machinery: statically prune buckets by the WHERE clause,
@@ -764,7 +766,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * rewrite frame to learn split points we already know. */
   private def stageAndSwap(t: TableInfo, affected: Set[Int],
       out: DataFrame, sortBy: Seq[String] = Nil,
-      shuffle: Boolean = true): Unit = {
+      shuffle: Boolean = true, sizeHint: Long = -1L): Unit = {
     // Operational knob: `graft.cow.shuffleWrites=true` forces every
     // rewrite through the routed exchange — a deployment that values
     // the compact file-per-bucket layout over rewrite latency (e.g.
@@ -797,8 +799,28 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     heartbeat.setDaemon(true)
     heartbeat.start()
     try {
+      // OPTIMIZE … SORT BY on data larger than one task per bucket can
+      // digest: range-partition by (bucket, sort keys) into
+      // bytes-proportional tasks (`graft.optimize.taskBytes`, 256 MiB).
+      // Range boundaries may fall inside a bucket — each side then
+      // writes its own file to the bucket dir, files stay bucket-pure
+      // and hold DISJOINT sort-key ranges, so per-file zone maps stay
+      // tight while a 10 GB bucket compacts in parallel instead of one
+      // serial spilling sort. Small tables keep the sampling-free
+      // routed exchange (one task per bucket, fewest files) — the
+      // compaction-quality default.
+      val taskBytes = spark.conf
+        .get("graft.optimize.taskBytes", (256L * 1024 * 1024).toString)
+        .toLong
+      val rangeTasks =
+        if (sortBy.isEmpty || sizeHint <= 0) 0
+        else math.ceil(sizeHint.toDouble / taskBytes).toInt
       val shaped =
         if (!doShuffle) out // narrow: dir-grouped scan feeds the writer
+        else if (rangeTasks > affected.size)
+          out.repartitionByRange(rangeTasks,
+              (BucketCol +: sortBy).map(col): _*)
+            .sortWithinPartitions((BucketCol +: sortBy).map(col): _*)
         else {
           val shaped0 =
             out.repartition(affected.size, bucketRouting(affected))

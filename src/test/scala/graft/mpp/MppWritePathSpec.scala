@@ -85,6 +85,41 @@ class MppWritePathSpec extends SparkTestBase {
       broadcastState.toString)
   }
 
+  test("OPTIMIZE SORT BY splits fat buckets into parallel range tasks: " +
+      "files stay bucket-pure with disjoint sort-key ranges") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE fat(k BIGINT, c BIGINT) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.sql("INSERT INTO fat SELECT id, (id * 7919) % 100000 FROM " +
+      "range(50000)")
+    spark.conf.set("graft.optimize.taskBytes", "65536") // force ranges
+    try e.sql("OPTIMIZE fat SORT BY (c)")
+    finally spark.conf.unset("graft.optimize.taskBytes")
+    // Count preserved, and each bucket dir holds >1 file whose c-ranges
+    // do not overlap (the parallel-compaction contract: bucket-pure
+    // files, disjoint clustering).
+    assert(e.table("fat").count() == 50000L)
+    val root = java.nio.file.Paths.get(e.warehouse, "data", "fat")
+    (0 until 2).foreach { b =>
+      val dir = root.resolve(s"bucket=$b")
+      val s = java.nio.file.Files.list(dir)
+      val files = try s.toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")) finally s.close()
+      assert(files.length > 1, s"bucket $b not range-split: $files")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("c")), max(col("c"))).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"bucket $b overlapping ranges: " +
+            ranges.mkString(", "))
+        case _ =>
+      }
+    }
+  }
+
   test("BY SOURCE merges rewrite only buckets holding condition-" +
       "matching target-only rows (match-pruned, other files untouched)") {
     val e = freshEngine()
