@@ -162,6 +162,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     catalog.state.liveTable(localKey(table)).getOrElse(
       throw new IllegalArgumentException(s"no distributed table '$table'"))
 
+  /** Declared user-column names of a distributed table (public: lets
+    * callers shape partial-column DML, e.g. the CDC sink's explicit
+    * SET list). */
+  def tableColumns(table: String): Seq[String] =
+    userSchema(info(table)).fieldNames.toSeq
+
   // --- DDL (reference D1/D2: create_distributed_table.cpp:64-168) ------
 
   /** Create a distributed table. `columns` uses Spark DDL types;

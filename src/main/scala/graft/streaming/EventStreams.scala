@@ -389,8 +389,18 @@ object EventStreams {
     val latest = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", seqCol)
       .localCheckpoint()
+    // Partial-column feeds UPDATE only the columns they carry (an
+    // explicit SET list, not SET * — which would align absent columns
+    // to their declared defaults and silently clobber them on matched
+    // rows); inserts take defaults for the rest, the partial-INSERT
+    // semantics.
+    val tgtCols = e.tableColumns(table)
+    val sets = latest.columns
+      .filter(c => !c.equalsIgnoreCase(keyCol) &&
+        tgtCols.exists(_.equalsIgnoreCase(c)))
+      .map(c => c -> s"__src_$c").toSeq
     e.merge(table, latest,
-      Seq(graft.mpp.MergeWhenMatched.Update(None, Nil)),
+      Seq(graft.mpp.MergeWhenMatched.Update(None, sets)),
       Seq(graft.mpp.MergeWhenNotMatched(None, None)))
   }
 

@@ -454,4 +454,23 @@ class EventStreamsSpec extends SparkTestBase {
     assert(state() == Seq((1L, 10.0), (2L, 20.0), (3L, 3.0),
       (5L, 55.0)))
   }
+
+  test("CDC upsert with partial-column batches: updates touch only " +
+      "carried columns, inserts take declared defaults") {
+    import spark.implicits._
+    val e = new graft.mpp.MppEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString)
+    e.sql("CREATE TABLE cdp(k BIGINT, v DOUBLE, tag TEXT " +
+      "DEFAULT 'fresh') PARTITION BY (k) WITH BUCKETS 2")
+    e.sql("INSERT INTO cdp VALUES (1, 1.0, 'old')")
+    // Change feed carries only (k, v, seq): the matched key's tag must
+    // SURVIVE (explicit SET list over carried columns — SET * would
+    // align the absent column to its default and clobber it); the new
+    // key's tag falls to the declared default, partial-INSERT style.
+    EventStreams.upsertBatch(e, "cdp", "k", "seq",
+      Seq((1L, 10.0, 1L), (2L, 2.0, 1L)).toDF("k", "v", "seq"))
+    val got = e.table("cdp").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 10.0, "old"), (2L, 2.0, "fresh")), got)
+  }
 }
