@@ -36,11 +36,19 @@ object MppQueries {
       val e = new MppEngine(s, wh)
       def ensure(table: String)(build: => Unit): Unit =
         if (e.catalog.state.liveTable(table).isEmpty) build
-      val li = Tables(s, dir, "lineitem")
-      ensure("lineitem_d") {
-        e.createDistributedTable("lineitem_d", li.schema.toDDL,
-          "l_orderkey", 8)
-        e.insertInto("lineitem_d", li)
+      // Table-subset mirrors (ScaleData's disk-budgeted deep-scale
+      // form) may omit source tables; build only the warehouse tables
+      // whose sources exist — the q_mpp rows over missing tables then
+      // fail naturally if invoked, everything else stays probe-able.
+      def has(table: String): Boolean =
+        new java.io.File(s"$dir/$table.parquet").exists
+      if (has("lineitem")) {
+        val li = Tables(s, dir, "lineitem")
+        ensure("lineitem_d") {
+          e.createDistributedTable("lineitem_d", li.schema.toDDL,
+            "l_orderkey", 8)
+          e.insertInto("lineitem_d", li)
+        }
       }
       // DML targets are pre-built here too, so the timed DML queries
       // never pay DDL + full re-load that their plain-SELECT oracles
@@ -70,7 +78,7 @@ object MppQueries {
       // DDL-dialect DEFAULT resolution exercised once per environment:
       // partial-column INSERT…SELECT fills c_tier/c_note from defaults
       // (reference default resolution, mpp_physical_insert.cpp:150-181).
-      ensure("cust_d") {
+      if (has("customer")) ensure("cust_d") {
         Tables(s, dir, "customer").createOrReplaceTempView("customer_src")
         e.sql("CREATE TABLE cust_d(c_custkey BIGINT, c_name TEXT, " +
           "c_tier INT DEFAULT 7, c_note TEXT DEFAULT 'none') " +
