@@ -746,6 +746,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       col(BucketCol))
   }
 
+  // stageAndSwap's reentrant maxPartitionBytes override (see there).
+  private val mpbDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  @volatile private var mpbSaved: String = _
+
   /** On-disk bytes of the affected bucket directories — the cheap
     * driver-side size estimate the shuffled COW write uses to pick its
     * task count (input size ≈ output size for rewrites). */
@@ -886,17 +890,28 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           spark.conf.get("graft.cow.rowGroupBytes",
             (32L * 1024 * 1024).toString))
         .partitionBy(BucketCol)
+      // Reentrant session-conf override: two concurrent narrow writes
+      // on one engine must not capture each other's override as the
+      // "previous" value (which would strand the session at the small
+      // split size after both finish). Depth-counted: the first in
+      // saves and sets, the last out restores. A concurrent READ
+      // planned inside the window sees smaller splits — more tasks,
+      // never wrong results. Two ENGINES sharing one session can still
+      // interleave; DML is engine-scoped everywhere in this codebase.
       val mpbKey = "spark.sql.files.maxPartitionBytes"
-      val prevMpb = spark.conf.get(mpbKey)
-      if (!doShuffle) spark.conf.set(mpbKey,
-        spark.conf.get("graft.cow.maxPartitionBytes",
-          (32L * 1024 * 1024).toString))
+      if (!doShuffle && mpbDepth.getAndIncrement() == 0) {
+        mpbSaved = spark.conf.get(mpbKey)
+        spark.conf.set(mpbKey,
+          spark.conf.get("graft.cow.maxPartitionBytes",
+            (32L * 1024 * 1024).toString))
+      }
       try {
         (if (maxPerFile > 0)
           writer.option("maxRecordsPerFile", maxPerFile)
         else writer).parquet(staging)
       } finally {
-        if (!doShuffle) spark.conf.set(mpbKey, prevMpb)
+        if (!doShuffle && mpbDepth.decrementAndGet() == 0)
+          spark.conf.set(mpbKey, mpbSaved)
       }
     } finally {
       heartbeat.interrupt()
