@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The multi-JVM tier (graft.ClusterSpec) spawns real executor JVMs via
+// local-cluster and cannot share a JVM with the local[4] suites —
+// excluded from plain `sbt test`, run via `sbt "testOnly graft.ClusterSpec"`
+// (which clears the exclusion automatically for an explicitly named suite?
+// no — scalatest still filters by tag, so use the documented invocation:
+// `sbt "set Test/testOptions := Seq()" "testOnly graft.ClusterSpec"` or
+// `SPARK_HOME=/opt/spark sbt "runMain graft.tools.ClusterCheck"`).
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-l", "graft.ClusterTag")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -107,35 +107,93 @@ object Bench {
       sizeOf(new java.io.File(dir)) / (64L << 20))).toInt
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** Builds the standard bench session (shared by the main phases and
+    * the `--one` fresh-JVM child). */
+  private def buildSession(sfDir: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Shuffles START wide and AQE coalesces small ones back — the
-      // standard sizing recipe that keeps per-task state (hash-join
-      // builds, aggregation maps) bounded as data grows without
-      // penalizing small stages. Measured necessity: at the sf100
-      // (14 GB) probe, 32 static partitions put a ~10 M-row build in
-      // every shuffled-hash task and OOM'd the salted join; at 256
-      // initial partitions the same plan runs in memory (BASELINE §11);
-      // at sf300 static 256 went superlinear on the salted join's
-      // replicated build + output sort and the data-driven width
-      // restored linear scaling (188 → 129 s, BASELINE §13).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         sys.env.get("SPARK_GRAFT_INIT_PARTS")
           .map(_.toInt).getOrElse(defaultInitParts(sfDir)))
-      // OLAP engines build hash tables; Spark's sort-merge default exists
-      // for giant-build-side safety, which AQE's size estimates already
-      // guard. Shuffled-hash skips two whole-side sorts per join.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Fresh-JVM single-row mode (`--one <name> <dir>`): the per-plan
+    * TRUTH for one query — no predecessor page-cache state, heap
+    * fragmentation, or JIT history from 95 other rows. Prints one
+    * parseable line; the parent bench forks this per heavy row and
+    * publishes the results as the `isolated` dicts (round-10 verdict:
+    * the recorded artifact carried only bench-context numbers, the
+    * per-plan truth lived in BASELINE prose where no tooling could
+    * diff it round-over-round). */
+  private def runOne(name: String, dir: String): Unit = {
+    val spark = buildSession(dir)
+    spark.range(1000).count()
+    try graft.queries.MppQueries.warm(spark, dir)
+    catch { case _: Throwable => }
+    val fn = SparkEntry.queries(name)
+    def t(): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    t() // warm-up pass (codegen, listings, JIT)
+    System.gc()
+    val sec = math.min(t(), t())
+    println(f"GRAFT_ISOLATED $name $sec%.6f")
+    spark.stop()
+  }
+
+  /** Forks a fresh JVM per named row (same classpath, same JVM flags —
+    * module opens and heap ride ManagementFactory's input args) and
+    * collects the isolated seconds. Rows whose child fails are
+    * omitted rather than guessed. */
+  private def isolatedPhase(names: Seq[String], dir: String)
+      : Seq[(String, Double)] = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(_.startsWith("-agentlib")) // no debugger in children
+    }
+    val cp = System.getProperty("java.class.path")
+    names.flatMap { name =>
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench", "--one", name, dir)
+      try {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+        p.waitFor()
+        out.linesIterator
+          .find(_.startsWith("GRAFT_ISOLATED "))
+          .map { l =>
+            val parts = l.trim.split(" ")
+            name -> parts(2).toDouble
+          }
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--one") {
+      runOne(args(1), args(2)); return
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Session confs (see buildSession): AQE start-wide/coalesce-back
+    // sizing — measured necessity at sf100/sf300 (BASELINE §11, §13) —
+    // hash joins preferred over sort-merge, data-driven initial
+    // partition count.
+    val spark = buildSession(sfDir)
     spark.range(1000).count() // JIT the scheduler path
     // Deterministic (sorted) order for cross-round comparability, with
     // one amendment (round-8 verdict #7): the two span-dedup rows — the
@@ -164,7 +222,8 @@ object Bench {
     // and host noise. The DuckDB oracle over the SAME dir is recorded
     // in BASELINE.md §4.
     val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf3")
-    val scaled = if (new java.io.File(s"$scaledDir/lineitem.parquet").exists) {
+    val (scaled, scaledRows) =
+      if (new java.io.File(s"$scaledDir/lineitem.parquet").exists) {
       graft.queries.DedupQueries.releaseShingles(sfDir)
       System.gc()
       // Re-size the AQE start width for the bigger mirror (runtime SQL
@@ -176,9 +235,39 @@ object Bench {
       val oracleBacked = names.filter(n => SparkEntry.oracleSql.contains(n._1))
       val (_, timed, sErrs) =
         phase(spark, scaledDir, oracleBacked)
-      s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_errors":${fmtErr(sErrs)},"scaled_ok":${timed.size},"scaled_expected":${oracleBacked.size},"scaled_dir":"$scaledDir""""
-    } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled,"sf":"$sfDir"}""")
+      (s""","scaled_total":${timed.map(_._2).sum},"scaled_queries":${fmt(timed)},"scaled_errors":${fmtErr(sErrs)},"scaled_ok":${timed.size},"scaled_expected":${oracleBacked.size},"scaled_dir":"$scaledDir"""",
+        timed)
+    } else ("", Seq.empty[(String, Double)])
+    // Isolated phase (round-10 verdict "what's missing #2"): fresh-JVM
+    // per-row truth for the heaviest rows, PUBLISHED IN THE ARTIFACT so
+    // plan regressions diff round-over-round without prose archaeology.
+    // Bench-context numbers carry ordering/GC/page-cache debt (~1.5× on
+    // DML rows); the isolated dict is the per-plan number the BASELINE
+    // prose always had to restate. Bounded: rows above
+    // GRAFT_BENCH_ISOLATE_MIN seconds (default 2.0; <=0 disables), at
+    // most GRAFT_BENCH_ISOLATE_MAX (default 8), most expensive first.
+    // Placed at the END of the line: the driver records the line's
+    // 2000-char TAIL, so the isolated dict must sit inside it.
+    val isoMin = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_MIN", "2.0").toDouble
+    val isoMax = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_MAX", "8").toInt
+    val (isoSrc, isoDir) =
+      if (scaledRows.nonEmpty) (scaledRows, scaledDir)
+      else (steady, sfDir)
+    val isolated =
+      if (isoMin <= 0) Seq.empty
+      else isolatedPhase(isoSrc.filter(_._2 >= isoMin)
+        .sortBy(-_._2).take(isoMax).map(_._1), isoDir)
+    val isoJson =
+      s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir""""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled$isoJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only the tail of the stdout line; the COMPLETE
+    // artifact goes to a repo file so every dict survives for diffing.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_JSON", "BENCH_FULL.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

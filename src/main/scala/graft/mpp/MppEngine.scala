@@ -734,21 +734,31 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   private[mpp] def bucketRouting(affected: Set[Int])
       : org.apache.spark.sql.Column = {
     val n = affected.size
+    val probes = MppEngine.routingProbes(n) // memoized coupon-collector
     val pairs = affected.toSeq.sorted.zipWithIndex.map { case (b, slot) =>
-      var v = 0
-      while ((
-          (org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
-            % n) + n) % n != slot) v += 1
-      (b, v)
+      (b, probes(slot))
     }
     element_at(
       map(pairs.flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*),
       col(BucketCol))
   }
 
-  // stageAndSwap's reentrant maxPartitionBytes override (see there).
-  private val mpbDepth = new java.util.concurrent.atomic.AtomicInteger(0)
-  @volatile private var mpbSaved: String = _
+  /** Routed exchange with a bucket-count bound: the exact one-bucket-
+    * per-task map literal is ideal up to a few thousand buckets, but at
+    * 64 K buckets it is a 128 K-child Catalyst expression — analyzer
+    * and codegen cost on every statement. Above
+    * `graft.cow.routingMaxBuckets` (default 8192) fall back to plain
+    * `repartition(n, bucket)`: birthday collisions put at most
+    * ~ln n/ln ln n buckets in one task (≤5 at 64 K) — bounded skew for
+    * a bounded expression, the right trade at large bucket counts. */
+  private[mpp] def routeToBuckets(df: DataFrame, affected: Set[Int])
+      : DataFrame = {
+    val n = affected.size
+    val maxExact =
+      spark.conf.get("graft.cow.routingMaxBuckets", "8192").toInt
+    if (n <= maxExact) df.repartition(n, bucketRouting(affected))
+    else df.repartition(n, col(BucketCol))
+  }
 
   /** On-disk bytes of the affected bucket directories — the cheap
     * driver-side size estimate the shuffled COW write uses to pick its
@@ -867,7 +877,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             if (sortBy.isEmpty && wantW > affected.size) {
               val k = math.ceil(wantW.toDouble / t.buckets).toInt
               out.repartition(k * t.buckets, col(t.partitionColumn))
-            } else out.repartition(affected.size, bucketRouting(affected))
+            } else routeToBuckets(out, affected)
           // OPTIMIZE … SORT BY: cluster within the bucket (bucket col
           // first keeps the dynamic-partition writer's per-dir grouping
           // intact).
@@ -890,17 +900,20 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           spark.conf.get("graft.cow.rowGroupBytes",
             (32L * 1024 * 1024).toString))
         .partitionBy(BucketCol)
-      // Reentrant session-conf override: two concurrent narrow writes
-      // on one engine must not capture each other's override as the
-      // "previous" value (which would strand the session at the small
-      // split size after both finish). Depth-counted: the first in
-      // saves and sets, the last out restores. A concurrent READ
-      // planned inside the window sees smaller splits — more tasks,
-      // never wrong results. Two ENGINES sharing one session can still
-      // interleave; DML is engine-scoped everywhere in this codebase.
+      // Reentrant session-conf override, tracked PER SESSION (the conf
+      // being mutated is session-global): concurrent narrow writes —
+      // whether on one engine or on two engines sharing a SparkSession
+      // — must not capture each other's override as the "previous"
+      // value (which would strand the session at the small split size
+      // after both finish). Depth-counted: the first in saves and
+      // sets, the last out restores. A concurrent READ planned inside
+      // the window sees smaller splits — more tasks, never wrong
+      // results.
       val mpbKey = "spark.sql.files.maxPartitionBytes"
-      if (!doShuffle && mpbDepth.getAndIncrement() == 0) {
-        mpbSaved = spark.conf.get(mpbKey)
+      val mpb = MppEngine.mpbStates
+        .computeIfAbsent(spark, _ => new MppEngine.MpbState)
+      if (!doShuffle && mpb.depth.getAndIncrement() == 0) {
+        mpb.saved = spark.conf.get(mpbKey)
         spark.conf.set(mpbKey,
           spark.conf.get("graft.cow.maxPartitionBytes",
             (32L * 1024 * 1024).toString))
@@ -910,8 +923,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           writer.option("maxRecordsPerFile", maxPerFile)
         else writer).parquet(staging)
       } finally {
-        if (!doShuffle && mpbDepth.decrementAndGet() == 0)
-          spark.conf.set(mpbKey, mpbSaved)
+        if (!doShuffle && mpb.depth.decrementAndGet() == 0)
+          spark.conf.set(mpbKey, mpb.saved)
       }
     } finally {
       heartbeat.interrupt()
@@ -996,6 +1009,28 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       notMatched: Seq[MergeWhenNotMatched]): Long =
     merge(name, source0, matched, notMatched, Nil)
 
+  /** Per-row byte estimate of `df` for the merge broadcast decision:
+    * variable-width columns by their actual lengths (strings/binary by
+    * octet_length, arrays by element count × element width) plus a
+    * small per-object overhead, fixed-width columns by their Catalyst
+    * default size. Intentionally cheap and conservative-ish — the
+    * consumer compares the SUM against a ~120 MB bound where a 2×
+    * estimate error cannot turn a safe broadcast into an OOM. */
+  private def estRowBytes(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) +
+            lit(20L)
+        case at: ArrayType =>
+          coalesce(size(col(f.name)).cast("long"), lit(0L)) *
+            lit(math.max(at.elementType.defaultSize, 1).toLong) + lit(16L)
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduceOption(_ + _).getOrElse(lit(8L))
+  }
+
   /** Full-surface merge including `WHEN NOT MATCHED BY SOURCE [AND
     * cond] THEN UPDATE SET …|DELETE` clauses (first-match-wins among
     * themselves, acting on target rows without a source match). BY
@@ -1070,11 +1105,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       .map(c => source0(c).as(c))
     val src = source0.select(aligned ++ extras: _*)
     // One aggregate over the (batch-sized) source: total rows, max key
-    // multiplicity (cardinality check), and the affected bucket set.
-    val srcStats = src.groupBy(col(pc)).agg(count(lit(1)).as("c"))
+    // multiplicity (cardinality check), the affected bucket set, and
+    // the estimated total row bytes (the broadcast-bound input).
+    val srcStats = src.groupBy(col(pc)).agg(count(lit(1)).as("c"),
+        sum(estRowBytes(src)).as("bz"))
       .agg(coalesce(sum("c"), lit(0L)).as("n"),
         coalesce(max("c"), lit(0L)).as("maxc"),
-        collect_set(pmod(hash(col(pc)), lit(t.buckets))).as("bks"))
+        collect_set(pmod(hash(col(pc)), lit(t.buckets))).as("bks"),
+        coalesce(sum("bz"), lit(0L)).as("bytes"))
       .collect()(0)
     val nSrc = srcStats.getLong(0)
     // An empty source is NOT a no-op under BY SOURCE clauses: every
@@ -1096,6 +1134,19 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .getOrElse(lit(true))
     val bcastMax0 =
       spark.conf.get("graft.merge.broadcastMaxRows", "4000000").toLong
+    // The decision variable the §20.6 rebuild-vs-exchange crossover
+    // actually identifies is BYTES, not rows: 4 M rows of this bench's
+    // ~27 B schema is ~110 MB, but 4 M rows of 2 KB documents is an
+    // 8 GB broadcast — over Spark's own cap and a driver OOM. Bound
+    // the FULL-WIDTH source broadcast by estimated bytes (sampled in
+    // the same srcStats pass) as well as rows; key-only broadcasts
+    // (bucket prune prepass, insert-side semi/anti) stay on the rows
+    // bound — they ship one column, not the row. Rows knob kept as an
+    // override for schema-aware deployments.
+    val bcastMaxBytes = spark.conf.get("graft.merge.broadcastMaxBytes",
+      (120L * 1024 * 1024).toString).toLong
+    val srcBytes = srcStats.getLong(3)
+    val bcastFullRows = nSrc <= bcastMax0 && srcBytes <= bcastMaxBytes
     // Bucket set the rewrite must cover. Matched/insert clauses touch
     // only the source keys' buckets (srcBks). BY SOURCE clauses act on
     // target rows WITHOUT a source match, which any bucket may hold —
@@ -1196,9 +1247,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       val inserts = kept.select(schema.fields.map(f =>
           insertVal(f).as(f.name)): _*)
         .withColumn(BucketCol, pmod(hash(col(pc)), lit(t.buckets)))
-      enforceNotNull(t, inserts)
-        .observe(obs, count(lit(1)).as("n"))
-        .repartition(affected.size, bucketRouting(affected))
+      routeToBuckets(enforceNotNull(t, inserts)
+          .observe(obs, count(lit(1)).as("n")), affected)
         .write.mode(SaveMode.Append)
         .option("parquet.block.size",
           spark.conf.get("graft.cow.rowGroupBytes",
@@ -1225,9 +1275,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // no table-wide exchange; above the row bound
     // (`graft.merge.broadcastMaxRows`) it falls back to the shuffled
     // full-outer, which is the right plan for table-sized sources.
-    val bcastMax = bcastMax0
+    MppEngine.lastMergeBroadcast = Some(bcastFullRows) // spec hook
     val joined =
-      if (nSrc > bcastMax)
+      if (!bcastFullRows)
         tgt.join(srcR, col(pc) === col(s"__src_$pc"), "full_outer")
       else {
         val tj = tgt.join(broadcast(srcR),
@@ -1323,9 +1373,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val out = enforceNotNull(t, kept.select(outCols :+
       coalesce(col(BucketCol),
         pmod(hash(col(s"__src_$pc")), lit(t.buckets))).as(BucketCol): _*))
-    stageAndSwap(t, affected, out, shuffle = nSrc > bcastMax,
+    stageAndSwap(t, affected, out, shuffle = !bcastFullRows,
       sizeHint =
-        if (nSrc > bcastMax) affectedBytes(t, affected) else -1L)
+        if (!bcastFullRows) affectedBytes(t, affected) else -1L)
     def cnt(k: String): Long = obs.get.get(k) match {
       case Some(x: Long) => x
       case _ => 0L
@@ -1767,6 +1817,47 @@ object MppEngine {
     * USE — test/sql/mpp.test:15-31). */
   val registry = scala.collection.concurrent.TrieMap.empty[String, MppEngine]
 
+  /** Per-SESSION reentrancy state for the narrow-write
+    * `spark.sql.files.maxPartitionBytes` override (see stageAndSwap).
+    * The conf being mutated is session-global, so the depth counter
+    * must be too: two ENGINES sharing one SparkSession (the shared
+    * test session, multi-catalog ATTACH) interleaving narrow writes
+    * with a per-engine counter could capture each other's 32 MiB
+    * override as the "previous" value and strand the session at the
+    * small split size — degrading every later scan 4× in task count. */
+  private[mpp] final class MpbState {
+    val depth = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var saved: String = _
+  }
+  private[mpp] val mpbStates = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, MpbState]
+
+  /** slot → probe int with `murmur3(probe, 42) mod n == slot` — the
+    * routing table [[MppEngine.bucketRouting]] consumes. Filled by ONE
+    * coupon-collector sweep over candidate ints (expected n·H(n) ≈
+    * n·ln n hash calls; the old per-slot restart search was expected
+    * O(n²) — ~4×10⁹ hashes at 64 K buckets, tens of driver seconds per
+    * DML statement) and memoized per n, so repeated statements against
+    * the same bucket count pay one map lookup. */
+  private val routingProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]
+  private[mpp] def routingProbes(n: Int): Array[Int] =
+    routingProbeCache.computeIfAbsent(n, _ => {
+      val out = new Array[Int](n)
+      val filled = new Array[Boolean](n)
+      var remaining = n
+      var v = 0
+      while (remaining > 0) {
+        val slot = ((org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashInt(v, 42) % n) + n) % n
+        if (!filled(slot)) {
+          filled(slot) = true; out(slot) = v; remaining -= 1
+        }
+        v += 1
+      }
+      out
+    })
+
   /** The engine unqualified statements route to (reference: the USE'd
     * catalog). Set by USE and by the first ATTACH. */
   @volatile var active: Option[String] = None
@@ -1777,6 +1868,11 @@ object MppEngine {
     active.flatMap(registry.get).orElse(lastRegistered)
 
   @volatile private var lastRegistered: Option[MppEngine] = None
+
+  /** Spec hook: whether the most recent full-surface merge in this JVM
+    * chose the broadcast low-shuffle plan (same idiom as
+    * ZoneMapFileIndex.lastCounts). */
+  @volatile private[graft] var lastMergeBroadcast: Option[Boolean] = None
 
   /** Per-table-path locks serializing rowid-manifest publishes within
     * the JVM (covers multiple engines over one warehouse). */

@@ -280,9 +280,14 @@ object AnalyticQueries {
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
         // Continuous domain → the primitive-array exact aggregate
         // (round 10); the quantized quantity keeps the built-in's
-        // value→count compression.
-        round(graft.functions.ExactPercentiles.percentiles(s,
-          col("l_extendedprice"), 0.9)(0), 4).as("p90_price"),
+        // value→count compression. A/B switch (round-11 probe of the
+        // +27% bench-context move): graft.stats.exactPct=false reverts
+        // to the value→count-map built-in.
+        (if (s.conf.get("graft.stats.exactPct", "true").toBoolean)
+          round(graft.functions.ExactPercentiles.percentiles(s,
+            col("l_extendedprice"), 0.9)(0), 4)
+        else round(expr("percentile(l_extendedprice, 0.9)"), 4))
+          .as("p90_price"),
         round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 4)
           .as("corr_qp"),

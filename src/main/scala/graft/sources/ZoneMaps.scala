@@ -298,7 +298,11 @@ final class ZoneMapFileIndex(
     val pruned = dirs.map { d =>
       val fs = d.files.filter { f =>
         total += 1
-        val k = keep.get(f.getPath.toString)
+        // Default-keep on a missing entry: pruning must stay sound even
+        // if the two traversals ever disagree on the file set (a plain
+        // `get` would null-unbox a miss to false = silently DROP a live
+        // file — the opposite of mightMatch's err-to-keep contract).
+        val k = keep.getOrDefault(f.getPath.toString, true)
         if (k) kept += 1
         k
       }

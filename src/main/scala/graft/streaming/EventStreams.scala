@@ -382,19 +382,27 @@ object EventStreams {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(col(seqCol).desc, tiebreak.desc)
+    // When the TARGET itself declares the sequence column, carry it
+    // through so matched rows take the feed's LSN and inserts store it
+    // (dropping it would leave matched rows with their stale stored
+    // sequence and inserts with the declared default — the table's own
+    // ordering column silently diverging from the feed). A feed-only
+    // sequence column is dropped as before.
+    val tgtCols = e.tableColumns(table)
+    val keepSeq = tgtCols.exists(_.equalsIgnoreCase(seqCol))
     // Eager checkpoint: the merge consumes its source several times
     // (cardinality stats, the broadcast join, the insert-side key
     // semi/anti) — a micro-batch is bounded by definition, so pin the
     // reduced rows once instead of re-running the window per consumer.
-    val latest = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", seqCol)
+    val latest0 = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val latest = (if (keepSeq) latest0 else latest0.drop(seqCol))
       .localCheckpoint()
     // Partial-column feeds UPDATE only the columns they carry (an
     // explicit SET list, not SET * — which would align absent columns
     // to their declared defaults and silently clobber them on matched
     // rows); inserts take defaults for the rest, the partial-INSERT
     // semantics.
-    val tgtCols = e.tableColumns(table)
     val sets = latest.columns
       .filter(c => !c.equalsIgnoreCase(keyCol) &&
         tgtCols.exists(_.equalsIgnoreCase(c)))

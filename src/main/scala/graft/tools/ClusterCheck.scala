@@ -1,0 +1,239 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-JVM execution check — the one regime `local[K]` can never
+  * exercise. Everything else in this repo runs in a single JVM:
+  * in-process shuffle "fetches", no process boundary under broadcast
+  * variables or task binaries, and custom-aggregate partial buffers
+  * that are serialized but never cross a wire. `local-cluster[2,C,M]`
+  * starts a REAL standalone master + worker inside this JVM and
+  * launches TWO SEPARATE EXECUTOR JVMs: real netty shuffle fetches,
+  * real task/broadcast transport, real serialize→ship→deserialize of
+  * every `TypedImperativeAggregate` partial (BitmapDistinct's Roaring
+  * bitmap, ExactPercentiles' primitive buffer, FreqSketch's maps), and
+  * — the case no single-process mode can fake — an executor-loss
+  * recovery when we kill one executor JVM mid-query.
+  *
+  * A buffer `serialize`/`deserialize` bug, a non-serializable closure,
+  * or a broadcast that only worked because the "broadcast" never left
+  * the process would pass every local[32] gate and fail on the first
+  * real cluster; this main is the port's first actual process
+  * boundary (the reference's own boundary is its gRPC flight between
+  * mpp_service processes — src/mpp_service.cpp:28-53).
+  *
+  * Run: `SPARK_HOME=/opt/spark sbt "runMain graft.tools.ClusterCheck"`
+  * (SPARK_HOME is how the worker finds the jars for the executor
+  * JVMs' classpath; the application classes ride
+  * spark.executor.extraClassPath = this JVM's classpath). Exits 0 iff
+  * every check passes.
+  */
+object ClusterCheck {
+
+  private var failed = 0
+  private def check(name: String)(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    try {
+      body
+      println(f"[cluster-check] PASS $name (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    } catch {
+      case e: Throwable =>
+        failed += 1
+        println(s"[cluster-check] FAIL $name: $e")
+        e.getStackTrace.take(8).foreach(f => println(s"    at $f"))
+    }
+  }
+
+  // Executor JVMs need the same JDK17 module opens the driver gets
+  // from build.sbt (SparkSession outside spark-submit).
+  private val opens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  private def executorPids(): Seq[ProcessHandle] = {
+    import scala.jdk.CollectionConverters._
+    ProcessHandle.allProcesses().iterator().asScala.filter(p =>
+      p.info().commandLine().map[Boolean](
+        _.contains("CoarseGrainedExecutorBackend")).orElse(false)).toSeq
+  }
+
+  def run(): Int = {
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .appName("graft-cluster-check")
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions",
+        s"$opens -Dspark.ui.enabled=false")
+      .config("spark.task.maxFailures", "4")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try runChecks(spark)
+    finally spark.stop()
+    println(s"[cluster-check] ${if (failed == 0) "ALL PASS" else s"$failed FAILED"}")
+    if (failed == 0) 0 else 1
+  }
+
+  private def runChecks(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+
+    check("two separate executor JVMs register") {
+      val deadline = System.currentTimeMillis() + 60000
+      // getExecutorMemoryStatus includes the driver; want driver + 2.
+      while (sc.getExecutorMemoryStatus.size < 3 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(sc.getExecutorMemoryStatus.size >= 3,
+        s"executors never registered: ${sc.getExecutorMemoryStatus.keys}")
+      val pids = executorPids()
+      assert(pids.size >= 2, s"expected >=2 executor JVMs, saw ${pids.size}")
+    }
+
+    check("cross-executor shuffle: wide groupBy aggregates correctly") {
+      // 64 map tasks on both executors, reduce side must FETCH over
+      // netty from the remote JVM (local[К] never does this).
+      val got = spark.range(0, 4000000, 1, 64)
+        .select((col("id") % 977).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"), sum("k").as("s"))
+        .agg(count(lit(1)), sum("c"), sum("s"))
+        .head()
+      assert(got.getLong(0) == 977L, got.toString)
+      assert(got.getLong(1) == 4000000L, got.toString)
+    }
+
+    check("bitmap_distinct partials serialize across the process " +
+        "boundary (Roaring buffer)") {
+      val df = spark.range(0, 2000000, 1, 32)
+        .select((col("id") % 100000).as("v"),
+          (col("id") % 7).as("g"))
+      val got = df.groupBy("g")
+        .agg(graft.functions.BitmapDistinct
+          .distinctCount(spark, col("v")).as("bd"),
+          countDistinct(col("v")).as("cd"))
+        .collect()
+      assert(got.length == 7)
+      got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+        s"g=${r.get(0)}: bitmap ${r.getLong(1)} != exact ${r.getLong(2)}"))
+    }
+
+    check("exact_percentiles partials serialize across the process " +
+        "boundary (primitive-array buffer)") {
+      val df = spark.range(0, 1000001, 1, 32)
+        .select(col("id").cast("double").as("v"))
+      val got = df.agg(graft.functions.ExactPercentiles
+          .percentiles(spark, col("v"), 0.0, 0.5, 0.99, 1.0).as("p"))
+        .head().getSeq[Double](0)
+      assert(got == Seq(0.0, 500000.0, 990000.0, 1000000.0), got.toString)
+    }
+
+    check("freq_sketch partials serialize across the process boundary " +
+        "and certified top-k is exact") {
+      val df = spark.range(0, 1000000, 1, 32)
+        // zipf-ish: value v appears ~ 1/v of the time
+        .select((lit(1000000) / (col("id") % 1000 + 1)).cast("string")
+          .as("item"))
+      val exact = df.groupBy("item").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("item")).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val sk = graft.functions.FreqSketch.topKExact(df, "item", 5, 256)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(sk.sorted == exact.sorted, s"sketch=$sk exact=$exact")
+    }
+
+    check("broadcast join ships the build side between JVMs") {
+      val dim = spark.range(0, 500).select(col("id").as("k"),
+        concat(lit("n"), col("id")).as("name"))
+      val fact = spark.range(0, 2000000, 1, 32)
+        .select((col("id") % 500).as("k"))
+      val got = fact.join(broadcast(dim), "k")
+        .agg(count(lit(1)), countDistinct(col("name"))).head()
+      assert(got.getLong(0) == 2000000L && got.getLong(1) == 500L,
+        got.toString)
+    }
+
+    check("engine DML battery: insert/update/delete/merge/optimize " +
+        "across executor JVMs, contents exact") {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cluster-check").toString
+      val e = new graft.mpp.MppEngine(spark, wh)
+      e.sql("CREATE TABLE ck(k BIGINT, v DOUBLE, tag TEXT DEFAULT 'd') " +
+        "PARTITION BY (k) WITH BUCKETS 8")
+      e.insertInto("ck", spark.range(0, 100000, 1, 16).toDF("k")
+        .withColumn("v", col("k") * 1.0)
+        .withColumn("tag", lit("base")))
+      e.sql("UPDATE ck SET v = v + 0.5 WHERE k % 10 = 3")
+      e.sql("DELETE FROM ck WHERE k % 1000 = 999")
+      import spark.implicits._
+      Seq((5L, -5.0, "m"), (200000L, 1.0, "i"), (200001L, 2.0, "i"))
+        .toDF("k", "v", "tag").createOrReplaceTempView("ck_batch")
+      e.sql("MERGE INTO ck t USING (SELECT * FROM ck_batch) s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      e.sql("OPTIMIZE ck SORT BY (v)")
+      val got = e.table("ck")
+        .agg(count(lit(1)), sum("v"), sum(when(col("tag") === "m", 1)
+          .when(col("tag") === "i", 10).otherwise(0))).head()
+      // Expected state, computed independently on the driver.
+      val base = (0L until 100000L)
+        .filter(_ % 1000 != 999)
+        .map(k => if (k % 10 == 3) k + 0.5 else k.toDouble)
+      val expSum = base.map(v => if (v == 5.0) -5.0 else v).sum + 1.0 + 2.0
+      assert(got.getLong(0) == base.size + 2, got.toString)
+      assert(math.abs(got.getDouble(1) - expSum) < 1e-6,
+        s"sum ${got.getDouble(1)} != $expSum")
+      assert(got.getLong(2) == 1L + 20L, got.toString)
+    }
+
+    check("executor JVM killed mid-query: tasks retry on the survivor " +
+        "and the result is exact") {
+      def q: DataFrame = spark.range(0, 40000000L, 1, 96)
+        .select(sha2(concat(lit("x"), col("id")), 256).as("h"))
+        .agg(sum(length(col("h"))).as("s"), count(lit(1)).as("n"))
+      val expected = q.head() // calibration run, no kill
+      val fut = scala.concurrent.Future(q.head())(
+        scala.concurrent.ExecutionContext.global)
+      // Let the job get airborne, then hard-kill one executor JVM.
+      Thread.sleep(2000)
+      val pids = executorPids()
+      assert(pids.nonEmpty, "no executor JVM found to kill")
+      val victim = pids.head
+      victim.destroyForcibly()
+      val got = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(300, "s"))
+      assert(got == expected, s"after kill: $got != $expected")
+      // The standalone master relaunches the executor on the worker.
+      val deadline = System.currentTimeMillis() + 60000
+      while (sc.getExecutorMemoryStatus.size < 3 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(sc.getExecutorMemoryStatus.size >= 3,
+        "killed executor was not replaced")
+    }
+
+    check("bench slice: three headline queries run whole on the " +
+        "2-executor topology") {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+        "/root/testdata/sf0.01")
+      Seq("q1_pricing_summary", "q_dedup_exact", "q_topk").foreach { name =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, dir).count()
+        println(f"[cluster-check]   $name: $n rows in " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+        assert(n > 0, s"$name returned no rows")
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rc = run()
+    if (rc != 0) sys.exit(rc)
+  }
+}

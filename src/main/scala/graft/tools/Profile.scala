@@ -27,8 +27,11 @@ object Profile {
     // "graft.lsh.bandPasses=4;spark.sql.adaptive.enabled=false".
     sys.env.get("GRAFT_SPARK_CONFS").foreach(_.split(';').filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder = builder.config(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => builder = builder.config(k, v)
+          case _ => sys.error(
+            s"GRAFT_SPARK_CONFS: malformed entry '$kv' (expected key=value)")
+        }
       })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -224,4 +224,129 @@ class MppWritePathSpec extends SparkTestBase {
       spark.listenerManager.unregister(listener)
     }
   }
+
+  test("routingProbes is a bijection and stays cheap at large bucket " +
+      "counts (coupon-collector sweep, memoized)") {
+    // 64 K slots under the old per-slot restart search was ~4×10⁹
+    // driver hashes; the sweep needs ~n·ln n. Wall-bound it hard.
+    val t0 = System.nanoTime()
+    val probes = MppEngine.routingProbes(65536)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000, s"routingProbes(65536) took $ms ms")
+    val slots = probes.map(v =>
+      ((org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        % 65536) + 65536) % 65536)
+    assert(slots.zipWithIndex.forall { case (s, i) => s == i },
+      "probe table is not slot-aligned")
+    // Memoized: the second call is a pure map lookup (same array).
+    assert(MppEngine.routingProbes(65536) eq probes)
+  }
+
+  test("routeToBuckets falls back to plain bucket repartition above " +
+      "graft.cow.routingMaxBuckets (bounded expression, bounded skew)") {
+    val e = freshEngine()
+    import spark.implicits._
+    val affected = (0 until 16).toSet
+    val df = (0 until 16).flatMap(b => Seq.fill(10)(b))
+      .toDF(BucketPruning.BucketCol)
+    spark.conf.set("graft.cow.routingMaxBuckets", "4")
+    try {
+      val routed = e.routeToBuckets(df, affected)
+      assert(routed.rdd.getNumPartitions == 16)
+      // Fallback keeps bucket-purity per partition (hash groups equal
+      // keys) even though some partitions may hold >1 bucket.
+      val perPart = routed.rdd.mapPartitions(it =>
+        Iterator(it.map(_.getInt(0)).toSet)).collect()
+      assert(perPart.flatten.toSet == affected)
+    } finally spark.conf.unset("graft.cow.routingMaxBuckets")
+    // Below the bound: the exact map routing still gives a bijection.
+    val exact = e.routeToBuckets(df, affected)
+    val perPart = exact.rdd.mapPartitions(it =>
+      Iterator(it.map(_.getInt(0)).toSet)).collect()
+    assert(perPart.count(_.nonEmpty) == 16 &&
+      perPart.forall(_.size <= 1), perPart.mkString(", "))
+  }
+
+  test("merge broadcast bound trips on BYTES, not only rows: a wide-" +
+      "row source below the row bound falls back to the shuffled plan " +
+      "with identical results") {
+    import spark.implicits._
+    def run(maxBytes: Option[String]): Seq[(Long, String)] = {
+      val e = freshEngine()
+      maxBytes.foreach(spark.conf.set("graft.merge.broadcastMaxBytes", _))
+      try {
+        e.sql("CREATE TABLE wd(k BIGINT, doc TEXT) PARTITION BY (k) " +
+          "WITH BUCKETS 4")
+        e.insertInto("wd", (0L until 50L).map(k => (k, s"orig-$k"))
+          .toDF("k", "doc"))
+        // 200 rows × ~1 KB ≈ 200 KB estimated: far under the 4 M row
+        // bound, over a 50 KB byte bound.
+        (0L until 200L).map(k => (k, "x" * 1024)).toDF("k", "doc")
+          .createOrReplaceTempView("wd_batch")
+        e.sql("MERGE INTO wd t USING (SELECT * FROM wd_batch) s " +
+          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET doc = s.doc " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        e.table("wd").orderBy("k").collect()
+          .map(r => (r.getLong(0), r.getString(1).take(8))).toSeq
+      } finally maxBytes.foreach(_ =>
+        spark.conf.unset("graft.merge.broadcastMaxBytes"))
+    }
+    val viaBroadcast = run(None)
+    assert(MppEngine.lastMergeBroadcast.contains(true),
+      "default bounds should broadcast a 200 KB source")
+    val viaShuffle = run(Some("50000"))
+    assert(MppEngine.lastMergeBroadcast.contains(false),
+      "a 50 KB byte bound must reject a ~200 KB source broadcast")
+    assert(viaBroadcast == viaShuffle)
+    assert(viaBroadcast.size == 200 &&
+      viaBroadcast.forall(_._2 == "xxxxxxxx"))
+  }
+
+  test("a mid-staging-write failure restores the session " +
+      "maxPartitionBytes override (no stranded 32 MiB session default)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE mw(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("mw", spark.range(0, 2000).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.get(mpbKey)
+    // The UDF passes through the first stage that evaluates it (the
+    // match-stats aggregate) and throws in any LATER stage — i.e.
+    // inside the narrow staging write itself, after stageAndSwap has
+    // installed its session-conf override.
+    BoomAfterFirstStage.firstStage.set(-1)
+    spark.udf.register("graft_boom_late",
+      (v: Double) => BoomAfterFirstStage.strike(v))
+    try {
+      val ex = intercept[Exception] {
+        e.sql("UPDATE mw SET v = graft_boom_late(v) + 1.0 WHERE k < 1000")
+      }
+      assert(ex.toString.contains("graft-test boom") ||
+        Option(ex.getCause).exists(_.toString.contains("graft-test boom")) ||
+        ex.toString.contains("SparkException"), ex.toString)
+      assert(spark.conf.get(mpbKey) == before,
+        s"session $mpbKey stranded after failed narrow write")
+      // The engine still works and the table is untouched (the failed
+      // staging write never swapped).
+      val s = e.table("mw").agg(sum(col("v"))).head().getDouble(0)
+      assert(s == (0 until 2000).map(_.toDouble).sum)
+    } finally {
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_boom_late"))
+    }
+  }
+}
+
+/** Shared state for the mid-write-failure case: remember the first
+  * stage that evaluates the UDF, fail every later one (executor-side
+  * object — must be serializable-reachable, hence top-level). */
+object BoomAfterFirstStage extends Serializable {
+  val firstStage = new java.util.concurrent.atomic.AtomicInteger(-1)
+  def strike(v: Double): Double = {
+    val sid = org.apache.spark.TaskContext.get.stageId()
+    firstStage.compareAndSet(-1, sid)
+    if (sid != firstStage.get) throw new RuntimeException("graft-test boom")
+    v
+  }
 }
