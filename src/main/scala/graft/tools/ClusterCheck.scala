@@ -57,21 +57,63 @@ object ClusterCheck {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
 
+  /** Executor JVMs by /proc scan: ProcessHandle.info.commandLine comes
+    * back EMPTY for these processes (the -cp string alone runs to tens
+    * of KB), so read /proc/<pid>/cmdline directly — this check is
+    * Linux-only anyway. */
   private def executorPids(): Seq[ProcessHandle] = {
-    import scala.jdk.CollectionConverters._
-    ProcessHandle.allProcesses().iterator().asScala.filter(p =>
-      p.info().commandLine().map[Boolean](
-        _.contains("CoarseGrainedExecutorBackend")).orElse(false)).toSeq
+    val procs = new java.io.File("/proc").listFiles()
+    (if (procs == null) Seq.empty[ProcessHandle]
+     else procs.toSeq.filter(_.getName.forall(_.isDigit)).flatMap { d =>
+      val cl = new java.io.File(d, "cmdline")
+      val isExec = try {
+        val bytes = java.nio.file.Files.readAllBytes(cl.toPath)
+        new String(bytes, "UTF-8").contains("CoarseGrainedExecutorBackend")
+      } catch { case _: Throwable => false }
+      if (isExec) ProcessHandle.of(d.getName.toLong)
+        .map[Option[ProcessHandle]](p => Some(p)).orElse(None)
+      else None
+    })
+  }
+
+  /** The standalone Worker builds the executor command with
+    * AbstractCommandBuilder, which needs SPARK_HOME (jars dir) and
+    * SPARK_SCALA_VERSION (normally exported by load-spark-env.sh,
+    * which we bypass). The worker reads them via getenv from THIS
+    * JVM — inject defaults into the process env map if the caller
+    * didn't export them (JDK17 reflective write; the module opens in
+    * build.sbt cover java.util). Test-harness-only hack, contained
+    * here. */
+  private def ensureWorkerEnv(): Unit = {
+    val need = Seq(
+      "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+      "SPARK_SCALA_VERSION" ->
+        sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))
+    try {
+      val clazz = Class.forName("java.lang.ProcessEnvironment")
+      val f = clazz.getDeclaredField("theUnmodifiableEnvironment")
+      f.setAccessible(true)
+      val env = f.get(null).asInstanceOf[java.util.Map[String, String]]
+      val inner = Class.forName("java.util.Collections$UnmodifiableMap")
+        .getDeclaredField("m")
+      inner.setAccessible(true)
+      val m = inner.get(env).asInstanceOf[java.util.Map[String, String]]
+      need.foreach { case (k, v) => m.put(k, v) }
+    } catch {
+      case e: Throwable =>
+        println(s"[cluster-check] WARN could not inject env ($e); " +
+          "export SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13")
+    }
   }
 
   def run(): Int = {
+    ensureWorkerEnv()
     val spark = SparkSession.builder()
       .master("local-cluster[2,4,2048]")
       .appName("graft-cluster-check")
       .config("spark.executor.extraClassPath",
         System.getProperty("java.class.path"))
-      .config("spark.executor.extraJavaOptions",
-        s"$opens -Dspark.ui.enabled=false")
+      .config("spark.executor.extraJavaOptions", opens)
       .config("spark.task.maxFailures", "4")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
