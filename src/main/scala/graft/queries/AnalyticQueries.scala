@@ -278,12 +278,16 @@ object AnalyticQueries {
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        // Continuous domain → the primitive-array exact aggregate
-        // (round 10); the quantized quantity keeps the built-in's
-        // value→count compression. A/B switch (round-11 probe of the
-        // +27% bench-context move): graft.stats.exactPct=false reverts
-        // to the value→count-map built-in.
-        (if (s.conf.get("graft.stats.exactPct", "true").toBoolean)
+        // Round-11 isolated A/B (fresh-JVM min-of-3 ×3 at sf3)
+        // REVERTED the round-10 ExactPercentiles switch here: prices
+        // are cent-quantized, so the built-in's value→count map is
+        // the better compression (1.24-1.62 s vs 1.66-1.99 s, ~20-25%)
+        // — the bench-context +27% was a real plan regression, not
+        // host noise. ExactPercentiles remains the right aggregate for
+        // TRULY continuous domains (per-row-distinct values degenerate
+        // the map to boxed entry-per-row); opt in per session with
+        // graft.stats.exactPct=true.
+        (if (s.conf.get("graft.stats.exactPct", "false").toBoolean)
           round(graft.functions.ExactPercentiles.percentiles(s,
             col("l_extendedprice"), 0.9)(0), 4)
         else round(expr("percentile(l_extendedprice, 0.9)"), 4))
@@ -320,14 +324,19 @@ object AnalyticQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        // Quantized domain (integer quantities): the built-in's
-        // value→count map IS the compression — keep it. Continuous
-        // domain (prices): the primitive-array aggregate skips the
-        // boxed map entirely (round 10; see
-        // [[graft.functions.ExactPercentilesAgg]]).
+        // Both domains here are quantized (integer quantities, cent
+        // prices), so the built-in's value→count map IS the
+        // compression — the round-11 isolated A/B reverted the
+        // round-10 primitive-array switch on prices (see qStatsAgg;
+        // same graft.stats.exactPct opt-in for truly continuous
+        // columns, where [[graft.functions.ExactPercentilesAgg]]
+        // skips the boxed map entirely).
         expr("percentile(l_quantity, 0.5)").as("e50"),
-        graft.functions.ExactPercentiles.percentiles(s,
-          col("l_extendedprice"), 0.9, 0.99).as("e9x"),
+        (if (s.conf.get("graft.stats.exactPct", "false").toBoolean)
+          graft.functions.ExactPercentiles.percentiles(s,
+            col("l_extendedprice"), 0.9, 0.99)
+        else expr("percentile(l_extendedprice, array(0.9, 0.99))"))
+          .as("e9x"),
         expr("percentile_approx(l_quantity, 0.5, 2000)").as("a50"),
         expr("percentile_approx(l_extendedprice, array(0.9, 0.99), 2000)")
           .as("a9x"))
