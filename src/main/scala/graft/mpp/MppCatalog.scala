@@ -200,6 +200,47 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // --- time-travel read surface ----------------------------------------
+
+  /** The committed version as currently published on disk (not the
+    * in-memory CAS base — two engines on one warehouse see the same
+    * answer here). */
+  def currentVersionOnDisk: Long = committedVersion()
+
+  /** Snapshot as of `v`, if still retained (the sweep keeps the last
+    * [[MppCatalog.RetainSnapshots]] full snapshots — `VERSION AS OF`
+    * reads are bounded to that window, the time-travel retention
+    * contract every version-pointer catalog has). */
+  def snapshotAt(v: Long): Option[CatalogState] = {
+    val p = Paths.get(snapFile(v))
+    if (!Files.exists(p)) None
+    else Some(mapper.readValue(Files.readAllBytes(p),
+      classOf[CatalogState]))
+  }
+
+  /** Versions whose snapshot files are currently on disk (ascending). */
+  def retainedVersions: Seq[Long] = {
+    val dir = Paths.get(catalogDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val SnapRe = "v(\\d+)\\.json".r
+    val stream = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala
+        .flatMap(f => f.getFileName.toString match {
+          case SnapRe(n) => Some(n.toLong)
+          case _ => None
+        }).toSeq.sorted
+    } finally stream.close()
+  }
+
+  /** Directory for manifest files (created on demand). */
+  def manifestDir: String = {
+    val d = s"$catalogDir/manifests"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
   private def load(): CatalogState = {
     val v = committedVersion()
     if (v == 0L) CatalogState()

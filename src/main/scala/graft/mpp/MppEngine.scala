@@ -483,6 +483,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       .partitionBy(BucketCol)
       .parquet(dataPath(t.name))
     refreshView(t)
+    commitManifest(t)
     observedLong(obs)
   }
 
@@ -601,10 +602,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val conf = spark.sessionState.newHadoopConf()
         val dataRoot = new Path(dataPath(t.name))
         val fs = dataRoot.getFileSystem(conf)
+        val tag = UUID.randomUUID().toString // truncate archive gen
         (0 until t.buckets).foreach { k =>
-          fs.delete(new Path(dataRoot, s"$BucketCol=$k"), true)
+          val d = new Path(dataRoot, s"$BucketCol=$k")
+          if (fs.exists(d)) archiveOrDelete(fs, d,
+            new Path(archiveDirFor(t, tag), s"$BucketCol=$k"))
         }
         refreshView(t)
+        commitManifest(t)
         n
       case _ =>
         val cond = where.map(expr).getOrElse(lit(true))
@@ -954,12 +959,214 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
       }
       // No staged dir means the rewrite emptied this bucket (all rows
-      // deleted/moved): dropping the aside copy IS the intended result.
-      if (hadOld) fs.delete(aside, true)
+      // deleted/moved): an archived (or dropped) aside IS the result.
+      if (hadOld) archiveOrDelete(fs, aside,
+        new Path(archiveDirFor(t, stagingName), s"$BucketCol=$k"))
     }
     fs.delete(new Path(staging), true)
     fs.delete(lease, false)
     refreshView(t)
+    commitManifest(t)
+  }
+
+  // --- time travel (VERSION AS OF over the versioned catalog) ----------
+  // The catalog already CAS-commits a full snapshot per version; time
+  // travel pins the DATA to that chain: every mutating statement (a)
+  // ARCHIVES replaced bucket dirs instead of deleting them and (b)
+  // commits a per-table file MANIFEST into the snapshot. `tableAsOf`
+  // then resolves the manifest of the requested (retained) version to
+  // the files' current locations — live dir or archive. The Lakehouse
+  // reproducibility primitive for training-data audits: re-read the
+  // corpus exactly as a past job saw it. Retention = the catalog's
+  // snapshot window (MppCatalog.RetainSnapshots); archives and
+  // manifests beyond it are swept by the amortized vacuum below.
+  // Disable with graft.timetravel.enabled=false (rewrites then delete
+  // replaced files immediately, as before round 11).
+
+  private def timeTravelEnabled: Boolean =
+    spark.conf.get("graft.timetravel.enabled", "true").toBoolean
+
+  private def archiveDirFor(t: TableInfo, tag: String): Path =
+    new Path(dataPath(t.name), s".archive/$tag")
+
+  /** Move `src` under `dst` when time travel is on, else delete it.
+    * The archive keeps the bucket=k path segment, so a file's LOGICAL
+    * name (bucket=k/part-….parquet) never changes — manifests store
+    * logical names and resolve to live-or-archive at read time. */
+  private def archiveOrDelete(fs: org.apache.hadoop.fs.FileSystem,
+      src: Path, dst: Path): Unit =
+    if (!timeTravelEnabled) { fs.delete(src, true); () }
+    else {
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst)) {
+        // Archiving is best-effort durability of HISTORY, never of the
+        // live table: fall back to delete rather than fail the swap.
+        fs.delete(src, true)
+        ()
+      }
+    }
+
+  /** Logical live-file list of the table: `bucket=k/fileName` per data
+    * file, the unit manifests record. Driver-side listing of the
+    * bucket dirs — the same O(files) metadata pass every commit of a
+    * file-pointer catalog performs (Delta's JSON action log, Iceberg's
+    * manifest write). */
+  private def liveLogicalFiles(t: TableInfo): Vector[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dataPath(t.name))
+    val fs = root.getFileSystem(conf)
+    (0 until t.buckets).iterator.flatMap { k =>
+      val d = new Path(root, s"$BucketCol=$k")
+      if (!fs.exists(d)) Iterator.empty
+      else fs.listStatus(d).iterator
+        .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+          !s.getPath.getName.startsWith("_"))
+        .map(s => s"$BucketCol=$k/${s.getPath.getName}")
+    }.toVector
+  }
+
+  /** Commit the table's current file set as this version's manifest:
+    * write `_mpp_catalog/manifests/<uuid>.json`, point the catalog's
+    * `tableManifests` entry at it (CAS snapshot commit), then
+    * amortized-vacuum history beyond the retention window. Called at
+    * the end of every data-mutating statement. */
+  private def commitManifest(t: TableInfo): Unit = {
+    if (!timeTravelEnabled) return
+    val files = liveLogicalFiles(t)
+    val name = UUID.randomUUID().toString + ".json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(catalog.manifestDir, name),
+      MppCatalog.mapper.writeValueAsBytes(files))
+    catalog.mutate(s => s.copy(
+      tableManifests = s.tableManifests +
+        (t.tableOid.toString -> name)))
+    // Amortize the sweep: every 16th commit per engine (the window is
+    // 20 snapshots; a sweep every commit would re-read them all on
+    // every DML statement for no added safety).
+    if (vacuumTick.incrementAndGet() % 16 == 0) vacuumTimeTravel()
+  }
+
+  private val vacuumTick = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drop manifests and archived files no RETAINED snapshot references.
+    * Manifest files younger than 10 minutes are kept regardless — a
+    * concurrent engine may have written one for a commit that has not
+    * published yet (the same unreferenced-grace every file catalog's
+    * vacuum gives in-flight writers). */
+  private[mpp] def vacuumTimeTravel(
+      graceMs: Long = 10 * 60 * 1000L): Unit = {
+    val snaps = catalog.retainedVersions.flatMap(catalog.snapshotAt)
+    if (snaps.isEmpty) return
+    val liveManifests = snaps.flatMap(_.tableManifests.values).toSet
+    val mDir = java.nio.file.Paths.get(catalog.manifestDir)
+    val referenced = scala.collection.mutable.Map
+      .empty[String, Set[String]] // oid -> logical files
+    snaps.foreach(_.tableManifests.foreach { case (oid, m) =>
+      val p = mDir.resolve(m)
+      if (java.nio.file.Files.exists(p)) {
+        val fl = MppCatalog.mapper.readValue(
+          java.nio.file.Files.readAllBytes(p),
+          classOf[Vector[String]])
+        referenced(oid) = referenced.getOrElse(oid, Set.empty) ++ fl
+      }
+    })
+    // Sweep manifest files.
+    val cutoff = System.currentTimeMillis() - graceMs
+    val s = java.nio.file.Files.list(mDir)
+    try s.iterator().forEachRemaining { f =>
+      val nm = f.getFileName.toString
+      if (!liveManifests.contains(nm) &&
+          java.nio.file.Files.getLastModifiedTime(f).toMillis < cutoff)
+        java.nio.file.Files.deleteIfExists(f)
+    } finally s.close()
+    // Sweep archived data files per table.
+    val conf = spark.sessionState.newHadoopConf()
+    catalog.state.tables.foreach { t =>
+      val arch = new Path(dataPath(t.name), ".archive")
+      val fs = arch.getFileSystem(conf)
+      if (fs.exists(arch)) {
+        val keep = referenced.getOrElse(t.tableOid.toString, Set.empty)
+        fs.listStatus(arch).foreach { gen =>
+          var left = 0
+          if (gen.isDirectory) {
+            fs.listStatus(gen.getPath).foreach { bd =>
+              fs.listStatus(bd.getPath).foreach { f =>
+                val logical = s"${bd.getPath.getName}/${f.getPath.getName}"
+                if (!keep.contains(logical)) fs.delete(f.getPath, false)
+                else left += 1
+              }
+              if (fs.listStatus(bd.getPath).isEmpty)
+                fs.delete(bd.getPath, true)
+            }
+          }
+          if (left == 0 && fs.listStatus(gen.getPath).isEmpty)
+            fs.delete(gen.getPath, true)
+        }
+      }
+    }
+  }
+
+  /** The table's rows exactly as of catalog `version` — `SELECT … FROM
+    * t VERSION AS OF v` semantics over the snapshot chain. Bounded by
+    * the retention window; reads user columns (no rowid/bucket pseudo
+    * columns — snapshots are for audit/repro reads). */
+  def tableAsOf(name: String, version: Long): DataFrame = {
+    val snap = catalog.snapshotAt(version).getOrElse {
+      val have = catalog.retainedVersions
+      throw new IllegalArgumentException(
+        s"VERSION AS OF $version: snapshot not retained " +
+          s"(retained versions: ${have.headOption.getOrElse("-")}.." +
+          s"${have.lastOption.getOrElse("-")}; window = " +
+          s"${MppCatalog.RetainSnapshots})")
+    }
+    val t = snap.tables.find(x => x.name == name && !x.deleted).getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF $version: table $name did not exist"))
+    val schema = StructType.fromDDL(t.schemaDdl)
+    val logical = snap.tableManifests.get(t.tableOid.toString) match {
+      case None => Vector.empty[String] // created but never written
+      case Some(m) =>
+        val p = java.nio.file.Paths.get(catalog.manifestDir, m)
+        require(java.nio.file.Files.exists(p),
+          s"VERSION AS OF $version: manifest $m swept — version beyond " +
+            "the vacuum retention window")
+        MppCatalog.mapper.readValue(java.nio.file.Files.readAllBytes(p),
+          classOf[Vector[String]])
+    }
+    if (logical.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // Resolve logical names to current physical locations: live bucket
+    // dir first, else the archive generations (file names are unique —
+    // Spark part files carry a per-job UUID — so any single physical
+    // copy is THE copy).
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dataPath(t.name))
+    val fs = root.getFileSystem(conf)
+    val archIndex: Map[String, String] = {
+      val arch = new Path(root, ".archive")
+      if (!fs.exists(arch)) Map.empty
+      else fs.listStatus(arch).iterator.filter(_.isDirectory)
+        .flatMap(gen => fs.listStatus(gen.getPath).iterator
+          .filter(_.isDirectory)
+          .flatMap(bd => fs.listStatus(bd.getPath).iterator.map(f =>
+            s"${bd.getPath.getName}/${f.getPath.getName}" ->
+              f.getPath.toString)))
+        .toMap
+    }
+    val paths = logical.map { lf =>
+      val live = new Path(root, lf)
+      if (fs.exists(live)) live.toString
+      else archIndex.getOrElse(lf, throw new IllegalStateException(
+        s"VERSION AS OF $version: file $lf referenced by the manifest " +
+          "exists neither live nor archived (vacuumed beyond retention?)"))
+    }
+    // recursiveFileLookup disables partition inference, so the mixed
+    // live/.archive parent dirs never confuse the reader; the bucket
+    // pseudo-column is intentionally absent from as-of reads.
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(paths: _*)
   }
 
   // --- MERGE (capability superset: the reference has no MERGE — same
@@ -1256,6 +1463,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .partitionBy(BucketCol)
         .parquet(dataPath(t.name))
       refreshView(t)
+      commitManifest(t)
       return observedLong(obs)
     }
     val tgt = affectedScan.withColumn("__t_present", lit(1))

@@ -40,7 +40,16 @@ final case class CatalogState(
     shards: Vector[ShardInfo] = Vector.empty,
     /** User schema namespaces (reference D4: `__mpp_<name>` entries,
       * `mpp_catalog.cpp:66-87`); `main` always exists. */
-    schemas: Vector[String] = Vector("main")) {
+    schemas: Vector[String] = Vector("main"),
+    /** Time travel: tableOid (as string — JSON map keys) → manifest
+      * file name under `_mpp_catalog/manifests/`, replaced on every
+      * data-mutating statement. A snapshot's manifest ref IS the
+      * table's data state at that version: `VERSION AS OF v` loads
+      * snapshot v and reads its manifest's file list (the Delta/
+      * Iceberg version-pointer idiom — the snapshot chain was already
+      * versioned, this pins the data files to it). Absent key = no
+      * data committed for that table at this version. */
+    tableManifests: Map[String, String] = Map.empty) {
 
   def liveTable(name: String): Option[TableInfo] =
     tables.find(t => t.name == name && !t.deleted)

@@ -1,0 +1,142 @@
+package graft.mpp
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins `VERSION AS OF` semantics over the versioned catalog: every
+  * mutating statement commits a file manifest, replaced files are
+  * archived (not deleted), and `tableAsOf` reconstructs the exact row
+  * set of any retained version — across UPDATE, DELETE, MERGE,
+  * truncate, and OPTIMIZE rewrites. Also pins the retention contract:
+  * versions beyond the snapshot window fail with a clear error and
+  * the vacuum bounds archive growth. */
+class TimeTravelSpec extends SparkTestBase {
+
+  private def freshEngine(): MppEngine =
+    new MppEngine(spark, Files.createTempDirectory("graft-tt-test").toString)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+
+  test("tableAsOf reconstructs each committed state across update/" +
+      "delete/optimize/truncate") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE tt(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("tt", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    e.sql("UPDATE tt SET v = v + 1000 WHERE k % 2 = 0")
+    val v2 = e.catalog.currentVersionOnDisk
+    e.sql("DELETE FROM tt WHERE k >= 50")
+    val v3 = e.catalog.currentVersionOnDisk
+    e.sql("OPTIMIZE tt SORT BY (v)")
+    val v4 = e.catalog.currentVersionOnDisk
+
+    val s1 = (0L until 100L).map(k => (k, k.toDouble))
+    val s2 = s1.map { case (k, v) => (k, if (k % 2 == 0) v + 1000 else v) }
+    val s3 = s2.filter(_._1 < 50)
+    assert(rows(e.tableAsOf("tt", v1)) == s1)
+    assert(rows(e.tableAsOf("tt", v2)) == s2)
+    assert(rows(e.tableAsOf("tt", v3)) == s3)
+    assert(rows(e.tableAsOf("tt", v4)) == s3) // optimize: same rows
+    assert(rows(e.table("tt")) == s3)
+
+    // Truncate archives too; the pre-truncate version still reads.
+    e.sql("DELETE FROM tt")
+    assert(e.table("tt").count() == 0L)
+    assert(rows(e.tableAsOf("tt", v4)) == s3)
+    assert(e.tableAsOf("tt",
+      e.catalog.currentVersionOnDisk).count() == 0L)
+  }
+
+  test("merge-mutated tables time travel (broadcast COW + insert-only " +
+      "append paths both manifest)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE tm(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("tm", spark.range(0, 20).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    import spark.implicits._
+    Seq((5L, -5.0), (100L, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("tm_b")
+    e.sql("MERGE INTO tm t USING (SELECT * FROM tm_b) s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val v2 = e.catalog.currentVersionOnDisk
+    Seq((200L, 2.0)).toDF("k", "v").createOrReplaceTempView("tm_b2")
+    e.sql("MERGE INTO tm t USING (SELECT * FROM tm_b2) s ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT *") // insert-only append path
+    val s1 = (0L until 20L).map(k => (k, k.toDouble))
+    val s2 = s1.map { case (k, v) => (k, if (k == 5) -5.0 else v) } :+
+      (100L, 1.0)
+    assert(rows(e.tableAsOf("tm", v1)) == s1)
+    assert(rows(e.tableAsOf("tm", v2)) == s2)
+    assert(rows(e.table("tm")) == (s2 :+ (200L, 2.0)))
+  }
+
+  test("versions beyond the retention window fail clearly and vacuum " +
+      "bounds archive growth") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE tv(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("tv", spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val vFirst = e.catalog.currentVersionOnDisk
+    // Push far past the snapshot window (each update = 1 commit).
+    (1 to MppCatalog.RetainSnapshots + 8).foreach { i =>
+      e.sql(s"UPDATE tv SET v = $i WHERE k = 0")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      e.tableAsOf("tv", vFirst)
+    }
+    assert(ex.getMessage.contains("not retained"), ex.getMessage)
+    // Oldest retained version still reconstructs exactly.
+    val oldest = e.catalog.retainedVersions.head
+    val got = rows(e.tableAsOf("tv", oldest))
+    assert(got.size == 10 && got.filter(_._1 != 0L)
+      .forall { case (k, v) => v == k.toDouble })
+    // Vacuum (zero grace) drops unreferenced manifests + archives;
+    // retained versions must SURVIVE it.
+    e.vacuumTimeTravel(graceMs = 0L)
+    assert(rows(e.tableAsOf("tv", oldest)) == got)
+    val mDir = java.nio.file.Paths.get(e.catalog.manifestDir)
+    val manifests = {
+      val s = java.nio.file.Files.list(mDir)
+      try s.count() finally s.close()
+    }
+    // At most one manifest per retained snapshot can stay referenced.
+    assert(manifests <= MppCatalog.RetainSnapshots + 1,
+      s"manifest files not swept: $manifests")
+    // Unreferenced archive generations were removed (bounded history).
+    val arch = java.nio.file.Paths.get(e.warehouse, "data", "tv",
+      ".archive")
+    if (java.nio.file.Files.exists(arch)) {
+      val s = java.nio.file.Files.list(arch)
+      val gens = try s.count() finally s.close()
+      assert(gens <= MppCatalog.RetainSnapshots + 1,
+        s"archive generations not swept: $gens")
+    }
+  }
+
+  test("graft.timetravel.enabled=false restores delete-on-swap " +
+      "(no archive dirs, no manifests accumulate)") {
+    spark.conf.set("graft.timetravel.enabled", "false")
+    try {
+      val e = freshEngine()
+      e.sql("CREATE TABLE nt(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 2")
+      e.insertInto("nt", spark.range(0, 10).toDF("k")
+        .withColumn("v", col("k") * 1.0))
+      e.sql("UPDATE nt SET v = -1 WHERE k % 2 = 0")
+      val arch = java.nio.file.Paths.get(e.warehouse, "data", "nt",
+        ".archive")
+      assert(!java.nio.file.Files.exists(arch))
+    } finally spark.conf.unset("graft.timetravel.enabled")
+  }
+}
