@@ -12,7 +12,13 @@ import org.apache.spark.sql.functions._
   * duplicates so the last-writer-wins reduce is on the measured path.
   *
   * Usage: runMain graft.tools.CdcBench <initRows> <nBatches>
-  *        <batchRows> [buckets]
+  *        <batchRows> [buckets] [payloadBytes]
+  * `payloadBytes` > 0 adds a padding string column of that size to the
+  * table and every batch — the wide-row mode that validates the MERGE
+  * broadcast decision on BYTES (`graft.merge.broadcastMaxBytes`): a
+  * batch far below the 4M-row bound can still be a multi-GB broadcast,
+  * and the crossover the §20.6 curve identified is a byte count, not a
+  * row count.
   * Prints one JSON line: per-batch seconds + steady rows/sec.
   */
 object CdcBench {
@@ -40,24 +46,37 @@ object CdcBench {
     spark.sparkContext.setLogLevel("WARN")
     val wh = java.nio.file.Files.createTempDirectory("graft-cdcbench")
     val e = new graft.mpp.MppEngine(spark, wh.toString)
+    val payloadBytes = if (args.length > 4) args(4).toInt else 0
     e.createDistributedTable("cdc_t",
-      "k BIGINT, v DOUBLE, tag STRING", "k", buckets)
-    e.insertInto("cdc_t", spark.range(0, initRows).toDF("k")
+      "k BIGINT, v DOUBLE, tag STRING" +
+        (if (payloadBytes > 0) ", pad STRING" else ""),
+      "k", buckets)
+    def withPad(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      if (payloadBytes <= 0) df
+      // Deterministic, poorly-compressible padding: repeat the key's
+      // hex digest to the requested width (a constant string would
+      // dictionary-encode to nothing and understate broadcast bytes).
+      else df.withColumn("pad", substring(repeat(
+        md5(col("k").cast("string")), payloadBytes / 32 + 1),
+        1, payloadBytes))
+    e.insertInto("cdc_t", withPad(spark.range(0, initRows).toDF("k")
       .withColumn("v", col("k") * 1.0)
-      .withColumn("tag", lit("base")))
+      .withColumn("tag", lit("base"))))
     // Change schedule for batch b: batchRows updates starting at key
     // (b * batchRows) % initRows, plus 10% inserts above the key
     // space, plus a duplicate slice at a stale seq (the reduce's work).
     def batch(b: Int) = {
       val start = (b.toLong * batchRows) % initRows
-      val upd = spark.range(start, start + batchRows).toDF("k")
+      val upd = withPad(spark.range(start, start + batchRows).toDF("k")
         .withColumn("v", col("k") * 2.0 + b)
-        .withColumn("seq", lit(2L))
-      val ins = spark.range(0, batchRows / 10).toDF("i")
+        .withColumn("seq", lit(2L)))
+      val ins = withPad(spark.range(0, batchRows / 10).toDF("i")
         .select((col("i") + initRows + b.toLong * batchRows).as("k"))
-        .withColumn("v", lit(-1.0)).withColumn("seq", lit(2L))
-      val stale = spark.range(start, start + batchRows / 10).toDF("k")
-        .withColumn("v", lit(-999.0)).withColumn("seq", lit(1L))
+        .withColumn("v", lit(-1.0)).withColumn("seq", lit(2L)))
+      val stale = withPad(spark.range(start, start + batchRows / 10)
+        .toDF("k")
+        .withColumn("v", lit(-999.0)).withColumn("seq", lit(1L)))
       upd.unionByName(ins).unionByName(stale)
     }
     val times = (0 until nBatches).map { b =>

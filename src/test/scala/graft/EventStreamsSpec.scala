@@ -473,4 +473,26 @@ class EventStreamsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
     assert(got == Seq((1L, 10.0, "old"), (2L, 2.0, "fresh")), got)
   }
+
+  test("CDC upsert carries the feed's sequence column through when the " +
+      "TARGET declares it (matched rows take the new LSN, inserts " +
+      "store it)") {
+    import spark.implicits._
+    val e = new graft.mpp.MppEngine(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream").toString)
+    // The table itself has the ordering column — dropping seq before
+    // the merge would leave row 1 at its stale stored seq and row 2 at
+    // the declared default, silently diverging from the feed.
+    e.sql("CREATE TABLE cds(k BIGINT, v DOUBLE, seq BIGINT DEFAULT -1) " +
+      "PARTITION BY (k) WITH BUCKETS 2")
+    e.sql("INSERT INTO cds VALUES (1, 1.0, 5)")
+    EventStreams.upsertBatch(e, "cds", "k", "seq",
+      Seq((1L, 10.0, 7L), (1L, 9.0, 6L), (2L, 2.0, 3L))
+        .toDF("k", "v", "seq"))
+    val got = e.table("cds").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    // Key 1: LWW picks seq 7 and STORES 7 (not the stale 5);
+    // key 2: insert stores the feed's 3 (not the default -1).
+    assert(got == Seq((1L, 10.0, 7L), (2L, 2.0, 3L)), got)
+  }
 }
