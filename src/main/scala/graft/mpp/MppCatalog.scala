@@ -234,6 +234,16 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     } finally stream.close()
   }
 
+  /** `TIMESTAMP AS OF` resolution: the newest retained version whose
+    * snapshot was published at or before `ms` (snapshot-file mtime is
+    * the publish instant — the CURRENT pointer move follows within
+    * microseconds). None = every retained snapshot is newer. */
+  def versionAtTimestamp(ms: Long): Option[Long] =
+    retainedVersions.filter { v =>
+      val p = Paths.get(snapFile(v))
+      Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= ms
+    }.lastOption
+
   /** Directory for manifest files (created on demand). */
   def manifestDir: String = {
     val d = s"$catalogDir/manifests"

@@ -2140,6 +2140,14 @@ object MppEngine {
       // … FROM cat.t` would miss the rewrite and fail to resolve.
       case sc: org.apache.spark.sql.catalyst.plans.logical.SupervisingCommand =>
         sc.withTransformedSupervisedPlan(rewritePlan)
+      // `SELECT … FROM t VERSION AS OF v` / `TIMESTAMP AS OF ts` —
+      // Spark's stock grammar already parses the temporal clause into
+      // RelationTimeTravel; resolving it here (instead of a DSv2
+      // loadTable(version)) keeps one time-travel implementation for
+      // views and SQL alike (tableAsOf). Non-mpp relations pass
+      // through untouched for Spark's own resolution.
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        asOfPlan(tt).getOrElse(tt)
       case u: UnresolvedRelation =>
         viewFor(u.multipartIdentifier)
           .map(v => u.copy(multipartIdentifier = Seq(v)))
@@ -2156,6 +2164,44 @@ object MppEngine {
           .map(v => u.copy(multipartIdentifier = Seq(v)))
           .getOrElse(u)
     }
+  }
+
+  /** Resolve a parsed temporal relation onto [[MppEngine.tableAsOf]].
+    * `VERSION AS OF n` takes the catalog version directly;
+    * `TIMESTAMP AS OF ts` maps to the newest snapshot published at or
+    * before ts (foldable expressions only — a temporal clause is a
+    * constant by nature). Returns None for relations no engine owns. */
+  private def asOfPlan(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : Option[LogicalPlan] = tt.relation match {
+    case u: UnresolvedRelation =>
+      resolve(u.multipartIdentifier.mkString(".")).flatMap {
+        case (e, key) =>
+          val version: Option[Long] = tt.version match {
+            case Some(v) => scala.util.Try(v.trim.toLong).toOption
+            case None => tt.timestamp.flatMap { ex =>
+              val msOpt =
+                if (!ex.foldable) None
+                else ex.eval(null) match {
+                  case l: Long => Some(l / 1000L) // timestamp micros
+                  case s: org.apache.spark.unsafe.types.UTF8String =>
+                    scala.util.Try(
+                      java.sql.Timestamp.valueOf(s.toString).getTime)
+                      .toOption
+                  case _ => None
+                }
+              msOpt.flatMap { ms =>
+                val v = e.catalog.versionAtTimestamp(ms)
+                require(v.isDefined,
+                  s"TIMESTAMP AS OF: no retained snapshot of $key at " +
+                    s"or before ${new java.sql.Timestamp(ms)}")
+                v
+              }
+            }
+          }
+          version.map(v => e.tableAsOf(key, v).queryExecution.analyzed)
+      }
+    case _ => None
   }
 
   /** The engine temp view a multipart relation name routes to, if it

@@ -124,6 +124,34 @@ class TimeTravelSpec extends SparkTestBase {
     }
   }
 
+  test("SQL temporal syntax: SELECT ... VERSION AS OF / TIMESTAMP AS " +
+      "OF resolve through Spark's own grammar") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE ts(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("ts", spark.range(0, 50).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    Thread.sleep(1100) // timestamp granularity for TIMESTAMP AS OF
+    val tsBetween = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1100)
+    e.sql("UPDATE ts SET v = -1 WHERE k < 25")
+    // Stock Spark grammar parses the temporal clause; the engine's
+    // plan rewrite resolves it onto tableAsOf. readSql covers both
+    // the injected-parser and plain-session paths.
+    val viaVersion = MppEngine.readSql(spark,
+      s"SELECT round(sum(v), 1) AS s FROM ts VERSION AS OF $v1")
+      .head().getDouble(0)
+    assert(viaVersion == (0 until 50).sum.toDouble, viaVersion)
+    val viaTs = MppEngine.readSql(spark,
+      s"SELECT round(sum(v), 1) AS s FROM ts TIMESTAMP AS OF '$tsBetween'")
+      .head().getDouble(0)
+    assert(viaTs == (0 until 50).sum.toDouble, viaTs)
+    val now = MppEngine.readSql(spark,
+      "SELECT round(sum(v), 1) AS s FROM ts").head().getDouble(0)
+    assert(now == (25 until 50).sum.toDouble - 25.0, now)
+  }
+
   test("graft.timetravel.enabled=false restores delete-on-swap " +
       "(no archive dirs, no manifests accumulate)") {
     spark.conf.set("graft.timetravel.enabled", "false")
