@@ -152,8 +152,30 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   private def dataPath(table: String): String = s"$warehouse/data/$table"
 
-  private def userSchema(t: TableInfo): StructType =
-    StructType.fromDDL(t.schemaDdl)
+  /** Declared schema with column defaults surfaced as Spark's standard
+    * `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata — attached only
+    * for CONSTANT defaults (a field's existence default must be
+    * foldable; `addColumn` freezes its default to a literal for
+    * exactly this reason). The existence default is what makes ADD
+    * COLUMN … DEFAULT metadata-only WITH Postgres semantics: the
+    * parquet reader fills the column per-FILE when the file predates
+    * it (the attmissingval idiom), while files that physically carry
+    * the column keep their stored values — including real NULLs. */
+  private def userSchema(t: TableInfo): StructType = {
+    val base = StructType.fromDDL(t.schemaDdl)
+    if (t.defaults.isEmpty) base
+    else StructType(base.fields.map { f =>
+      t.defaults.get(f.name).filter(MppEngine.isConstantExpr(spark, _))
+        .fold(f) { d =>
+          f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", d)
+              .putString("EXISTS_DEFAULT", d)
+              .build())
+        }
+    })
+  }
 
   private def fullSchema(t: TableInfo): StructType =
     StructType(userSchema(t).fields :+ StructField(BucketCol, IntegerType))
@@ -217,6 +239,100 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     fs.mkdirs(new Path(dataPath(name)))
     BucketPruning.register(dataPath(name), partitionCol, buckets)
     refreshView(t)
+  }
+
+  // --- schema evolution (capability superset: the reference rejects
+  // ALTER wholesale, mpp_schema_entry.cpp:158-160 — same precedent as
+  // CTAS/MERGE/OPTIMIZE). Both statements are METADATA-ONLY: no data
+  // file is read or written, so they cost the same at 100 TB as at
+  // 100 rows. The read paths already tolerate schema-vs-file drift:
+  // scans request the DECLARED schema, so files written before an ADD
+  // null-fill the new column and files retaining a dropped column
+  // project it away. ---------------------------------------------------
+
+  /** ALTER TABLE … ADD COLUMN c T [DEFAULT expr]: appends the column
+    * to the declared schema, with POSTGRES semantics and Postgres
+    * cost — metadata-only. With a DEFAULT, existing rows READ the
+    * default (the attmissingval idiom: the value is frozen to a
+    * constant here and applied per-file by the parquet reader to
+    * files that predate the column — see [[userSchema]]); without
+    * one, they read NULL. Volatile defaults are rejected (Postgres
+    * forces a table rewrite for those; at 100 TB that is not a
+    * default, it is a migration). NOT NULL adds are rejected (no
+    * value exists for pre-existing rows unless a DEFAULT is frozen —
+    * and constraint enforcement on unread history would be a lie). */
+  def addColumn(rawTable: String, colName: String, typeDdl: String,
+      default: Option[String] = None): Unit = {
+    val name = localKey(rawTable)
+    require(!"""(?is).*\bNOT\s+NULL\b.*""".r.matches(typeDdl),
+      s"ADD COLUMN $colName: NOT NULL cannot be added to an existing " +
+        "table (every pre-existing row would violate it); add the " +
+        "column nullable and backfill, then enforce at write time")
+    val field = StructType.fromDDL(s"$colName $typeDdl").fields.head
+    require(!field.name.equalsIgnoreCase(BucketCol),
+      s"column name '$BucketCol' is reserved for the engine's shard id")
+    // Freeze the default to a literal NOW: the existence default must
+    // be one fixed value for all pre-existing rows (re-evaluating a
+    // volatile expression per read would give history different
+    // answers on different days).
+    val frozen = default.map { d =>
+      require(MppEngine.isConstantExpr(spark, d),
+        s"ADD COLUMN $colName: DEFAULT must be a constant expression " +
+          s"(got: $d) — a volatile default for existing rows would " +
+          "require rewriting the table")
+      val v = spark.sql(s"SELECT CAST(($d) AS ${field.dataType.sql})")
+        .head().get(0)
+      org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, field.dataType).sql
+    }
+    catalog.mutate { st =>
+      val t = st.liveTable(name).getOrElse(
+        throw new IllegalArgumentException(s"no distributed table '$name'"))
+      val schema = StructType.fromDDL(t.schemaDdl)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"ADD COLUMN: column ${field.name} already exists in $name")
+      require(!t.droppedColumns.contains(field.name.toLowerCase),
+        s"ADD COLUMN: '${field.name}' was previously dropped from " +
+          s"$name and old data files still hold its values; run " +
+          s"OPTIMIZE $name SORT BY (${t.partitionColumn}) to rewrite " +
+          "them before reusing the name")
+      val ddl = StructType(schema.fields :+ field).toDDL
+      val defs = frozen.fold(t.defaults)(d =>
+        t.defaults + (field.name -> d))
+      st.copy(tables = st.tables.map(x =>
+        if (x.tableOid == t.tableOid)
+          x.copy(schemaDdl = ddl, defaults = defs) else x))
+    }
+    refreshView(info(name))
+  }
+
+  /** ALTER TABLE … DROP COLUMN c: removes the column from the declared
+    * schema — a metadata projection; stored values stay in old files
+    * (swept by the next full rewrite) and are simply never read. The
+    * partition column cannot be dropped (bucket placement is a
+    * function of it). */
+  def dropColumn(rawTable: String, colName: String): Unit = {
+    val name = localKey(rawTable)
+    catalog.mutate { st =>
+      val t = st.liveTable(name).getOrElse(
+        throw new IllegalArgumentException(s"no distributed table '$name'"))
+      require(!colName.equalsIgnoreCase(t.partitionColumn),
+        s"DROP COLUMN: $colName is the partition column of $name")
+      val schema = StructType.fromDDL(t.schemaDdl)
+      val field = schema.fields.find(_.name.equalsIgnoreCase(colName))
+        .getOrElse(throw new IllegalArgumentException(
+          s"DROP COLUMN: no column $colName in $name"))
+      require(schema.fields.length > 1,
+        s"DROP COLUMN: cannot drop the only column of $name")
+      val ddl = StructType(schema.fields.filterNot(_ eq field)).toDDL
+      st.copy(tables = st.tables.map(x =>
+        if (x.tableOid == t.tableOid)
+          x.copy(schemaDdl = ddl,
+            defaults = x.defaults - field.name,
+            droppedColumns =
+              x.droppedColumns :+ field.name.toLowerCase) else x))
+    }
+    refreshView(info(name))
   }
 
   /** Drop: mark deleted in metadata AND remove data — the reference leaks
@@ -673,6 +789,13 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .filter(col(BucketCol).isin(affected.toSeq: _*))
     val bytes = counts.collect { case (b, _, sz) if affected(b) => sz }.sum
     stageAndSwap(t, affected, work, sortBy, sizeHint = bytes)
+    // A SORT BY pass rewrites every non-empty bucket under the current
+    // declared schema, so no live file can still hold a dropped
+    // column's values — lift the re-ADD quarantine (see addColumn).
+    if (sortBy.nonEmpty && t.droppedColumns.nonEmpty)
+      catalog.mutate(st => st.copy(tables = st.tables.map(x =>
+        if (x.tableOid == t.tableOid)
+          x.copy(droppedColumns = Vector.empty) else x)))
     (affected.size,
       counts.collect { case (b, n, _) if affected(b) => n }.sum)
   }
@@ -1106,12 +1229,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
-  /** The table's rows exactly as of catalog `version` — `SELECT … FROM
-    * t VERSION AS OF v` semantics over the snapshot chain. Bounded by
-    * the retention window; reads user columns (no rowid/bucket pseudo
-    * columns — snapshots are for audit/repro reads). */
-  def tableAsOf(name: String, version: Long): DataFrame = {
-    val snap = catalog.snapshotAt(version).getOrElse {
+  /** Snapshot at `version`, or the retention-window error. */
+  private def snapshotOrFail(version: Long): CatalogState =
+    catalog.snapshotAt(version).getOrElse {
       val have = catalog.retainedVersions
       throw new IllegalArgumentException(
         s"VERSION AS OF $version: snapshot not retained " +
@@ -1119,11 +1239,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           s"${have.lastOption.getOrElse("-")}; window = " +
           s"${MppCatalog.RetainSnapshots})")
     }
-    val t = snap.tables.find(x => x.name == name && !x.deleted).getOrElse(
-      throw new IllegalArgumentException(
-        s"VERSION AS OF $version: table $name did not exist"))
-    val schema = StructType.fromDDL(t.schemaDdl)
-    val logical = snap.tableManifests.get(t.tableOid.toString) match {
+
+  /** Logical file list the snapshot's manifest pins for table oid. */
+  private def manifestFiles(snap: CatalogState, oid: Long,
+      version: Long): Vector[String] =
+    snap.tableManifests.get(oid.toString) match {
       case None => Vector.empty[String] // created but never written
       case Some(m) =>
         val p = java.nio.file.Paths.get(catalog.manifestDir, m)
@@ -1133,15 +1253,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         MppCatalog.mapper.readValue(java.nio.file.Files.readAllBytes(p),
           classOf[Vector[String]])
     }
-    if (logical.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    // Resolve logical names to current physical locations: live bucket
-    // dir first, else the archive generations (file names are unique —
-    // Spark part files carry a per-job UUID — so any single physical
-    // copy is THE copy).
+
+  /** Resolve logical names (`bucket=k/fileName`) to current physical
+    * locations: live bucket dir first, else the archive generations
+    * (file names are unique — Spark part files carry a per-job UUID —
+    * so any single physical copy is THE copy). */
+  private def resolveLogicalFiles(tableName: String,
+      logical: Vector[String], version: Long): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(dataPath(t.name))
+    val root = new Path(dataPath(tableName))
     val fs = root.getFileSystem(conf)
     val archIndex: Map[String, String] = {
       val arch = new Path(root, ".archive")
@@ -1154,19 +1274,88 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
               f.getPath.toString)))
         .toMap
     }
-    val paths = logical.map { lf =>
+    logical.map { lf =>
       val live = new Path(root, lf)
       if (fs.exists(live)) live.toString
       else archIndex.getOrElse(lf, throw new IllegalStateException(
         s"VERSION AS OF $version: file $lf referenced by the manifest " +
           "exists neither live nor archived (vacuumed beyond retention?)"))
     }
-    // recursiveFileLookup disables partition inference, so the mixed
-    // live/.archive parent dirs never confuse the reader; the bucket
-    // pseudo-column is intentionally absent from as-of reads.
-    spark.read.schema(schema)
+  }
+
+  /** Read a resolved file set under `schema`; empty set = empty frame.
+    * recursiveFileLookup disables partition inference, so the mixed
+    * live/.archive parent dirs never confuse the reader; the bucket
+    * pseudo-column is intentionally absent from snapshot reads. */
+  private def readSnapshotFiles(schema: StructType,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
       .option("recursiveFileLookup", "true")
       .parquet(paths: _*)
+
+  /** The table's rows exactly as of catalog `version` — `SELECT … FROM
+    * t VERSION AS OF v` semantics over the snapshot chain. Bounded by
+    * the retention window; reads user columns (no rowid/bucket pseudo
+    * columns — snapshots are for audit/repro reads). */
+  def tableAsOf(name: String, version: Long): DataFrame = {
+    val snap = snapshotOrFail(version)
+    val t = snap.tables.find(x => x.name == name && !x.deleted).getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF $version: table $name did not exist"))
+    val schema = userSchema(t) // THAT version's schema + exist-defaults
+    val logical = manifestFiles(snap, t.tableOid, version)
+    readSnapshotFiles(schema,
+      resolveLogicalFiles(t.name, logical, version))
+  }
+
+  /** Row-level change feed between two retained versions — the
+    * incremental-consumption primitive (re-process only what changed
+    * since the last training-data snapshot, never the corpus). Returns
+    * the table's columns plus `_change_type` ('insert' | 'delete'); an
+    * UPDATE appears as its retract/add pair, the standard changefeed
+    * encoding any downstream MERGE or aggregate-delta consumer folds.
+    *
+    * Snapshot-DIFF semantics (state at `toVersion` minus state at
+    * `fromVersion`), computed WITHOUT reading either snapshot in full:
+    * COW files are immutable, so files present in both manifests cannot
+    * contribute — only files the interval removed or added are read,
+    * and `exceptAll` cancels the carried-over rows file rewrites copy
+    * verbatim. Cost scales with the interval's REWRITE volume, not the
+    * table: at 100 TB a day's changes read a day's rewritten buckets.
+    * Rows that changed and changed back inside the interval cancel —
+    * this is the net feed, not the per-commit journal. */
+  def tableChanges(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"tableChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val snapTo = snapshotOrFail(toVersion)
+    val tTo = snapTo.tables.find(x => x.name == name && !x.deleted)
+      .getOrElse(throw new IllegalArgumentException(
+        s"tableChanges: table $name did not exist at version $toVersion"))
+    // Read both sides under the TO schema: a column added in the
+    // interval exist-default-fills (or null-fills) on the before side,
+    // a dropped one projects away.
+    val schema = userSchema(tTo)
+    val filesTo = manifestFiles(snapTo, tTo.tableOid, toVersion)
+    val snapFrom = snapshotOrFail(fromVersion)
+    val filesFrom = snapFrom.tables
+      .find(x => x.tableOid == tTo.tableOid && !x.deleted)
+      .map(t => manifestFiles(snapFrom, t.tableOid, fromVersion))
+      .getOrElse(Vector.empty) // created inside the interval: all-insert
+    val fromSet = filesFrom.toSet
+    val toSet = filesTo.toSet
+    val removed = filesFrom.filterNot(toSet) // rewritten or deleted
+    val added = filesTo.filterNot(fromSet) // rewritten or inserted
+    val before = readSnapshotFiles(schema,
+      resolveLogicalFiles(name, removed.toVector, fromVersion))
+    val after = readSnapshotFiles(schema,
+      resolveLogicalFiles(name, added.toVector, toVersion))
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionAll(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
   // --- MERGE (capability superset: the reference has no MERGE — same
@@ -1832,12 +2021,24 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         throw new UnsupportedOperationException(
           "Does not support DELETE with returning " +
             "(reference parity: mpp_plan_delete.cpp)")
+      // Schema evolution (capability superset — CTAS/MERGE precedent):
+      // ADD/DROP COLUMN are supported; every OTHER ALTER form still
+      // rejects with the reference's message below.
+      case AlterAddColRe(name, colName, typeDdl, default)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        addColumn(name, colName, typeDdl, Option(default))
+        Seq(s"ALTER TABLE $name ADD COLUMN $colName").toDF("result")
+      case AlterDropColRe(name, colName)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        dropColumn(name, colName)
+        Seq(s"ALTER TABLE $name DROP COLUMN $colName").toDF("result")
       case AlterRe(name)
           if catalog.state.liveTable(localKey(name)).isDefined =>
         throw new UnsupportedOperationException(
           "ALTER is not implemented for MPP tables " +
             "(reference parity: MppSchemaEntry::Alter, " +
-            "mpp_schema_entry.cpp:158-160)")
+            "mpp_schema_entry.cpp:158-160; ADD COLUMN / DROP COLUMN " +
+            "are the supported evolution forms)")
       // The engine's SQL surface IS the mpp catalog (a reference
       // connection attached to an mpp database): every non-table create
       // lands on MppSchemaEntry, which rejects it with a specific
@@ -2317,6 +2518,17 @@ object MppEngine {
     """(?is)^UPDATE\s+((?:\w+\.){0,2}\w+)\s+SET\b.*\bRETURNING\b.*$""".r
   private val DeleteReturningRe =
     """(?is)^DELETE\s+FROM\s+((?:\w+\.){0,2}\w+)\b.*\bRETURNING\b.*$""".r
+  /** True when `sql` parses to a foldable (constant) expression —
+    * the eligibility test for existence-default metadata. */
+  private[mpp] def isConstantExpr(spark: SparkSession, sql: String): Boolean =
+    try spark.sessionState.sqlParser.parseExpression(sql).foldable
+    catch { case _: Exception => false }
+
+  private val AlterAddColRe =
+    ("""(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+ADD\s+COLUMN\s+""" +
+      """(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?\s*$""").r
+  private val AlterDropColRe =
+    """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
   private val AlterRe =
     """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*$""".r
   private val ExplainRe =

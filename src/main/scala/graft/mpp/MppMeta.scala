@@ -29,7 +29,16 @@ final case class TableInfo(
     /** column name → default-value SQL expression (reference resolves
       * defaults at insert: `mpp_physical_insert.cpp:150-181`). */
     defaults: Map[String, String],
-    deleted: Boolean)
+    deleted: Boolean,
+    /** Lower-cased names of columns DROPped since the last full
+      * rewrite. Old parquet files still hold their data (drops are
+      * metadata-only projections); re-ADDing such a name would
+      * resurrect those stored values, so it is rejected until an
+      * `OPTIMIZE … SORT BY` rewrites every live file (the same
+      * hazard Delta's column-mapping ids exist to dodge — here the
+      * name is simply quarantined instead). Absent in pre-evolution
+      * catalog JSON → empty (Jackson default). */
+    droppedColumns: Vector[String] = Vector.empty)
 
 /** Immutable catalog snapshot; commits replace the whole snapshot (the
   * Spark analogue of the reference's coordinator-only transactional

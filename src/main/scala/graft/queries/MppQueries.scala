@@ -406,8 +406,61 @@ object MppQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** Row-level change feed between two versions (`tableChanges` —
+    * the incremental-consumption primitive over the same manifests
+    * time travel reads). Convergent like every DML row: statement A
+    * rewrites the %11 keys to a scratch price and captures vA,
+    * statement B rewrites them to the oracle price and captures vB;
+    * the feed between the two is then exactly the %11 retract/add
+    * pairs — file-granularity carried rows must cancel, so the row
+    * hash-verifies the diff kernel itself, not just the endpoints. */
+  def qTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    e.sql("UPDATE orders_tt SET o_totalprice = -3 " +
+      "WHERE o_orderkey % 11 = 0")
+    val vA = e.catalog.currentVersionOnDisk
+    e.sql("UPDATE orders_tt SET o_totalprice = o_custkey * 2.5 + 0.25 " +
+      "WHERE o_orderkey % 11 = 0")
+    val vB = e.catalog.currentVersionOnDisk
+    e.tableChanges("orders_tt", vA, vB)
+      .select(col("_change_type").as("change_type"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .groupBy("change_type", "o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice") / 1000, 4).as("total_k"))
+      .orderBy("change_type", "o_orderstatus")
+  }
+
+  /** Schema evolution (ALTER TABLE ADD/DROP COLUMN — metadata-only,
+    * Postgres attmissingval semantics). Each pass rebuilds the table
+    * and replays the lifecycle: create → load → ADD COLUMN DEFAULT
+    * (old rows must read the frozen default WITHOUT any rewrite) →
+    * second load carrying the column explicitly → DROP COLUMN. The
+    * final aggregate distinguishes fill-sourced from stored values,
+    * so the row hash-verifies the exist-default read path itself. */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    if (e.catalog.state.liveTable("supp_evo").isDefined)
+      e.dropTable("supp_evo")
+    val sup = Tables(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    e.createDistributedTable("supp_evo", sup.schema.toDDL, "s_suppkey", 4)
+    e.insertInto("supp_evo", sup)
+    e.sql("ALTER TABLE supp_evo ADD COLUMN tier INT DEFAULT 3")
+    e.insertInto("supp_evo", sup
+      .withColumn("s_suppkey", col("s_suppkey") + 1000000)
+      .withColumn("tier", pmod(col("s_nationkey"), lit(5)).cast("int")))
+    e.sql("ALTER TABLE supp_evo DROP COLUMN s_name")
+    e.table("supp_evo")
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("bal"))
+      .orderBy("tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qMppTimeTravel _),
+    "q_table_changes" -> (qTableChanges _),
+    "q_schema_evolution" -> (qSchemaEvolution _),
     "q_mpp_scan_agg" -> (qMppScanAgg _),
     "q_mpp_prune_eq" -> (qMppPruneEq _),
     "q_mpp_prune_in" -> (qMppPruneIn _),
@@ -432,6 +485,23 @@ object MppQueries {
         |               ELSE o_totalprice END) / 1000000, 4)
         |   AS total_m_cur
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_table_changes" ->
+      """SELECT 'delete' AS change_type, o_orderstatus, COUNT(1) AS n,
+        | ROUND(SUM(-3.0) / 1000, 4) AS total_k
+        |FROM orders WHERE o_orderkey % 11 = 0 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'insert' AS change_type, o_orderstatus, COUNT(1) AS n,
+        | ROUND(SUM(o_custkey * 2.5 + 0.25) / 1000, 4) AS total_k
+        |FROM orders WHERE o_orderkey % 11 = 0 GROUP BY o_orderstatus
+        |ORDER BY change_type, o_orderstatus""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT tier, COUNT(1) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+        |FROM (
+        |  SELECT 3 AS tier, s_acctbal FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey % 5 AS INT) AS tier, s_acctbal
+        |  FROM supplier
+        |) GROUP BY tier ORDER BY tier""".stripMargin,
     "q_mpp_scan_agg" ->
       """SELECT l_returnflag, COUNT(1) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -828,7 +828,11 @@ class MppSpec extends SparkTestBase {
       .contains("UPDATE with returning"))
     assert(msg("DELETE FROM ep WHERE id = 2 RETURNING id")
       .contains("DELETE with returning"))
-    assert(msg("ALTER TABLE ep ADD COLUMN extra INT")
+    // ADD/DROP COLUMN are now supported (SchemaEvolutionSpec); every
+    // OTHER ALTER form keeps the reference's rejection.
+    assert(msg("ALTER TABLE ep RENAME COLUMN v TO w")
+      .contains("ALTER is not implemented"))
+    assert(msg("ALTER TABLE ep ALTER COLUMN v SET DATA TYPE INT")
       .contains("ALTER is not implemented"))
     // Non-table creates land on the mpp schema, which rejects each kind
     // with its specific entry point (mpp_schema_entry.cpp:72-128).

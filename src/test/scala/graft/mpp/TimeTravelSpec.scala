@@ -152,6 +152,55 @@ class TimeTravelSpec extends SparkTestBase {
     assert(now == (25 until 50).sum.toDouble - 25.0, now)
   }
 
+  test("tableChanges yields the exact net row diff between versions " +
+      "(insert / update retract-add / delete / created-in-interval)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE tc(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("tc", spark.range(0, 40).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    e.sql("UPDATE tc SET v = v + 500 WHERE k % 4 = 0") // 10 updates
+    e.sql("DELETE FROM tc WHERE k >= 30 AND k % 4 <> 0") // deletes
+    e.insertInto("tc", spark.range(100, 105).toDF("k")
+      .withColumn("v", col("k") * 2.0)) // 5 inserts
+    val v2 = e.catalog.currentVersionOnDisk
+
+    def changeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+          r.getAs[Double]("v"))).sorted.toSeq
+    val got = changeSet(e.tableChanges("tc", v1, v2))
+    val updatedKeys = (0L until 40L).filter(_ % 4 == 0)
+    val deletedKeys = (30L until 40L).filterNot(_ % 4 == 0)
+    val want = (
+      updatedKeys.map(k => ("delete", k, k.toDouble)) ++
+      updatedKeys.map(k => ("insert", k, k.toDouble + 500)) ++
+      deletedKeys.map(k => ("delete", k, k.toDouble)) ++
+      (100L until 105L).map(k => ("insert", k, k * 2.0))).sorted
+    assert(got == want)
+
+    // Rows untouched by the interval never appear — even though their
+    // buckets were rewritten (COW file granularity cancels verbatim).
+    assert(!got.exists { case (_, k, _) => k == 1L || k == 2L })
+
+    // Same-version diff is empty; created-in-interval = all inserts.
+    assert(e.tableChanges("tc", v2, v2).count() == 0L)
+    e.sql("CREATE TABLE tc2(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("tc2", spark.range(0, 7).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v3 = e.catalog.currentVersionOnDisk
+    val created = e.tableChanges("tc2", v1, v3)
+    assert(created.filter(col("_change_type") === "insert").count() == 7L)
+    assert(created.count() == 7L)
+
+    // OPTIMIZE rewrites files but changes no rows: empty feed.
+    e.sql("OPTIMIZE tc SORT BY (v)")
+    val v4 = e.catalog.currentVersionOnDisk
+    assert(e.tableChanges("tc", v2, v4).count() == 0L)
+  }
+
   test("graft.timetravel.enabled=false restores delete-on-swap " +
       "(no archive dirs, no manifests accumulate)") {
     spark.conf.set("graft.timetravel.enabled", "false")
