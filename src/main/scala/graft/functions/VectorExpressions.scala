@@ -298,6 +298,8 @@ object VectorFunctions {
       "shingle3_hashes", exprs => ShingleHashes3(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_bands", exprs => MinHashBands(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "interleave_bits", exprs => InterleaveBits(exprs), "built-in")
   }
 
   /** Codegen'd distinct hashed word-3-gram shingles of array<string>. */

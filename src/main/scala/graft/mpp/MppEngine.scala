@@ -758,12 +758,28 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * budget. Returns (buckets compacted, files before).
     */
   def optimizeTable(name: String,
-      sortBy: Seq[String] = Nil): (Int, Int) = {
+      sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): (Int, Int) = {
     val t = info(name)
     val schema = userSchema(t)
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      s"OPTIMIZE ${t.name}: SORT BY and ZORDER BY are exclusive")
     sortBy.foreach(c => require(
       schema.fieldNames.exists(_.equalsIgnoreCase(c)),
       s"OPTIMIZE ${t.name}: no such SORT BY column: $c"))
+    val zFields = zorderBy.map(c => schema.fields
+      .find(_.name.equalsIgnoreCase(c)).getOrElse(throw
+        new IllegalArgumentException(
+          s"OPTIMIZE ${t.name}: no such ZORDER BY column: $c")))
+    if (zFields.nonEmpty) {
+      require(zFields.size >= 2 && zFields.size <= 4,
+        s"OPTIMIZE ${t.name}: ZORDER BY takes 2-4 columns " +
+          s"(one dimension is just SORT BY); got ${zFields.size}")
+      zFields.foreach(f => require(zOrderable(f.dataType),
+        s"OPTIMIZE ${t.name}: ZORDER BY ${f.name}: ${f.dataType.sql} " +
+          "is not orderable into ranks (numeric/date/timestamp only)"))
+    }
+    val rewriteAll = sortBy.nonEmpty || zFields.nonEmpty
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(t.name))
     val fs = root.getFileSystem(conf)
@@ -780,7 +796,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         (b, dataFiles.length, dataFiles.map(_.getLen).sum)
       }
     val affected = counts.collect {
-      case (b, n, _) if n > 1 || (sortBy.nonEmpty && n > 0) => b
+      case (b, n, _) if n > 1 || (rewriteAll && n > 0) => b
     }.toSet
     if (affected.isEmpty) return (0, 0)
     val work =
@@ -788,16 +804,71 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       else readWithBucket(t)
         .filter(col(BucketCol).isin(affected.toSeq: _*))
     val bytes = counts.collect { case (b, _, sz) if affected(b) => sz }.sum
-    stageAndSwap(t, affected, work, sortBy, sizeHint = bytes)
-    // A SORT BY pass rewrites every non-empty bucket under the current
-    // declared schema, so no live file can still hold a dropped
-    // column's values — lift the re-ADD quarantine (see addColumn).
-    if (sortBy.nonEmpty && t.droppedColumns.nonEmpty)
+    if (zFields.isEmpty)
+      stageAndSwap(t, affected, work, sortBy, sizeHint = bytes)
+    else {
+      // ZORDER BY: one stats pass learns each dimension's [min, max],
+      // each value maps to a 16-bit rank (linear scale; nulls rank 0),
+      // ranks bit-interleave into one clustering key
+      // ([[graft.functions.InterleaveBits]]), and the rewrite sorts by
+      // it — rows close in EVERY dimension land in the same files, so
+      // the per-file zone maps prune range predicates on ALL z
+      // dimensions, not just a lead column. The rank key is dropped
+      // before the write (clustering is a layout property, not data).
+      val aggs = zFields.flatMap(f => Seq(
+        min(zNumeric(f)).as(s"_lo_${f.name}"),
+        max(zNumeric(f)).as(s"_hi_${f.name}")))
+      val stats = work.agg(aggs.head, aggs.tail: _*).head()
+      val ranks = zFields.zipWithIndex.map { case (f, i) =>
+        val lo = stats.isNullAt(2 * i)
+        val hi = stats.isNullAt(2 * i + 1)
+        if (lo || hi || stats.getDouble(2 * i) == stats.getDouble(2 * i + 1))
+          lit(0L) // all-null or constant dimension: rank 0
+        else {
+          val loV = stats.getDouble(2 * i)
+          val span = stats.getDouble(2 * i + 1) - loV
+          least(greatest(floor(
+            (coalesce(zNumeric(f), lit(loV)) - lit(loV)) /
+              lit(span) * lit(65536.0)), lit(0L)), lit(65535L))
+            .cast("long")
+        }
+      }
+      graft.functions.VectorFunctions.register(spark)
+      val zc = call_function("interleave_bits", ranks: _*)
+      stageAndSwap(t, affected, work.withColumn(ZCol, zc),
+        Seq(ZCol), sizeHint = bytes, dropAfterSort = Seq(ZCol))
+    }
+    // A full-rewrite pass (SORT BY / ZORDER BY) rewrites every
+    // non-empty bucket under the current declared schema, so no live
+    // file can still hold a dropped column's values — lift the re-ADD
+    // quarantine (see addColumn).
+    if (rewriteAll && t.droppedColumns.nonEmpty)
       catalog.mutate(st => st.copy(tables = st.tables.map(x =>
         if (x.tableOid == t.tableOid)
           x.copy(droppedColumns = Vector.empty) else x)))
     (affected.size,
       counts.collect { case (b, n, _) if affected(b) => n }.sum)
+  }
+
+  private val ZCol = "__graft_z"
+
+  private def zOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.DateType => true
+      case org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }
+
+  /** The dimension as a double for rank scaling. */
+  private def zNumeric(
+      f: org.apache.spark.sql.types.StructField):
+      org.apache.spark.sql.Column = f.dataType match {
+    case org.apache.spark.sql.types.DateType =>
+      col(f.name).cast("timestamp").cast("double")
+    case org.apache.spark.sql.types.TimestampType =>
+      col(f.name).cast("double")
+    case _ => col(f.name).cast("double")
   }
 
   /** Shared COW machinery: statically prune buckets by the WHERE clause,
@@ -930,7 +1001,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * rewrite frame to learn split points we already know. */
   private def stageAndSwap(t: TableInfo, affected: Set[Int],
       out: DataFrame, sortBy: Seq[String] = Nil,
-      shuffle: Boolean = true, sizeHint: Long = -1L): Unit = {
+      shuffle: Boolean = true, sizeHint: Long = -1L,
+      dropAfterSort: Seq[String] = Nil): Unit = {
     // Operational knob: `graft.cow.shuffleWrites=true` forces every
     // rewrite through the routed exchange — a deployment that values
     // the compact file-per-bucket layout over rewrite latency (e.g.
@@ -1013,6 +1085,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           else shaped0.sortWithinPartitions(
             (BucketCol +: sortBy).map(col): _*)
         }
+      // Helper sort keys (e.g. the z-order rank) are layout-only: the
+      // projection drops them AFTER the within-partition sort, which
+      // preserves the established row order — the writer's required
+      // ordering (partition cols) is already satisfied by the
+      // BucketCol-first sort, so no re-sort is inserted above.
+      val shapedOut = dropAfterSort.foldLeft(shaped)(_.drop(_))
       val maxPerFile =
         spark.conf.get("graft.optimize.maxRecordsPerFile", "0").toLong
       // Bounded row groups (default 32 MiB vs parquet's 128 MiB): a
@@ -1023,7 +1101,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // the split size (measured at the sf30 mirror: 32 scheduled
       // tasks, 8 doing all the work). Smaller groups keep rewrite and
       // read parallelism bytes-proportional INSIDE a bucket.
-      val writer = shaped.write.mode(SaveMode.Overwrite)
+      val writer = shapedOut.write.mode(SaveMode.Overwrite)
         .option("parquet.block.size",
           spark.conf.get("graft.cow.rowGroupBytes",
             (32L * 1024 * 1024).toString))
@@ -1326,7 +1404,13 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * verbatim. Cost scales with the interval's REWRITE volume, not the
     * table: at 100 TB a day's changes read a day's rewritten buckets.
     * Rows that changed and changed back inside the interval cancel —
-    * this is the net feed, not the per-commit journal. */
+    * this is the net feed, not the per-commit journal.
+    *
+    * Bootstrap semantics: a fromVersion at which the table held no
+    * manifest (created inside the interval, or data written before
+    * manifest-keeping / with time travel off) reports the full toVersion
+    * state as inserts — the same "first consumption loads everything"
+    * contract Delta CDF gives from version 0. */
   def tableChanges(name: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -2131,10 +2215,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       case DropRe(name) if catalog.state.liveTable(localKey(name)).isDefined =>
         dropTable(name)
         Seq(s"DROP TABLE $name").toDF("result")
-      case OptimizeRe(name, sortCols) =>
+      case OptimizeRe(name, sortCols, zCols) =>
         val cols = Option(sortCols).toSeq
           .flatMap(splitTopLevel(_))
-        val (nb, nf) = optimizeTable(name, cols)
+        val zs = Option(zCols).toSeq.flatMap(splitTopLevel(_))
+        val (nb, nf) = optimizeTable(name, cols, zs)
         Seq((nb.toLong, nf.toLong))
           .toDF("buckets_compacted", "files_before")
       case CreateSchemaRe(ine, name) =>
@@ -2481,7 +2566,9 @@ object MppEngine {
   private val DropRe =
     """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?((?:\w+\.){0,2}\w+)$""".r
   private val OptimizeRe =
-    """(?is)^OPTIMIZE\s+((?:\w+\.){0,2}\w+)(?:\s+SORT\s+BY\s*\(([^)]*)\))?$""".r
+    ("""(?is)^OPTIMIZE\s+((?:\w+\.){0,2}\w+)""" +
+      """(?:\s+SORT\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$""").r
   /** MERGE INTO t [AS a] USING (query)|table [AS] s ON x.c = y.c WHEN …
     * (clause tail parsed by [[MppEngine.parseMergeClauses]]). */
   private[mpp] val MergeRe =

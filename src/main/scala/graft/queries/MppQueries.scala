@@ -457,10 +457,27 @@ object MppQueries {
       .orderBy("tier")
   }
 
+  /** Multi-dimensional clustering (`OPTIMIZE … ZORDER BY`): every pass
+    * re-clusters orders_opt on the interleaved (o_custkey,
+    * o_totalprice) rank key — a real staged rewrite + atomic swap, the
+    * same convergent-DML idiom as q_mpp_optimize — and the verifying
+    * aggregate pins that clustering is a LAYOUT property: the row set
+    * must still hash-match the plain-parquet oracle exactly. */
+  def qMppZorder(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    e.sql("OPTIMIZE orders_opt ZORDER BY (o_custkey, o_totalprice)")
+    e.table("orders_opt")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice") / 1000000, 4).as("total_m"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qMppTimeTravel _),
     "q_table_changes" -> (qTableChanges _),
     "q_schema_evolution" -> (qSchemaEvolution _),
+    "q_mpp_zorder" -> (qMppZorder _),
     "q_mpp_scan_agg" -> (qMppScanAgg _),
     "q_mpp_prune_eq" -> (qMppPruneEq _),
     "q_mpp_prune_in" -> (qMppPruneIn _),
@@ -569,6 +586,10 @@ object MppQueries {
       """SELECT o_orderstatus, COUNT(1) AS n,
         | ROUND(SUM(o_totalprice) / 1000000, 4) AS total_m
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mpp_zorder" ->
+      """SELECT o_orderpriority, COUNT(1) AS n,
+        | ROUND(SUM(o_totalprice) / 1000000, 4) AS total_m
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     // Final CDC state: %60 keys carry batch-2's winning price, the
     // remaining %30 keys batch-1's, everything else is untouched; the
     // sentinel upserts reproduce as a key-independent UNION ALL (same
