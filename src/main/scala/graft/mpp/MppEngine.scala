@@ -2607,7 +2607,7 @@ object MppEngine {
     """(?is)^DELETE\s+FROM\s+((?:\w+\.){0,2}\w+)\b.*\bRETURNING\b.*$""".r
   /** True when `sql` parses to a foldable (constant) expression —
     * the eligibility test for existence-default metadata. */
-  private[mpp] def isConstantExpr(spark: SparkSession, sql: String): Boolean =
+  private[graft] def isConstantExpr(spark: SparkSession, sql: String): Boolean =
     try spark.sessionState.sqlParser.parseExpression(sql).foldable
     catch { case _: Exception => false }
 

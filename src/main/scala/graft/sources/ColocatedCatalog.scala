@@ -258,7 +258,12 @@ final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
     val base = StructType.fromDDL(t.schemaDdl)
     if (t.defaults.isEmpty) base
     else StructType(base.fields.map { f =>
-      t.defaults.get(f.name) match {
+      // Constant defaults only — same filter as the engine path
+      // (MppEngine.userSchema): an EXISTS_DEFAULT must be foldable,
+      // and a volatile CURRENT_DEFAULT would freeze differently here
+      // than at insert time.
+      t.defaults.get(f.name)
+        .filter(MppEngine.isConstantExpr(spark, _)) match {
         case Some(d) =>
           val md = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)

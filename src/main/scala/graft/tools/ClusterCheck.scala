@@ -235,6 +235,39 @@ object ClusterCheck {
       assert(got.getLong(2) == 1L + 20L, got.toString)
     }
 
+    check("versioned-catalog battery: time travel, change feed, schema " +
+        "evolution, ZORDER across executor JVMs") {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cluster-check").toString
+      val e = new graft.mpp.MppEngine(spark, wh)
+      e.sql("CREATE TABLE cv(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 8")
+      e.insertInto("cv", spark.range(0, 100000, 1, 16).toDF("k")
+        .withColumn("v", col("k") * 1.0))
+      val v1 = e.catalog.currentVersionOnDisk
+      e.sql("UPDATE cv SET v = -1 WHERE k % 100 = 7")
+      val v2 = e.catalog.currentVersionOnDisk
+      // Snapshot read reconstructs pre-update state from archived files.
+      val pastSum = e.tableAsOf("cv", v1).agg(sum("v")).head().getDouble(0)
+      val expPast = (0L until 100000L).map(_.toDouble).sum
+      assert(math.abs(pastSum - expPast) < 1e-6, s"$pastSum != $expPast")
+      // Change feed: exactly the retract/add pairs; the exceptAll
+      // exchange crosses the real process boundary.
+      val ch = e.tableChanges("cv", v1, v2)
+        .groupBy("_change_type").agg(count(lit(1)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ch == Map("delete" -> 1000L, "insert" -> 1000L), ch.toString)
+      // Exist-default fill happens in the EXECUTORS' parquet readers.
+      e.sql("ALTER TABLE cv ADD COLUMN tier INT DEFAULT 9")
+      assert(e.table("cv").filter(col("tier") === 9).count() == 100000L)
+      // ZORDER re-clusters (range exchange + interleave kernel on
+      // executors); the row set must be untouched.
+      val before = e.table("cv").agg(sum("v"), count(lit(1))).head()
+      e.sql("OPTIMIZE cv ZORDER BY (k, v)")
+      val after = e.table("cv").agg(sum("v"), count(lit(1))).head()
+      assert(after == before, s"$after != $before")
+    }
+
     check("executor JVM killed mid-query: tasks retry on the survivor " +
         "and the result is exact") {
       def q: DataFrame = spark.range(0, 40000000L, 1, 96)
