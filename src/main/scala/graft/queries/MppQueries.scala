@@ -473,8 +473,46 @@ object MppQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** Streaming CDC READ + table replication ([[graft.streaming.
+    * CdcRead]]): each pass rebuilds a source table, mutates it
+    * (update + delete + second load), then replicates it into a
+    * fresh replica through a REAL `readStream` over the change feed —
+    * version offsets, one AvailableNow micro-batch, MERGE apply with
+    * delete propagation. The verified aggregate reads the REPLICA, so
+    * the row hash-checks the entire read→apply loop. Per-pass DROP +
+    * CREATE gives a new table oid, which makes `startingVersion=
+    * earliest` provably a full bootstrap (no prior-generation
+    * manifests can alias it). */
+  def qStreamReplica(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    for (t <- Seq("rep_src", "rep_dst"))
+      if (e.catalog.state.liveTable(t).isDefined) e.dropTable(t)
+    val sup = Tables(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    e.createDistributedTable("rep_src", sup.schema.toDDL, "s_suppkey", 4)
+    e.createDistributedTable("rep_dst", sup.schema.toDDL, "s_suppkey", 2)
+    e.insertInto("rep_src", sup)
+    e.sql("UPDATE rep_src SET s_acctbal = -1 WHERE s_suppkey % 7 = 0")
+    e.sql("DELETE FROM rep_src WHERE s_suppkey % 11 = 0")
+    e.insertInto("rep_src", sup
+      .withColumn("s_suppkey", col("s_suppkey") + 1000000)
+      .withColumn("s_acctbal", col("s_nationkey").cast("double")))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-replica-ckpt").toString
+    val q = graft.streaming.CdcRead.replicaPipeline(s, e.warehouse,
+      "rep_src", e, "rep_dst", "s_suppkey", ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(180000)
+    e.table("rep_dst")
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("s_acctbal"), 2).as("bal"))
+      .orderBy("nk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qMppTimeTravel _),
+    "q_stream_replica" -> (qStreamReplica _),
     "q_table_changes" -> (qTableChanges _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_mpp_zorder" -> (qMppZorder _),
@@ -519,6 +557,16 @@ object MppQueries {
         |  SELECT CAST(s_nationkey % 5 AS INT) AS tier, s_acctbal
         |  FROM supplier
         |) GROUP BY tier ORDER BY tier""".stripMargin,
+    "q_stream_replica" ->
+      """SELECT s_nationkey AS nk, COUNT(1) AS n, ROUND(SUM(bal), 2) AS bal
+        |FROM (
+        |  SELECT s_nationkey,
+        |         CASE WHEN s_suppkey % 7 = 0 THEN -1.0
+        |              ELSE s_acctbal END AS bal
+        |  FROM supplier WHERE s_suppkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT s_nationkey, CAST(s_nationkey AS DOUBLE) FROM supplier
+        |) GROUP BY s_nationkey ORDER BY nk""".stripMargin,
     "q_mpp_scan_agg" ->
       """SELECT l_returnflag, COUNT(1) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -21,4 +21,20 @@ object GraftSqlBridge {
       case other => throw new IllegalStateException(
         s"expected a classic SparkSession, got ${other.getClass.getName}")
     }
+
+  /** Re-tag a computed batch DataFrame as a STREAMING batch: V1
+    * streaming `Source.getBatch` results must carry
+    * `isStreaming=true`, which only `LogicalRDD` (private[sql]
+    * surface) can assert for an arbitrary computed plan. The RDD is
+    * lazy — nothing executes until the sink runs the micro-batch. The
+    * same idiom Delta's DeltaSource uses for its file-action batches. */
+  def streamingBatch(spark: SparkSession, df: DataFrame): DataFrame =
+    spark match {
+      case c: classic.SparkSession =>
+        val qe = df.queryExecution
+        classic.Dataset.ofRows(c, execution.LogicalRDD(
+          qe.analyzed.output, qe.toRdd, isStreaming = true)(c))
+      case other => throw new IllegalStateException(
+        s"expected a classic SparkSession, got ${other.getClass.getName}")
+    }
 }
