@@ -72,9 +72,37 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
 }
 
 class CdcSource(spark: SparkSession, warehouse: String, table: String,
-    startingVersion: Option[Long]) extends Source {
+    startingVersion: Option[Long]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private val engine = new MppEngine(spark, warehouse)
+
+  /** `Trigger.AvailableNow`: freeze the cutoff version at run start so
+    * the run drains exactly what existed then and stops — commits that
+    * land mid-run belong to the next invocation (the FileStreamSource
+    * contract). */
+  @volatile private var frozenVersion: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenVersion = Some(engine.catalog.currentVersionOnDisk)
+
+  private def latestVersion: Long =
+    frozenVersion.getOrElse(engine.catalog.currentVersionOnDisk)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(latestVersion)
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    LongOffset(latestVersion)
 
   override val schema: StructType = {
     val t = engine.catalog.state.liveTable(table).getOrElse(
@@ -88,8 +116,7 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
     * protocol's invariant). A version bump that did not touch THIS
     * table yields an empty diff — correct and cheap (same manifest
     * ref on both sides, zero files read). */
-  override def getOffset: Option[Offset] =
-    Some(LongOffset(engine.catalog.currentVersionOnDisk))
+  override def getOffset: Option[Offset] = Some(LongOffset(latestVersion))
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
