@@ -1433,13 +1433,42 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val toSet = filesTo.toSet
     val removed = filesFrom.filterNot(toSet) // rewritten or deleted
     val added = filesTo.filterNot(fromSet) // rewritten or inserted
-    val before = readSnapshotFiles(schema,
-      resolveLogicalFiles(name, removed.toVector, fromVersion))
-    val after = readSnapshotFiles(schema,
-      resolveLogicalFiles(name, added.toVector, toVersion))
-    after.exceptAll(before).withColumn("_change_type", lit("insert"))
-      .unionAll(
-        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    def diff(rem: Vector[String], add: Vector[String]): DataFrame = {
+      val before = readSnapshotFiles(schema,
+        resolveLogicalFiles(name, rem, fromVersion))
+      val after = readSnapshotFiles(schema,
+        resolveLogicalFiles(name, add, toVersion))
+      after.exceptAll(before).withColumn("_change_type", lit("insert"))
+        .unionAll(
+          before.exceptAll(after).withColumn("_change_type", lit("delete")))
+    }
+    // Scratch bound for full-rewrite intervals: `exceptAll` shuffles
+    // both sides in full, so an interval that rewrote the whole table
+    // demands ~2× its size in shuffle scratch at once (the 500M probe
+    // ENOSPC'd exactly there). `graft.changes.bucketPasses=N` splits
+    // the diff into N sequential bucket-range passes with eager
+    // lineage-truncating materialization — the §19.1 multi-pass idiom;
+    // peak scratch falls to ~2×volume/N plus the (changed-rows-sized)
+    // pass results. EXACT equivalence, not an approximation: a bucket
+    // is a function of the partition column, which is part of the row
+    // content, so no row's before/after copies can cancel across
+    // bucket boundaries — every cancellation the global exceptAll
+    // performs happens inside one bucket, hence inside one pass.
+    val passes = spark.conf.get("graft.changes.bucketPasses", "1").toInt
+    if (passes <= 1 || removed.isEmpty || added.isEmpty)
+      diff(removed.toVector, added.toVector)
+    else {
+      def bucketOf(lf: String): Int =
+        lf.substring(lf.indexOf('=') + 1, lf.indexOf('/')).toInt
+      val buckets = (removed ++ added).map(bucketOf).distinct.sorted
+      val per = math.max(1, math.ceil(buckets.size.toDouble / passes).toInt)
+      buckets.grouped(per).map { bs =>
+        val in = bs.toSet
+        diff(removed.filter(f => in(bucketOf(f))).toVector,
+          added.filter(f => in(bucketOf(f))).toVector)
+          .localCheckpoint() // eager: pass i's scratch freed before i+1
+      }.reduce(_ unionAll _)
+    }
   }
 
   // --- MERGE (capability superset: the reference has no MERGE — same

@@ -199,6 +199,19 @@ class TimeTravelSpec extends SparkTestBase {
     e.sql("OPTIMIZE tc SORT BY (v)")
     val v4 = e.catalog.currentVersionOnDisk
     assert(e.tableChanges("tc", v2, v4).count() == 0L)
+
+    // Sequential bucket passes (the scratch-bound knob) are EXACTLY
+    // the single-pass feed — including across a partition-column
+    // UPDATE that moves rows between buckets.
+    e.sql("UPDATE tc SET k = k + 400, v = v + 0.25 WHERE k < 3")
+    val v5 = e.catalog.currentVersionOnDisk
+    val single = changeSet(e.tableChanges("tc", v1, v5))
+    spark.conf.set("graft.changes.bucketPasses", "3")
+    try {
+      val multi = changeSet(e.tableChanges("tc", v1, v5))
+      assert(multi == single,
+        s"bucket-pass diff diverged: ${multi.size} vs ${single.size}")
+    } finally spark.conf.unset("graft.changes.bucketPasses")
   }
 
   test("graft.timetravel.enabled=false restores delete-on-swap " +
