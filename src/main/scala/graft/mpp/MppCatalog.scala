@@ -244,6 +244,13 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= ms
     }.lastOption
 
+  /** Publish instant of a retained version (snapshot-file mtime); 0
+    * if the snapshot is gone. */
+  def versionMtime(v: Long): Long = {
+    val p = Paths.get(snapFile(v))
+    if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
+  }
+
   /** Directory for manifest files (created on demand). */
   def manifestDir: String = {
     val d = s"$catalogDir/manifests"

@@ -1389,6 +1389,42 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       resolveLogicalFiles(t.name, logical, version))
   }
 
+  /** Audit surface for time travel (`DESCRIBE HISTORY t`): one row per
+    * RETAINED catalog version, with the commit wall-clock (snapshot
+    * file mtime), whether the table existed, its data-file count at
+    * that version, and whether that version CHANGED the table (its
+    * manifest ref differs from the previous retained version's) — the
+    * operator's map of what `VERSION AS OF` / `tableChanges` can
+    * reach. Driver-side metadata only; no data file is touched. */
+  def describeHistory(name: String): DataFrame = {
+    val t = info(localKey(name))
+    val versions = catalog.retainedVersions
+    var prevRef: Option[String] = None
+    val rows = versions.flatMap { v =>
+      catalog.snapshotAt(v).map { snap =>
+        val exists = snap.tables.exists(x =>
+          x.tableOid == t.tableOid && !x.deleted)
+        val ref = snap.tableManifests.get(t.tableOid.toString)
+        val files: Option[Int] =
+          if (!exists) None
+          else ref.flatMap { m =>
+            val p = java.nio.file.Paths.get(catalog.manifestDir, m)
+            if (!java.nio.file.Files.exists(p)) None
+            else Some(MppCatalog.mapper.readValue(
+              java.nio.file.Files.readAllBytes(p),
+              classOf[Vector[String]]).size)
+          }.orElse(Some(0))
+        val changed = exists && ref != prevRef
+        if (exists) prevRef = ref
+        val ts = new java.sql.Timestamp(catalog.versionMtime(v))
+        (v, ts, exists, files, changed)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "table_exists",
+      "data_files", "changed_table")
+  }
+
   /** Row-level change feed between two retained versions — the
     * incremental-consumption primitive (re-process only what changed
     * since the last training-data snapshot, never the corpus). Returns
@@ -2134,6 +2170,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         throw new UnsupportedOperationException(
           "Does not support DELETE with returning " +
             "(reference parity: mpp_plan_delete.cpp)")
+      case DescribeHistoryRe(name)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        describeHistory(name)
+      case VacuumRe(hours) =>
+        vacuumTimeTravel(Option(hours)
+          .map(_.toLong * 3600 * 1000L)
+          .getOrElse(10 * 60 * 1000L))
+        Seq("VACUUM").toDF("result")
       // Schema evolution (capability superset — CTAS/MERGE precedent):
       // ADD/DROP COLUMN are supported; every OTHER ALTER form still
       // rejects with the reference's message below.
@@ -2640,6 +2684,13 @@ object MppEngine {
     try spark.sessionState.sqlParser.parseExpression(sql).foldable
     catch { case _: Exception => false }
 
+  private val DescribeHistoryRe =
+    """(?is)^DESCRIBE\s+HISTORY\s+((?:\w+\.){0,2}\w+)\s*$""".r
+  /** `VACUUM [RETAIN n HOURS]`: sweep manifests/archives no retained
+    * snapshot references, keeping anything younger than the grace
+    * (default 10 minutes — in-flight concurrent-writer safety). */
+  private val VacuumRe =
+    """(?is)^VACUUM(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*$""".r
   private val AlterAddColRe =
     ("""(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+ADD\s+COLUMN\s+""" +
       """(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?\s*$""").r

@@ -214,6 +214,32 @@ class TimeTravelSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.changes.bucketPasses")
   }
 
+  test("DESCRIBE HISTORY lists retained versions with change flags; " +
+      "VACUUM statement sweeps beyond the grace") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE dh(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    val vCreate = e.catalog.currentVersionOnDisk
+    e.insertInto("dh", spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    e.sql("UPDATE dh SET v = -1 WHERE k = 3")
+    e.sql("CREATE SCHEMA unrelated") // version bump, table unchanged
+    val h = e.sql("DESCRIBE HISTORY dh")
+      .orderBy("version").collect()
+    assert(h.length == e.catalog.retainedVersions.size)
+    val changed = h.filter(_.getAs[Boolean]("changed_table"))
+      .map(_.getAs[Long]("version")).toSeq
+    // Exactly the insert and the update changed the table's files.
+    assert(changed.size == 2 && changed.forall(_ > vCreate), changed)
+    assert(h.last.getAs[Boolean]("table_exists"))
+    assert(h.last.getAs[Int]("data_files") > 0)
+    // The statement form of the vacuum runs (zero-grace sweep) and
+    // retained versions survive it.
+    val latest = e.catalog.currentVersionOnDisk
+    e.sql("VACUUM RETAIN 0 HOURS")
+    assert(e.tableAsOf("dh", latest).count() == 10L)
+  }
+
   test("graft.timetravel.enabled=false restores delete-on-swap " +
       "(no archive dirs, no manifests accumulate)") {
     spark.conf.set("graft.timetravel.enabled", "false")
