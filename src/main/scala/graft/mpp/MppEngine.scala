@@ -1425,6 +1425,79 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       "data_files", "changed_table")
   }
 
+  /** `RESTORE TABLE t TO VERSION AS OF v` — make the CURRENT state the
+    * retained version `v`, completing the time-travel triad (read the
+    * past, diff the past, return to the past — the undo button for a
+    * bad DML over training data). PURE RENAMES at any scale: archived
+    * copies of v's files move back to the live bucket dirs, displaced
+    * live files archive out, metadata (schema/defaults/quarantine)
+    * restores from v's TableInfo, and the new manifest commit makes
+    * the restore itself a versioned — and therefore undoable — event.
+    *
+    * Crash mid-restore leaves each file in exactly one place and a
+    * re-run converges (every move is re-derived from the same target
+    * manifest), which is the retry story; unlike the DML family there
+    * is no staging swap — nothing is written, only moved. */
+  def restoreTable(name: String, version: Long): Unit = {
+    require(timeTravelEnabled,
+      "RESTORE requires graft.timetravel.enabled=true")
+    val key = localKey(name)
+    val snap = snapshotOrFail(version)
+    val cur = info(key)
+    val tv = snap.tables.find(x => x.tableOid == cur.tableOid && !x.deleted)
+      .getOrElse(throw new IllegalArgumentException(
+        s"RESTORE $name: table did not exist at version $version"))
+    val target = manifestFiles(snap, tv.tableOid, version).toSet
+    val live = liveLogicalFiles(cur).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dataPath(cur.name))
+    val fs = root.getFileSystem(conf)
+    // Displaced live files archive out (time travel is on, so the
+    // pre-restore state stays reachable — RESTORE is itself undoable).
+    val tag = UUID.randomUUID().toString
+    (live -- target).foreach { lf =>
+      archiveOrDelete(fs, new Path(root, lf),
+        new Path(archiveDirFor(cur, tag), lf))
+    }
+    // Missing target files rename back from their archive generation.
+    val missing = target -- live
+    if (missing.nonEmpty) {
+      val archIndex: Map[String, String] = {
+        val arch = new Path(root, ".archive")
+        if (!fs.exists(arch)) Map.empty
+        else fs.listStatus(arch).iterator.filter(_.isDirectory)
+          .flatMap(gen => fs.listStatus(gen.getPath).iterator
+            .filter(_.isDirectory)
+            .flatMap(bd => fs.listStatus(bd.getPath).iterator.map(f =>
+              s"${bd.getPath.getName}/${f.getPath.getName}" ->
+                f.getPath.toString)))
+          .toMap
+      }
+      missing.foreach { lf =>
+        val phys = archIndex.getOrElse(lf,
+          throw new IllegalStateException(
+            s"RESTORE $name: file $lf of version $version exists " +
+              "neither live nor archived (vacuumed beyond retention?)"))
+        val dst = new Path(root, lf)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(new Path(phys), dst),
+          s"RESTORE $name: rename failed for $lf")
+      }
+    }
+    // Metadata travels with the data: v's schema, defaults, and
+    // dropped-name quarantine (a restore past an ADD removes the
+    // column; past a DROP, the files carrying it are back and the
+    // declared schema names it again).
+    catalog.mutate(st => st.copy(tables = st.tables.map(x =>
+      if (x.tableOid == cur.tableOid)
+        x.copy(schemaDdl = tv.schemaDdl, defaults = tv.defaults,
+          droppedColumns = tv.droppedColumns) else x)))
+    graft.sources.ColocatedFileIndex.invalidate(dataPath(cur.name))
+    val restored = info(key)
+    refreshView(restored)
+    commitManifest(restored)
+  }
+
   /** Row-level change feed between two retained versions — the
     * incremental-consumption primitive (re-process only what changed
     * since the last training-data snapshot, never the corpus). Returns
@@ -2173,6 +2246,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       case DescribeHistoryRe(name)
           if catalog.state.liveTable(localKey(name)).isDefined =>
         describeHistory(name)
+      case RestoreRe(name, v)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        restoreTable(name, v.toLong)
+        Seq(s"RESTORE TABLE $name TO VERSION AS OF $v").toDF("result")
       case VacuumRe(hours) =>
         vacuumTimeTravel(Option(hours)
           .map(_.toLong * 3600 * 1000L)
@@ -2686,6 +2763,9 @@ object MppEngine {
 
   private val DescribeHistoryRe =
     """(?is)^DESCRIBE\s+HISTORY\s+((?:\w+\.){0,2}\w+)\s*$""".r
+  private val RestoreRe =
+    ("""(?is)^RESTORE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+TO\s+VERSION""" +
+      """\s+AS\s+OF\s+(\d+)\s*$""").r
   /** `VACUUM [RETAIN n HOURS]`: sweep manifests/archives no retained
     * snapshot references, keeping anything younger than the grace
     * (default 10 minutes — in-flight concurrent-writer safety). */

@@ -71,7 +71,7 @@ object MppQueries {
       // (round-4 verdict item 7) while Verify still hash-matches.
       val ord = Tables(s, dir, "orders")
       for (t <- Seq("orders_u", "orders_del", "orders_m", "orders_mf",
-          "orders_cdc", "orders_tt"))
+          "orders_cdc", "orders_tt", "orders_rs"))
         ensure(t) {
           e.createDistributedTable(t, ord.schema.toDDL, "o_orderkey", 8)
           e.insertInto(t, ord)
@@ -510,9 +510,34 @@ object MppQueries {
       .orderBy("nk")
   }
 
+  /** RESTORE TABLE … TO VERSION AS OF (rename-only state rollback —
+    * the time-travel triad's undo leg). Each pass performs real
+    * history: statement A rewrites the %13 keys to the oracle price
+    * and captures v1; statement B wrecks them; the RESTORE renames
+    * v1's files back live. The verifying aggregate reads the RESTORED
+    * table, so the row hash-checks the rollback itself. The only keys
+    * this row ever mutates are the %13 set and every pass ends at the
+    * restored oracle state — convergent like the rest of the DML
+    * family. */
+  def qMppRestore(s: SparkSession, dir: String): DataFrame = {
+    val e = sharedEngine(s, dir)
+    e.sql("UPDATE orders_rs SET o_totalprice = o_custkey * 3.5 + 0.125 " +
+      "WHERE o_orderkey % 13 = 0")
+    val v1 = e.catalog.currentVersionOnDisk
+    e.sql("UPDATE orders_rs SET o_totalprice = -9 " +
+      "WHERE o_orderkey % 13 = 0")
+    e.sql(s"RESTORE TABLE orders_rs TO VERSION AS OF $v1")
+    e.table("orders_rs")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice") / 1000000, 4).as("total_m"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_travel" -> (qMppTimeTravel _),
     "q_stream_replica" -> (qStreamReplica _),
+    "q_mpp_restore" -> (qMppRestore _),
     "q_table_changes" -> (qTableChanges _),
     "q_schema_evolution" -> (qSchemaEvolution _),
     "q_mpp_zorder" -> (qMppZorder _),
@@ -633,6 +658,12 @@ object MppQueries {
     "q_mpp_optimize" ->
       """SELECT o_orderstatus, COUNT(1) AS n,
         | ROUND(SUM(o_totalprice) / 1000000, 4) AS total_m
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mpp_restore" ->
+      """SELECT o_orderstatus, COUNT(1) AS n,
+        | ROUND(SUM(CASE WHEN o_orderkey % 13 = 0
+        |               THEN o_custkey * 3.5 + 0.125
+        |               ELSE o_totalprice END) / 1000000, 4) AS total_m
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_mpp_zorder" ->
       """SELECT o_orderpriority, COUNT(1) AS n,

@@ -214,6 +214,51 @@ class TimeTravelSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.changes.bucketPasses")
   }
 
+  test("RESTORE TABLE TO VERSION AS OF: renames the exact past state " +
+      "back live, restores schema, and is itself undoable") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rs(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("rs", spark.range(0, 60).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    val s1 = rows(e.table("rs"))
+    // Wreck the table thoroughly: update, delete, insert, compact,
+    // evolve the schema.
+    e.sql("UPDATE rs SET v = -1 WHERE k % 3 = 0")
+    e.sql("DELETE FROM rs WHERE k >= 40")
+    e.insertInto("rs", spark.range(200, 205).toDF("k")
+      .withColumn("v", lit(9.0)))
+    e.sql("OPTIMIZE rs SORT BY (v)")
+    e.sql("ALTER TABLE rs ADD COLUMN tier INT DEFAULT 5")
+    val vWrecked = e.catalog.currentVersionOnDisk
+    val sWrecked = e.table("rs").orderBy("k").collect().toSeq
+
+    e.sql(s"RESTORE TABLE rs TO VERSION AS OF $v1")
+    assert(e.table("rs").columns.toSeq == Seq("k", "v")) // schema back
+    assert(rows(e.table("rs")) == s1) // rows back, exactly
+    // Further DML works on the restored state.
+    e.sql("UPDATE rs SET v = 100 WHERE k = 1")
+    assert(rows(e.table("rs")) ==
+      s1.map { case (k, v) => (k, if (k == 1) 100.0 else v) })
+
+    // The restore was versioned: the wrecked state is still reachable
+    // AND restorable — restore is undoable.
+    e.sql(s"RESTORE TABLE rs TO VERSION AS OF $vWrecked")
+    assert(e.table("rs").columns.toSeq == Seq("k", "v", "tier"))
+    assert(e.table("rs").orderBy("k").collect().toSeq == sWrecked)
+
+    // Guards: unknown version errors clearly; kill switch respected.
+    assert(intercept[IllegalArgumentException] {
+      e.sql("RESTORE TABLE rs TO VERSION AS OF 99999")
+    }.getMessage.contains("not retained"))
+    spark.conf.set("graft.timetravel.enabled", "false")
+    try assert(intercept[IllegalArgumentException] {
+      e.restoreTable("rs", v1)
+    }.getMessage.contains("timetravel"))
+    finally spark.conf.unset("graft.timetravel.enabled")
+  }
+
   test("DESCRIBE HISTORY lists retained versions with change flags; " +
       "VACUUM statement sweeps beyond the grace") {
     val e = freshEngine()
