@@ -150,6 +150,14 @@ class TimeTravelSpec extends SparkTestBase {
     val now = MppEngine.readSql(spark,
       "SELECT round(sum(v), 1) AS s FROM ts").head().getDouble(0)
     assert(now == (25 until 50).sum.toDouble - 25.0, now)
+
+    // Temporal CTAS composes: a deep CLONE of any retained version is
+    // one statement (the dialect's CTAS source runs through the same
+    // plan rewrite).
+    e.sql("CREATE TABLE ts_clone PARTITION BY (k) WITH BUCKETS 2 AS " +
+      s"SELECT * FROM ts VERSION AS OF $v1")
+    assert(e.table("ts_clone").agg(sum("v")).head().getDouble(0) ==
+      (0 until 50).sum.toDouble)
   }
 
   test("tableChanges yields the exact net row diff between versions " +
