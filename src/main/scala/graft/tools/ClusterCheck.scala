@@ -266,6 +266,11 @@ object ClusterCheck {
       e.sql("OPTIMIZE cv ZORDER BY (k, v)")
       val after = e.table("cv").agg(sum("v"), count(lit(1))).head()
       assert(after == before, s"$after != $before")
+      // RESTORE renames the v1 state back live; executors re-scan it.
+      e.sql(s"RESTORE TABLE cv TO VERSION AS OF $v1")
+      val restoredSum = e.table("cv").agg(sum("v")).head().getDouble(0)
+      assert(math.abs(restoredSum - expPast) < 1e-6,
+        s"restore: $restoredSum != $expPast")
     }
 
     check("executor JVM killed mid-query: tasks retry on the survivor " +
