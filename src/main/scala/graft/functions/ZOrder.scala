@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, EmptyBlock, ExprCode, FalseLiteral, JavaCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
@@ -18,6 +19,17 @@ import org.apache.spark.sql.types.{DataType, LongType}
 case class InterleaveBits(children: Seq[Expression]) extends Expression {
   require(children.size >= 2 && children.size <= 4,
     s"interleave_bits takes 2-4 rank columns, got ${children.size}")
+
+  /** Ranks must be BIGINT (cast explicitly): without the check, a
+    * non-long child passes analysis and the interpreted eval path
+    * (constant folding, non-codegen contexts) throws CCE. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.zipWithIndex.collectFirst {
+      case (c, i) if c.dataType != LongType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"interleave_bits argument ${i + 1} must be BIGINT, got " +
+            c.dataType.sql)
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false

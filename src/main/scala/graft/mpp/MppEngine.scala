@@ -165,15 +165,20 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val base = StructType.fromDDL(t.schemaDdl)
     if (t.defaults.isEmpty) base
     else StructType(base.fields.map { f =>
-      t.defaults.get(f.name).filter(MppEngine.isConstantExpr(spark, _))
-        .fold(f) { d =>
-          f.copy(metadata =
-            new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putString("CURRENT_DEFAULT", d)
-              .putString("EXISTS_DEFAULT", d)
-              .build())
-        }
+      t.defaults.get(f.name).fold(f) { d =>
+        // CURRENT_DEFAULT always; EXISTS_DEFAULT only when CONSTANT
+        // (an existence default must be foldable — addColumn freezes
+        // its default to a literal for exactly this reason; create-time
+        // volatile defaults simply never exist-default-fill, which is
+        // correct: every file written since creation carries them).
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", d)
+        f.copy(metadata =
+          if (MppEngine.isConstantExpr(spark, d))
+            b.putString("EXISTS_DEFAULT", d).build()
+          else b.build())
+      }
     })
   }
 
@@ -206,6 +211,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // create_distributed_table.cpp:78-86 validation
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(BucketCol)),
       s"column name '$BucketCol' is reserved for the engine's shard id")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(ZCol)),
+      s"column name '$ZCol' is reserved for the ZORDER rank key")
     // Everything STATE-dependent — schema existence, name uniqueness,
     // oid assignment, shard placement — happens inside the mutate
     // closure: on a lost CAS race the closure re-runs against the
@@ -271,6 +278,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val field = StructType.fromDDL(s"$colName $typeDdl").fields.head
     require(!field.name.equalsIgnoreCase(BucketCol),
       s"column name '$BucketCol' is reserved for the engine's shard id")
+    require(!field.name.equalsIgnoreCase(ZCol),
+      s"column name '$ZCol' is reserved for the ZORDER rank key")
     // Freeze the default to a literal NOW: the existence default must
     // be one fixed value for all pre-existing rows (re-evaluating a
     // volatile expression per read would give history different
@@ -778,6 +787,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       zFields.foreach(f => require(zOrderable(f.dataType),
         s"OPTIMIZE ${t.name}: ZORDER BY ${f.name}: ${f.dataType.sql} " +
           "is not orderable into ranks (numeric/date/timestamp only)"))
+      // The rank key is a working column of the rewrite; a user column
+      // with its name would be silently replaced and then dropped.
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(ZCol)),
+        s"OPTIMIZE ${t.name}: column name '$ZCol' is reserved for the " +
+          "ZORDER rank key")
     }
     val rewriteAll = sortBy.nonEmpty || zFields.nonEmpty
     val conf = spark.sessionState.newHadoopConf()
@@ -798,7 +812,18 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val affected = counts.collect {
       case (b, n, _) if n > 1 || (rewriteAll && n > 0) => b
     }.toSet
-    if (affected.isEmpty) return (0, 0)
+    if (affected.isEmpty) {
+      // A full-rewrite pass over a table with NO live files still
+      // lifts the dropped-name quarantine — there is nothing left
+      // that could hold a dropped column's values, and returning
+      // early would otherwise make the quarantine permanent on an
+      // emptied table.
+      if (rewriteAll && t.droppedColumns.nonEmpty)
+        catalog.mutate(st => st.copy(tables = st.tables.map(x =>
+          if (x.tableOid == t.tableOid)
+            x.copy(droppedColumns = Vector.empty) else x)))
+      return (0, 0)
+    }
     val work =
       if (affected.size == t.buckets) readWithBucket(t)
       else readWithBucket(t)
@@ -1231,14 +1256,21 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * `tableManifests` entry at it (CAS snapshot commit), then
     * amortized-vacuum history beyond the retention window. Called at
     * the end of every data-mutating statement. */
-  private def commitManifest(t: TableInfo): Unit = {
+  private def commitManifest(t: TableInfo,
+      tableTransform: TableInfo => TableInfo = identity): Unit = {
     if (!timeTravelEnabled) return
     val files = liveLogicalFiles(t)
     val name = UUID.randomUUID().toString + ".json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(catalog.manifestDir, name),
       MppCatalog.mapper.writeValueAsBytes(files))
+    // ONE CAS commit carries both the manifest pointer and any table
+    // metadata change (RESTORE's schema rollback rides here): no
+    // retained version can ever pair new metadata with a stale file
+    // set or vice versa.
     catalog.mutate(s => s.copy(
+      tables = s.tables.map(x =>
+        if (x.tableOid == t.tableOid) tableTransform(x) else x),
       tableManifests = s.tableManifests +
         (t.tableOid.toString -> name)))
     // Amortize the sweep: every 16th commit per engine (the window is
@@ -1336,22 +1368,28 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * locations: live bucket dir first, else the archive generations
     * (file names are unique — Spark part files carry a per-job UUID —
     * so any single physical copy is THE copy). */
+  /** Logical-name → physical-path index of every ARCHIVED file of the
+    * table (all generations). Shared by time-travel resolution and
+    * RESTORE so the two can never disagree on file location. */
+  private def archiveIndex(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Map[String, String] = {
+    val arch = new Path(root, ".archive")
+    if (!fs.exists(arch)) Map.empty
+    else fs.listStatus(arch).iterator.filter(_.isDirectory)
+      .flatMap(gen => fs.listStatus(gen.getPath).iterator
+        .filter(_.isDirectory)
+        .flatMap(bd => fs.listStatus(bd.getPath).iterator.map(f =>
+          s"${bd.getPath.getName}/${f.getPath.getName}" ->
+            f.getPath.toString)))
+      .toMap
+  }
+
   private def resolveLogicalFiles(tableName: String,
       logical: Vector[String], version: Long): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(tableName))
     val fs = root.getFileSystem(conf)
-    val archIndex: Map[String, String] = {
-      val arch = new Path(root, ".archive")
-      if (!fs.exists(arch)) Map.empty
-      else fs.listStatus(arch).iterator.filter(_.isDirectory)
-        .flatMap(gen => fs.listStatus(gen.getPath).iterator
-          .filter(_.isDirectory)
-          .flatMap(bd => fs.listStatus(bd.getPath).iterator.map(f =>
-            s"${bd.getPath.getName}/${f.getPath.getName}" ->
-              f.getPath.toString)))
-        .toMap
-    }
+    val archIndex = archiveIndex(fs, root)
     logical.map { lf =>
       val live = new Path(root, lf)
       if (fs.exists(live)) live.toString
@@ -1400,22 +1438,25 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val t = info(localKey(name))
     val versions = catalog.retainedVersions
     var prevRef: Option[String] = None
+    var first = true // the window's baseline row: no predecessor to
+    // diff against, so it can never honestly claim `changed` (the
+    // version that actually changed the table may have aged out)
     val rows = versions.flatMap { v =>
       catalog.snapshotAt(v).map { snap =>
         val exists = snap.tables.exists(x =>
           x.tableOid == t.tableOid && !x.deleted)
         val ref = snap.tableManifests.get(t.tableOid.toString)
-        val files: Option[Int] =
-          if (!exists) None
-          else ref.flatMap { m =>
+        val files: Option[Int] = if (!exists) None else ref match {
+          case None => Some(0) // created, never written
+          case Some(m) =>
             val p = java.nio.file.Paths.get(catalog.manifestDir, m)
-            if (!java.nio.file.Files.exists(p)) None
+            if (!java.nio.file.Files.exists(p)) None // swept: unknown
             else Some(MppCatalog.mapper.readValue(
               java.nio.file.Files.readAllBytes(p),
               classOf[Vector[String]]).size)
-          }.orElse(Some(0))
-        val changed = exists && ref != prevRef
-        if (exists) prevRef = ref
+        }
+        val changed = exists && !first && ref != prevRef
+        if (exists) { prevRef = ref; first = false }
         val ts = new java.sql.Timestamp(catalog.versionMtime(v))
         (v, ts, exists, files, changed)
       }
@@ -1462,17 +1503,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // Missing target files rename back from their archive generation.
     val missing = target -- live
     if (missing.nonEmpty) {
-      val archIndex: Map[String, String] = {
-        val arch = new Path(root, ".archive")
-        if (!fs.exists(arch)) Map.empty
-        else fs.listStatus(arch).iterator.filter(_.isDirectory)
-          .flatMap(gen => fs.listStatus(gen.getPath).iterator
-            .filter(_.isDirectory)
-            .flatMap(bd => fs.listStatus(bd.getPath).iterator.map(f =>
-              s"${bd.getPath.getName}/${f.getPath.getName}" ->
-                f.getPath.toString)))
-          .toMap
-      }
+      val archIndex = archiveIndex(fs, root)
       missing.foreach { lf =>
         val phys = archIndex.getOrElse(lf,
           throw new IllegalStateException(
@@ -1484,18 +1515,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           s"RESTORE $name: rename failed for $lf")
       }
     }
-    // Metadata travels with the data: v's schema, defaults, and
+    // Metadata travels with the data — v's schema, defaults, and
     // dropped-name quarantine (a restore past an ADD removes the
     // column; past a DROP, the files carrying it are back and the
-    // declared schema names it again).
-    catalog.mutate(st => st.copy(tables = st.tables.map(x =>
-      if (x.tableOid == cur.tableOid)
-        x.copy(schemaDdl = tv.schemaDdl, defaults = tv.defaults,
-          droppedColumns = tv.droppedColumns) else x)))
+    // declared schema names it again) — in the SAME commit as the
+    // manifest pointer, so no retained version pairs restored
+    // metadata with the pre-restore file set.
+    commitManifest(cur, _.copy(schemaDdl = tv.schemaDdl,
+      defaults = tv.defaults, droppedColumns = tv.droppedColumns))
     graft.sources.ColocatedFileIndex.invalidate(dataPath(cur.name))
-    val restored = info(key)
-    refreshView(restored)
-    commitManifest(restored)
+    refreshView(info(key))
   }
 
   /** Row-level change feed between two retained versions — the
@@ -1542,12 +1571,47 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val toSet = filesTo.toSet
     val removed = filesFrom.filterNot(toSet) // rewritten or deleted
     val added = filesTo.filterNot(fromSet) // rewritten or inserted
+    // Before-side files are read under the FROM version's DECLARED
+    // schema, then conformed to the TO schema by expression — never by
+    // parquet name resolution. The distinction matters once a column
+    // name is dropped and (post-OPTIMIZE) re-added: from-side archived
+    // files can still physically store the old generation's values,
+    // which name-based resolution would resurrect into spurious
+    // retract/add pairs. Columns added since fromVersion conform to
+    // the TO read semantics of a file predating them (exist-default,
+    // else NULL) so carried rows cancel exactly; since-dropped columns
+    // project away.
+    val tFrom = snapFrom.tables
+      .find(x => x.tableOid == tTo.tableOid && !x.deleted)
+    def readBefore(rem: Vector[String]): DataFrame = tFrom match {
+      case None => readSnapshotFiles(schema, Nil)
+      case Some(tf) =>
+        val raw = readSnapshotFiles(userSchema(tf),
+          resolveLogicalFiles(name, rem, fromVersion))
+        val fromCols = StructType.fromDDL(tf.schemaDdl)
+          .fieldNames.map(_.toLowerCase).toSet
+        raw.select(schema.fields.map { f =>
+          if (fromCols(f.name.toLowerCase)) col(f.name)
+          else tTo.defaults.get(f.name)
+            .filter(MppEngine.isConstantExpr(spark, _))
+            .map(d => expr(d).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
+        }: _*)
+    }
     def diff(rem: Vector[String], add: Vector[String]): DataFrame = {
-      val before = readSnapshotFiles(schema,
-        resolveLogicalFiles(name, rem, fromVersion))
-      val after = readSnapshotFiles(schema,
+      lazy val after = readSnapshotFiles(schema,
         resolveLogicalFiles(name, add, toVersion))
-      after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      lazy val before = readBefore(rem)
+      // One-sided intervals need no set-op at all: pure inserts (incl.
+      // the bootstrap first-consumption read) or pure deletes stream
+      // through without the 2×-volume exceptAll exchange — on a 100 TB
+      // bootstrap that exchange is the difference between a scan and a
+      // cluster-wide shuffle.
+      if (rem.isEmpty) after.withColumn("_change_type", lit("insert"))
+      else if (add.isEmpty)
+        before.withColumn("_change_type", lit("delete"))
+      else after.exceptAll(before)
+        .withColumn("_change_type", lit("insert"))
         .unionAll(
           before.exceptAll(after).withColumn("_change_type", lit("delete")))
     }

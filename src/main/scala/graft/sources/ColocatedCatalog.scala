@@ -258,18 +258,21 @@ final class ColocatedTable(spark: SparkSession, t: TableInfo, root: String,
     val base = StructType.fromDDL(t.schemaDdl)
     if (t.defaults.isEmpty) base
     else StructType(base.fields.map { f =>
-      // Constant defaults only — same filter as the engine path
-      // (MppEngine.userSchema): an EXISTS_DEFAULT must be foldable,
-      // and a volatile CURRENT_DEFAULT would freeze differently here
-      // than at insert time.
-      t.defaults.get(f.name)
-        .filter(MppEngine.isConstantExpr(spark, _)) match {
+      t.defaults.get(f.name) match {
         case Some(d) =>
-          val md = new org.apache.spark.sql.types.MetadataBuilder()
+          // CURRENT_DEFAULT always (catalog-path INSERTs must resolve
+          // DEFAULT to the engine's expression — dropping it here
+          // would silently write NULL where the engine path writes the
+          // declared value); EXISTS_DEFAULT only when CONSTANT — an
+          // existence default must be foldable, and only constants can
+          // have one fixed value for all pre-existing rows.
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
             .putString("CURRENT_DEFAULT", d)
-            .putString("EXISTS_DEFAULT", d)
-            .build()
+          val md =
+            if (MppEngine.isConstantExpr(spark, d))
+              b.putString("EXISTS_DEFAULT", d).build()
+            else b.build()
           f.copy(metadata = md)
         case None => f
       }

@@ -112,5 +112,14 @@ class ZOrderSpec extends SparkTestBase {
     assert(intercept[IllegalArgumentException] {
       e.sql("OPTIMIZE zg ZORDER BY (x, nope)")
     }.getMessage.contains("no such ZORDER BY column"))
+    // The rank key's working-column name is reserved end to end: a
+    // user column with it would be silently replaced then dropped.
+    assert(intercept[IllegalArgumentException] {
+      e.sql("CREATE TABLE zres(k BIGINT, __graft_z BIGINT) " +
+        "PARTITION BY (k) WITH BUCKETS 2")
+    }.getMessage.contains("reserved"))
+    assert(intercept[IllegalArgumentException] {
+      e.sql("ALTER TABLE zg ADD COLUMN __graft_z BIGINT")
+    }.getMessage.contains("reserved"))
   }
 }

@@ -82,6 +82,44 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(e.table("dv").filter(col("tag").isNotNull).count() == 0L)
   }
 
+  test("change feed across a drop + re-add cycle does NOT resurrect " +
+      "stale stored values (before side reads under ITS schema)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rr(k BIGINT, v DOUBLE, tag STRING) " +
+      "PARTITION BY (k) WITH BUCKETS 2")
+    e.insertInto("rr", spark.range(0, 12).toDF("k")
+      .withColumn("v", col("k") * 1.0)
+      .withColumn("tag", concat(lit("old"), col("k"))))
+    e.sql("ALTER TABLE rr DROP COLUMN tag")
+    // From-version: declared schema has no tag, but the live files
+    // still physically store the old generation's values. The update
+    // must CHANGE a value — value-identical statements skip the
+    // rewrite and the manifest commit.
+    e.sql("UPDATE rr SET v = -5 WHERE k = 0")
+    val vFrom = e.catalog.currentVersionOnDisk
+    e.sql("OPTIMIZE rr SORT BY (k)") // purges values, lifts quarantine
+    e.sql("ALTER TABLE rr ADD COLUMN tag STRING")
+    val vTo = e.catalog.currentVersionOnDisk
+    // Nothing row-level changed in the interval: the feed must be
+    // EMPTY — name-based resolution of the before-side files would
+    // instead resurrect tag='old<k>' into spurious retract/add pairs.
+    assert(e.tableChanges("rr", vFrom, vTo).count() == 0L)
+  }
+
+  test("a full-rewrite OPTIMIZE on an EMPTIED table still lifts the " +
+      "dropped-name quarantine") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE qe(k BIGINT, v DOUBLE, tag STRING) " +
+      "PARTITION BY (k) WITH BUCKETS 2")
+    e.insertInto("qe", spark.range(0, 5).toDF("k")
+      .withColumn("v", col("k") * 1.0).withColumn("tag", lit("x")))
+    e.sql("ALTER TABLE qe DROP COLUMN tag")
+    e.sql("DELETE FROM qe") // truncate: no live file holds tag values
+    e.sql("OPTIMIZE qe SORT BY (k)") // nothing to rewrite...
+    e.sql("ALTER TABLE qe ADD COLUMN tag STRING") // ...but re-ADD works
+    assert(e.table("qe").columns.contains("tag"))
+  }
+
   test("guards: partition column undropppable, NOT NULL add rejected, " +
       "unknown/duplicate columns rejected, other ALTER forms keep " +
       "reference error parity") {

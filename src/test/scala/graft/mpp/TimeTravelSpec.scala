@@ -202,6 +202,12 @@ class TimeTravelSpec extends SparkTestBase {
     val created = e.tableChanges("tc2", v1, v3)
     assert(created.filter(col("_change_type") === "insert").count() == 7L)
     assert(created.count() == 7L)
+    // Pure-insert intervals (bootstrap first consumption included)
+    // must plan WITHOUT the exceptAll set-op: at 100 TB that exchange
+    // is 2× the snapshot in shuffle scratch for a diff against an
+    // empty side.
+    assert(!created.queryExecution.optimizedPlan.toString
+      .contains("Except"), "bootstrap interval planned an Except")
 
     // OPTIMIZE rewrites files but changes no rows: empty feed.
     e.sql("OPTIMIZE tc SORT BY (v)")

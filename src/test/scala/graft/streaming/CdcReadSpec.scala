@@ -38,7 +38,7 @@ class CdcReadSpec extends SparkTestBase {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain in 120 s")
     buf.synchronized(buf.toSeq)
   }
 
@@ -107,7 +107,7 @@ class CdcReadSpec extends SparkTestBase {
     def sync(): Unit = {
       val q = CdcRead.replicaPipeline(spark, src.warehouse, "rt",
         dst, "rt_rep", "k", ckpt, Trigger.AvailableNow())
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "sync did not drain in 120 s")
       ()
     }
     def state(e: MppEngine, t: String) =
@@ -134,7 +134,7 @@ class CdcReadSpec extends SparkTestBase {
     val ckpt2 = Files.createTempDirectory("graft-cdcread-ckpt").toString
     val q2 = CdcRead.replicaPipeline(spark, src.warehouse, "rt",
       dst, "rt_rep", "k", ckpt2, Trigger.AvailableNow())
-    q2.awaitTermination(120000)
+    assert(q2.awaitTermination(120000), "re-apply did not drain")
     assert(state(dst, "rt_rep") == state(src, "rt"))
   }
 }
