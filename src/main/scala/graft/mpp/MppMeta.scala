@@ -65,3 +65,15 @@ final case class CatalogState(
 
   def nextOid: Long = tables.map(_.tableOid).maxOption.getOrElse(0L) + 1L
 }
+
+/** Outcome of a time-travel VACUUM — the operator's capacity answer:
+  * how much history storage was reclaimed, how much remains pinned by
+  * the retained snapshot window. Returned by the API and as the
+  * `VACUUM` statement's result row. */
+final case class VacuumStats(
+    manifestsDeleted: Long,
+    filesDeleted: Long,
+    bytesReclaimed: Long,
+    archiveFilesRetained: Long,
+    archiveBytesRetained: Long,
+    wallMs: Long)

@@ -128,10 +128,18 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
     val endV = version(end)
     val batch = start.map(version).orElse(startingVersion) match {
       case Some(CdcSource.Earliest) =>
-        // Oldest RETAINED version (the Delta-CDF `earliest` contract) —
-        // resolved per batch plan so it stays valid as vacuum advances.
-        engine.tableChanges(table,
-          engine.catalog.retainedVersions.headOption.getOrElse(endV), endV)
+        // TRUE bootstrap (r11 advisor, medium): `earliest` means "from
+        // nothing", not "from the oldest retained version" — once a
+        // table's creation ages out of the snapshot window the oldest
+        // retained manifest already HOLDS data, and diffing from it
+        // would silently omit every row unchanged since (a partial
+        // replica with no error). The net feed from empty to endV is
+        // exactly endV's full state as inserts — and it is a pure
+        // snapshot SCAN, never a diff exchange: at 100 TB the replica
+        // bootstrap costs one table read, same as the one-sided
+        // fast path inside tableChanges.
+        engine.tableAsOf(table, endV)
+          .withColumn("_change_type", lit("insert"))
       case Some(fromV) => engine.tableChanges(table, fromV, endV)
       case None => // `latest`: begin at stream start, empty first batch
         engine.tableChanges(table, endV, endV)

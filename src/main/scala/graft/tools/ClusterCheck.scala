@@ -273,6 +273,69 @@ object ClusterCheck {
         s"restore: $restoredSum != $expPast")
     }
 
+    check("concurrent writers race CAS commits on ONE warehouse: " +
+        "every commit linearizes, no version or row is lost") {
+      // Round-11 verdict item 5: the rebase-retry path
+      // (MppCatalog.mutate → tryPublish CAS loop) under real
+      // contention. Two ENGINE INSTANCES share a warehouse; a serial
+      // alternation first (each engine's in-memory CAS base is stale
+      // after the other commits, so EVERY second commit deterministically
+      // exercises refresh-rebase-retry), then a concurrent phase where
+      // two driver threads race inserts whose data jobs run on the
+      // two executor JVMs.
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cluster-check").toString
+      val e1 = new graft.mpp.MppEngine(spark, wh)
+      e1.sql("CREATE TABLE cw(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 4")
+      // Second engine attaches AFTER the table exists (engines load
+      // the published catalog at construction; mid-flight DDL from a
+      // peer is only ever picked up through the commit-rebase path).
+      val e2 = new graft.mpp.MppEngine(spark, wh)
+      // Serial alternation: e2's catalog has not seen e1's commit and
+      // vice versa — deterministic rebase on every statement.
+      (0 until 3).foreach { i =>
+        e1.insertInto("cw", spark.range(i * 1000, i * 1000 + 500)
+          .toDF("k").withColumn("v", col("k") * 1.0))
+        e2.insertInto("cw", spark.range(i * 1000 + 500, (i + 1) * 1000)
+          .toDF("k").withColumn("v", col("k") * 1.0))
+      }
+      val rebasesSerial =
+        e1.catalog.casRebases.get() + e2.catalog.casRebases.get()
+      assert(rebasesSerial > 0,
+        "serial alternation never exercised the rebase-retry path")
+      // Concurrent phase: two threads race disjoint-key inserts.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future((0 until 4).foreach(i =>
+        e1.insertInto("cw", spark.range(10000 + i * 100,
+          10000 + i * 100 + 100).toDF("k")
+          .withColumn("v", lit(1.0)))))
+      val fb = Future((0 until 4).foreach(i =>
+        e2.insertInto("cw", spark.range(20000 + i * 100,
+          20000 + i * 100 + 100).toDF("k")
+          .withColumn("v", lit(2.0)))))
+      Await.result(fa.zip(fb),
+        scala.concurrent.duration.Duration(300, "s"))
+      // A THIRD engine (fresh in-memory state, reads only what the
+      // published chain says) sees every row from both writers: no
+      // commit was silently overwritten.
+      val e3 = new graft.mpp.MppEngine(spark, wh)
+      val got = e3.table("cw")
+        .agg(count(lit(1)),
+          sum(when(col("k") >= 10000 && col("k") < 20000, 1).otherwise(0)),
+          sum(when(col("k") >= 20000, 1).otherwise(0))).head()
+      assert(got.getLong(0) == 3000L + 800L, got.toString)
+      assert(got.getLong(1) == 400L && got.getLong(2) == 400L,
+        got.toString)
+      // And the retained version chain is strictly monotone with no
+      // duplicate version numbers (linearized history).
+      val vs = e3.catalog.retainedVersions
+      assert(vs == vs.distinct.sorted, s"non-linear history: $vs")
+      println(s"[cluster-check]   cas rebases: serial=$rebasesSerial " +
+        s"total=${e1.catalog.casRebases.get() + e2.catalog.casRebases.get()}")
+    }
+
     check("executor JVM killed mid-query: tasks retry on the survivor " +
         "and the result is exact") {
       def q: DataFrame = spark.range(0, 40000000L, 1, 96)

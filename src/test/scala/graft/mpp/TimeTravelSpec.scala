@@ -160,6 +160,78 @@ class TimeTravelSpec extends SparkTestBase {
       (0 until 50).sum.toDouble)
   }
 
+  test("TIMESTAMP AS OF string literals resolve under the SESSION " +
+      "time zone, not the JVM default") {
+    // r11 advisor: java.sql.Timestamp.valueOf parses in the JVM
+    // default zone; when spark.sql.session.timeZone differs the
+    // clause silently resolved to the wrong catalog version. Pin:
+    // express the between-commits instant as a Tokyo wall clock and
+    // resolve it under session tz Asia/Tokyo — a JVM-default (UTC)
+    // parse would read it 9 h in the future and see the post-update
+    // state.
+    val e = freshEngine()
+    e.sql("CREATE TABLE tz(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("tz", spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    Thread.sleep(1100)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    e.sql("UPDATE tz SET v = 0 WHERE k >= 0")
+    val tokyoWallClock = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(betweenMs),
+      java.time.ZoneId.of("Asia/Tokyo"))
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val got = MppEngine.readSql(spark,
+        s"SELECT round(sum(v), 1) AS s FROM tz TIMESTAMP AS OF " +
+          s"'$tokyoWallClock'").head().getDouble(0)
+      assert(got == (0 until 10).sum.toDouble,
+        s"session-zone resolution saw the wrong version: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
+
+  test("TIMESTAMP AS OF mtime contract: version order always wins; a " +
+      "perturbed snapshot mtime only narrows timestamp reachability") {
+    // Resolution trusts snapshot-file mtimes (the publish instant).
+    // Copying a warehouse without preserving mtimes (cp without -p)
+    // degrades TIMESTAMP resolution but can never reorder versions:
+    // versionAtTimestamp filters by mtime and then takes the NEWEST
+    // version, so a stale version with a bumped mtime is skipped for
+    // past instants and shadowed by newer versions for current ones.
+    val e = freshEngine()
+    e.sql("CREATE TABLE mt(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("mt", spark.range(0, 5).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val vOld = e.catalog.currentVersionOnDisk
+    Thread.sleep(1100)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(1100)
+    e.sql("UPDATE mt SET v = -1 WHERE k >= 0")
+    val vNew = e.catalog.currentVersionOnDisk
+    assert(e.catalog.versionAtTimestamp(betweenMs).contains(vOld))
+    // Simulate an mtime-losing copy: the OLD snapshot's mtime jumps
+    // to now (newer than vNew's publish instant).
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(e.warehouse, "_mpp_catalog",
+        f"v$vOld%05d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 60000))
+    // Past instants no longer reach vOld (its claimed publish time
+    // moved) — they resolve to an older version or none at all…
+    assert(!e.catalog.versionAtTimestamp(betweenMs).contains(vOld))
+    // …and CURRENT instants still resolve to the newest version:
+    // version order wins over the perturbed mtime, history is never
+    // reordered.
+    assert(e.catalog.versionAtTimestamp(
+      System.currentTimeMillis() + 120000).contains(
+        e.catalog.retainedVersions.last))
+  }
+
   test("tableChanges yields the exact net row diff between versions " +
       "(insert / update retract-add / delete / created-in-interval)") {
     val e = freshEngine()
@@ -292,11 +364,52 @@ class TimeTravelSpec extends SparkTestBase {
     assert(changed.size == 2 && changed.forall(_ > vCreate), changed)
     assert(h.last.getAs[Boolean]("table_exists"))
     assert(h.last.getAs[Int]("data_files") > 0)
-    // The statement form of the vacuum runs (zero-grace sweep) and
-    // retained versions survive it.
+    // data_bytes (round-12): every retained version whose files are
+    // still present reports its pinned storage; bytes grow with the
+    // file count and are never negative.
+    assert(h.last.getAs[Long]("data_bytes") > 0L)
+    // The statement form of the vacuum runs (zero-grace sweep),
+    // returns the reclaim accounting, and retained versions survive.
     val latest = e.catalog.currentVersionOnDisk
-    e.sql("VACUUM RETAIN 0 HOURS")
+    val vr = e.sql("VACUUM RETAIN 0 HOURS").collect()(0)
+    assert(vr.getAs[Long]("bytes_reclaimed") >= 0L)
     assert(e.tableAsOf("dh", latest).count() == 10L)
+  }
+
+  test("VACUUM respects retention under churn: every retained version " +
+      "stays readable, swept versions reclaim real bytes") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE ch(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("ch", spark.range(0, 20).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    // Churn far past the retention window so archives accumulate
+    // across MANY swept generations (each update rewrites a bucket).
+    // Values offset by 1000 so no statement is value-identical — the
+    // convergent-DML match-prune SKIPS those entirely, including the
+    // manifest commit (the pinned probe lesson).
+    (1 to MppCatalog.RetainSnapshots + 8).foreach(i =>
+      e.sql(s"UPDATE ch SET v = ${i + 1000} WHERE k = ${i % 20}"))
+    val retained = e.catalog.retainedVersions
+    assert(retained.size == MppCatalog.RetainSnapshots)
+    val stats = e.vacuumTimeTravel(graceMs = 0L)
+    // Real bytes came back from the swept generations…
+    assert(stats.filesDeleted > 0L && stats.bytesReclaimed > 0L, stats)
+    // …while something archived stays pinned by the window…
+    assert(stats.archiveBytesRetained > 0L, stats)
+    // …and EVERY retained version still reconstructs exactly.
+    retained.foreach { v =>
+      assert(e.tableAsOf("ch", v).count() == 20L, s"version $v")
+    }
+    // Beyond the window: the retention error, never a wrong answer.
+    assert(intercept[IllegalArgumentException] {
+      e.tableAsOf("ch", retained.head - 1)
+    }.getMessage.contains("not retained"))
+    // The history's bytes column answers the capacity question for
+    // every retained version post-vacuum.
+    val hist = e.describeHistory("ch").collect()
+    assert(hist.forall(r => !r.isNullAt(r.fieldIndex("data_bytes")) &&
+      r.getAs[Long]("data_bytes") > 0L))
   }
 
   test("graft.timetravel.enabled=false restores delete-on-swap " +

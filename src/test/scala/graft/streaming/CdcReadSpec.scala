@@ -76,6 +76,37 @@ class CdcReadSpec extends SparkTestBase {
     assert(changes == want, s"got $changes")
   }
 
+  test("earliest bootstraps the FULL state even when the table's " +
+      "creation has aged out of the retention window") {
+    // r11 advisor (medium): `earliest` used to diff from the oldest
+    // RETAINED version; once history ages past the snapshot window
+    // that version's manifest already holds data, and rows unchanged
+    // since then were silently never emitted — a partial replica.
+    val e = freshEngine()
+    e.sql("CREATE TABLE tr(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("tr", spark.range(0, 50).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    // Push the creation + initial insert out of the retention window
+    // (20 snapshots) with single-key updates: each rewrites ONE
+    // bucket, so a from-oldest-retained diff would only ever see that
+    // bucket's rows — the silent-partial trap this test pins.
+    (1 to 25).foreach(i =>
+      e.sql(s"UPDATE tr SET v = ${i * 1000} WHERE k = 1"))
+    assert(!e.catalog.retainedVersions.contains(2L),
+      "precondition: history must be truncated past the initial insert")
+    val ckpt = Files.createTempDirectory("graft-cdcread-ckpt").toString
+    val first = runOnce(e.warehouse, "tr", ckpt, Some("earliest"))
+    assert(first.length == 50 && first.forall(_._1 == "insert"),
+      s"full-state bootstrap expected 50 inserts, got ${first.length}")
+    assert(first.find(_._2 == 1L).exists(_._3 == 25000.0))
+    // And the stream continues incrementally from the bootstrap cutoff.
+    e.sql("DELETE FROM tr WHERE k = 2")
+    val next = runOnce(e.warehouse, "tr", ckpt, Some("earliest"))
+    assert(next.map(r => (r._1, r._2)) == Seq(("delete", 2L)),
+      s"got $next")
+  }
+
   test("startingVersion=latest consumes only post-start changes") {
     val e = freshEngine()
     e.sql("CREATE TABLE cl(k BIGINT, v DOUBLE) PARTITION BY (k) " +
