@@ -592,7 +592,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       }
     }
     val obs = Observation()
-    enforceNotNull(t, df.select(aligned: _*))
+    val shaped = enforceNotNull(t, df.select(aligned: _*))
       .withColumn(BucketCol,
         pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
       .observe(obs, count(lit(1)).as("n"))
@@ -601,12 +601,61 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // groups bounded for later intra-bucket scan parallelism (see
       // stageAndSwap's rationale).
       .repartition(t.buckets, bucketRouting((0 until t.buckets).toSet))
-      .write.mode(SaveMode.Append)
-      .option("parquet.block.size",
-        spark.conf.get("graft.cow.rowGroupBytes",
-          (32L * 1024 * 1024).toString))
-      .partitionBy(BucketCol)
-      .parquet(dataPath(t.name))
+    // Write to a LEASED per-statement staging dir, then MOVE each file
+    // into its live bucket dir — renames only, file names are
+    // job-unique. A SaveMode.Append straight at the table root shares
+    // Hadoop's hardcoded `_temporary` pending dir across concurrent
+    // jobs in one application: a peer INSERT's job cleanup deletes
+    // this job's in-flight task outputs (observed as task-retry storms
+    // in ClusterCheck's concurrent-writer case) and the shared
+    // committer state has silent-loss corners. Per-statement staging
+    // removes the shared state entirely; two engines' INSERTs now
+    // interleave without touching each other's files. A crash
+    // mid-move leaves a partial append visible — the reference's own
+    // non-transactional data guarantee (README.md:115); with time
+    // travel on the partial is absent from every committed manifest,
+    // so `RESTORE TABLE t TO VERSION AS OF <current>` sweeps it.
+    val dataRoot = new Path(dataPath(t.name))
+    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val stagingName = "ins-" + UUID.randomUUID().toString
+    val staging = s"$warehouse/.staging/$stagingName"
+    val lease = new Path(s"$warehouse/.staging/$stagingName.lease")
+    fs.mkdirs(new Path(s"$warehouse/.staging"))
+    fs.create(lease, true).close()
+    val heartbeat = new Thread(() => {
+      try while (true) { Thread.sleep(60000); fs.create(lease, true).close() }
+      catch { case _: InterruptedException => }
+    }, s"graft-insert-lease-$stagingName")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try {
+      shaped.write.mode(SaveMode.Overwrite)
+        .option("parquet.block.size",
+          spark.conf.get("graft.cow.rowGroupBytes",
+            (32L * 1024 * 1024).toString))
+        .partitionBy(BucketCol)
+        .parquet(staging)
+      val stgPath = new Path(staging)
+      if (fs.exists(stgPath)) {
+        val bucketDirs = fs.listStatus(stgPath).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+        import scala.jdk.CollectionConverters._
+        bucketDirs.toSeq.asJava.parallelStream().forEach { bd =>
+          val dst = new Path(dataRoot, bd.getPath.getName)
+          fs.mkdirs(dst) // idempotent under concurrent writers
+          fs.listStatus(bd.getPath).foreach { f =>
+            if (f.isFile &&
+                !fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
+              throw new IllegalStateException(
+                s"INSERT ${t.name}: rename ${f.getPath} -> $dst failed")
+          }
+        }
+      }
+    } finally {
+      heartbeat.interrupt()
+      fs.delete(new Path(staging), true)
+      fs.delete(lease, false)
+    }
     refreshView(t)
     commitManifest(t)
     observedLong(obs)
@@ -1634,7 +1683,22 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * state as inserts — the same "first consumption loads everything"
     * contract Delta CDF gives from version 0. */
   def tableChanges(name: String, fromVersion: Long,
-      toVersion: Long): DataFrame = {
+      toVersion: Long): DataFrame =
+    tableChanges(name, fromVersion, toVersion, boundScratch = true)
+
+  /** As [[tableChanges]]; `boundScratch = false` forces the LAZY
+    * single-plan diff even when `graft.changes.bucketPasses` is set —
+    * the multi-pass variant materializes its passes EAGERLY (each
+    * `localCheckpoint` is a job at construction time), which is the
+    * point (sequentially freed scratch) when the result will be
+    * consumed, and pure waste when it will not: Spark's V1 streaming
+    * recovery re-constructs the last committed batch's DataFrame on
+    * restart without ever executing it, and paying the full diff
+    * there re-charges the last interval's rewrite volume on every
+    * stream restart (measured: a 62 s quiet resume after a
+    * full-rewrite day at 150M rows). */
+  def tableChanges(name: String, fromVersion: Long,
+      toVersion: Long, boundScratch: Boolean): DataFrame = {
     require(fromVersion <= toVersion,
       s"tableChanges: fromVersion $fromVersion > toVersion $toVersion")
     val snapTo = snapshotOrFail(toVersion)
@@ -1716,7 +1780,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // content, so no row's before/after copies can cancel across
     // bucket boundaries — every cancellation the global exceptAll
     // performs happens inside one bucket, hence inside one pass.
-    val passes = spark.conf.get("graft.changes.bucketPasses", "1").toInt
+    val passes =
+      if (!boundScratch) 1
+      else spark.conf.get("graft.changes.bucketPasses", "1").toInt
     if (passes <= 1 || removed.isEmpty || added.isEmpty)
       diff(removed.toVector, added.toVector)
     else {

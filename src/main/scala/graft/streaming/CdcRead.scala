@@ -84,6 +84,19 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
     * contract). */
   @volatile private var frozenVersion: Option[Long] = None
 
+  /** True once this run has polled offsets. MicroBatchExecution's
+    * restart recovery calls `getBatch` for the LAST COMMITTED batch
+    * (to let sources restore state) BEFORE the first offset poll, and
+    * never executes the returned frame — so a getBatch arriving
+    * before any poll is the recovery call and gets the LAZY diff
+    * variant (`boundScratch = false`): the eager multi-pass
+    * materialization would re-pay the whole interval's diff on every
+    * restart for a frame that is thrown away. If a Spark version ever
+    * reorders the calls, the fallback is benign both ways: a lazy
+    * frame is row-identical (only the scratch bound is lost for that
+    * one batch), an eager one merely costs time. */
+  @volatile private var offsetPolled = false
+
   override def prepareForTriggerAvailableNow(): Unit =
     frozenVersion = Some(engine.catalog.currentVersionOnDisk)
 
@@ -97,8 +110,10 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : org.apache.spark.sql.connector.read.streaming.Offset =
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    offsetPolled = true
     LongOffset(latestVersion)
+  }
 
   override def reportLatestOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset =
@@ -116,7 +131,10 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
     * protocol's invariant). A version bump that did not touch THIS
     * table yields an empty diff — correct and cheap (same manifest
     * ref on both sides, zero files read). */
-  override def getOffset: Option[Offset] = Some(LongOffset(latestVersion))
+  override def getOffset: Option[Offset] = {
+    offsetPolled = true
+    Some(LongOffset(latestVersion))
+  }
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -126,6 +144,7 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
+    val recovery = !offsetPolled // see offsetPolled above
     val batch = start.map(version).orElse(startingVersion) match {
       case Some(CdcSource.Earliest) =>
         // TRUE bootstrap (r11 advisor, medium): `earliest` means "from
@@ -140,7 +159,8 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
         // fast path inside tableChanges.
         engine.tableAsOf(table, endV)
           .withColumn("_change_type", lit("insert"))
-      case Some(fromV) => engine.tableChanges(table, fromV, endV)
+      case Some(fromV) =>
+        engine.tableChanges(table, fromV, endV, boundScratch = !recovery)
       case None => // `latest`: begin at stream start, empty first batch
         engine.tableChanges(table, endV, endV)
     }

@@ -305,6 +305,19 @@ object ClusterCheck {
       assert(rebasesSerial > 0,
         "serial alternation never exercised the rebase-retry path")
       // Concurrent phase: two threads race disjoint-key inserts.
+      // Per-statement staged INSERTs share no committer state, so the
+      // race must be CLEAN — zero task failures (a SaveMode.Append at
+      // the table root shared Hadoop's `_temporary` and produced
+      // task-retry storms here before round 12).
+      val taskFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val failListener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (ev.reason != org.apache.spark.Success) {
+            taskFailures.incrementAndGet(); ()
+          }
+      }
+      sc.addSparkListener(failListener)
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val fa = Future((0 until 4).foreach(i =>
@@ -317,6 +330,10 @@ object ClusterCheck {
           .withColumn("v", lit(2.0)))))
       Await.result(fa.zip(fb),
         scala.concurrent.duration.Duration(300, "s"))
+      Thread.sleep(2000) // listener bus drain
+      sc.removeSparkListener(failListener)
+      assert(taskFailures.get() == 0,
+        s"concurrent INSERTs caused ${taskFailures.get()} task failures")
       // A THIRD engine (fresh in-memory state, reads only what the
       // published chain says) sees every row from both writers: no
       // commit was silently overwritten.

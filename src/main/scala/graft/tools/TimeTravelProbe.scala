@@ -57,6 +57,9 @@ object TimeTravelProbe {
     def report(k: String, v: String): Unit = println(s"[tt-probe] $k: $v")
 
     // ---- phase 1: the big table, archiving ON (the default) ----------
+    // GRAFT_TT_PHASE2_ONLY=1 skips it (phase 2 reruns don't need to
+    // re-churn the 500M mirror).
+    if (sys.env.get("GRAFT_TT_PHASE2_ONLY").isEmpty) {
     require(e.catalog.state.liveTable(table).isDefined, s"no table $table")
     report("free_disk_gb",
       f"${new java.io.File("/tmp").getUsableSpace / 1e9}%.1f")
@@ -146,6 +149,7 @@ object TimeTravelProbe {
         f"${sec(t0)}%.1f s, reclaimed ${gb(st.bytesReclaimed)}, $st")
       report("archive_bytes_after_reclaim", gb(archiveBytes(table)))
     }
+    } // end phase 1
 
     // ---- phase 2 (optional): churn + VACUUM on a high-bucket table ---
     if (args.length > 6) {
@@ -168,6 +172,21 @@ object TimeTravelProbe {
       def narrow(i: Int): Unit =
         e.sql(s"UPDATE $churnTable SET $valCol = $valCol + 1 " +
           s"WHERE $keyCol = ${500 + i}")
+      // Alternating same-JVM A/B: the archiving cost (one rename per
+      // replaced bucket dir + the manifest commit) priced against the
+      // IDENTICAL broad statement with archiving off — steady-state
+      // both sides, so JIT/page-cache warming cancels instead of
+      // masquerading as archive cost (phase 1's sequential on-then-off
+      // pair cannot separate the two).
+      (1 to 6).foreach { i =>
+        val on = i % 2 == 0
+        if (!on) spark.conf.set("graft.timetravel.enabled", "false")
+        val t0 = now()
+        broad(10 + i)
+        report(f"ab_broad_${if (on) "tt_on" else "tt_off"}%s_$i",
+          f"${sec(t0)}%.1f s")
+        if (!on) spark.conf.unset("graft.timetravel.enabled")
+      }
       (1 to 2).foreach(broad)
       (1 to graft.mpp.MppCatalog.RetainSnapshots + 2).foreach(narrow)
       report("churn_archive_bytes", gb(archiveBytes(churnTable)))

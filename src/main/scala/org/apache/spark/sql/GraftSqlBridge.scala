@@ -25,13 +25,26 @@ object GraftSqlBridge {
   /** Re-tag a computed batch DataFrame as a STREAMING batch: V1
     * streaming `Source.getBatch` results must carry
     * `isStreaming=true`, which only `LogicalRDD` (private[sql]
-    * surface) can assert for an arbitrary computed plan. The RDD is
-    * lazy — nothing executes until the sink runs the micro-batch. The
-    * same idiom Delta's DeltaSource uses for its file-action batches. */
+    * surface) can assert for an arbitrary computed plan. The same
+    * idiom Delta's DeltaSource uses for its file-action batches.
+    *
+    * The batch is planned with AQE OFF (round 12): `toRdd` on an
+    * ADAPTIVE plan materializes every intermediate query stage
+    * eagerly — real Spark jobs at plan-construction time, charged to
+    * every `getBatch`, including the restart-recovery call whose
+    * frame MicroBatchExecution constructs and then discards (measured:
+    * a 60-100 s quiet stream resume after a full-rewrite interval at
+    * 150M rows, all of it inside `toRdd`). The classic planner
+    * returns a fully LAZY RDD DAG — nothing executes until the sink
+    * runs the micro-batch — and inside a streaming batch AQE is
+    * disabled by Spark anyway, so execution quality is unchanged. */
   def streamingBatch(spark: SparkSession, df: DataFrame): DataFrame =
     spark match {
       case c: classic.SparkSession =>
-        val qe = df.queryExecution
+        val planner = c.cloneSession()
+        planner.conf.set("spark.sql.adaptive.enabled", "false")
+        val qe = classic.Dataset.ofRows(planner,
+          df.queryExecution.logical).queryExecution
         classic.Dataset.ofRows(c, execution.LogicalRDD(
           qe.analyzed.output, qe.toRdd, isStreaming = true)(c))
       case other => throw new IllegalStateException(

@@ -176,7 +176,12 @@ class MppWritePathSpec extends SparkTestBase {
       override def onSuccess(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution,
           durationNs: Long): Unit = {
-        if (qe.executedPlan.toString.contains(".staging/"))
+        // INSERT staging writes (`.staging/ins-…`, round 12) are
+        // excluded: hash PLACEMENT is an insert's job — its bucket
+        // routing exchange is W1's "hash shuffle write" by design.
+        // The narrow claim is about the COW rewrite family.
+        val s = qe.executedPlan.toString
+        if (s.contains(".staging/") && !s.contains(".staging/ins-"))
           plans.add(qe.executedPlan)
         ()
       }
