@@ -57,6 +57,13 @@ trait CatalogIo {
   /** File names directly under `dir` (empty when `dir` is missing). */
   def listNames(dir: String): Seq[String]
 
+  /** (name, mtimeMs) pairs directly under `dir` — ONE listing call on
+    * stores whose directory listing already carries modification
+    * times (HDFS listStatus); callers that need per-entry mtimes must
+    * use this, never listNames + mtimeMs per entry (K metadata RPCs
+    * where one suffices). */
+  def listWithMtime(dir: String): Seq[(String, Long)]
+
   /** Modification time in epoch millis; 0 when missing. */
   def mtimeMs(path: String): Long
 }
@@ -79,7 +86,10 @@ final class LocalCatalogIo extends CatalogIo {
     try { Files.createFile(p(path)); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
   override def atomicPublish(dst: String, bytes: Array[Byte]): Unit = {
-    val tmp = p(dst + ".tmp")
+    // UUID-suffixed temp name: two engines publishing in the fence's
+    // residual race window must never share a temp file (a fixed
+    // sibling name turns the race into an overwrite + NoSuchFile).
+    val tmp = p(dst + ".tmp-" + java.util.UUID.randomUUID())
     Files.write(tmp, bytes)
     Files.move(tmp, p(dst), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -95,6 +105,19 @@ final class LocalCatalogIo extends CatalogIo {
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString).toVector
+    } finally s.close()
+  }
+  override def listWithMtime(dir: String): Seq[(String, Long)] = {
+    val d = p(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map { f =>
+        val mt = try Files.getLastModifiedTime(f).toMillis
+          catch { case _: java.io.IOException => 0L }
+        f.getFileName.toString -> mt
+      }.toVector
     } finally s.close()
   }
   override def mtimeMs(path: String): Long = {
@@ -149,7 +172,10 @@ final class HadoopCatalogIo(conf: org.apache.hadoop.conf.Configuration)
   }
   override def atomicPublish(dst: String, bytes: Array[Byte]): Unit = {
     val d = p(dst)
-    val tmp = new Path(d.getParent, d.getName + ".tmp")
+    // UUID-suffixed for the same racing-publishers reason as the
+    // local impl.
+    val tmp = new Path(d.getParent,
+      d.getName + ".tmp-" + java.util.UUID.randomUUID())
     writeBytes(tmp.toString, bytes)
     FileContext.getFileContext(d.toUri, conf)
       .rename(tmp, d, Options.Rename.OVERWRITE)
@@ -162,6 +188,13 @@ final class HadoopCatalogIo(conf: org.apache.hadoop.conf.Configuration)
     val f = fs(d)
     if (!f.exists(d)) Seq.empty
     else f.listStatus(d).toSeq.map(_.getPath.getName)
+  }
+  override def listWithMtime(dir: String): Seq[(String, Long)] = {
+    val d = p(dir)
+    val f = fs(d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq // ONE RPC; statuses carry mtimes
+      .map(st => st.getPath.getName -> st.getModificationTime)
   }
   override def mtimeMs(path: String): Long = {
     val f = p(path)
@@ -189,27 +222,44 @@ object CatalogIo {
     * Local paths → [[LocalCatalogIo]]; HDFS-class schemes →
     * [[HadoopCatalogIo]]; object stores and unknown schemes → a loud
     * [[IllegalStateException]] at construction, BEFORE any catalog
-    * file is touched, unless `graft.catalog.fs.assumeAtomic=true`. */
+    * file is touched, unless `graft.catalog.fs.assumeAtomic=true`.
+    *
+    * A SCHEME-LESS warehouse is classified by `fs.defaultFS` — the
+    * filesystem Hadoop (and therefore the engine's DATA side) will
+    * actually resolve it against. Treating it as local would split
+    * the catalog (java.nio → each driver's own disk) from the data
+    * (defaultFS) on any real cluster, re-creating exactly the quiet
+    * multi-writer corruption this check exists to prevent. */
   def forWarehouse(spark: SparkSession, warehouse: String): CatalogIo = {
-    val scheme = Option(
+    val explicit = Option(
       try new java.net.URI(warehouse).getScheme catch {
         case _: java.net.URISyntaxException => null
       }).map(_.toLowerCase)
+    lazy val hadoopConf = spark.sessionState.newHadoopConf()
+    val scheme = explicit.orElse(Option(
+        org.apache.hadoop.fs.FileSystem.getDefaultUri(hadoopConf)
+          .getScheme).map(_.toLowerCase))
     val assume = spark.conf
       .get("graft.catalog.fs.assumeAtomic", "false").toBoolean
+    def hadoopIo = new HadoopCatalogIo(hadoopConf)
     scheme match {
+      // file:/local (explicit, or scheme-less under a file-class
+      // defaultFS): the nio impl — identical path resolution.
       case None | Some("file") | Some("local") => new LocalCatalogIo
-      case Some(s) if HdfsClass(s) =>
-        new HadoopCatalogIo(spark.sessionState.newHadoopConf())
+      // Scheme-less path under an HDFS-class defaultFS: route through
+      // Hadoop so catalog and data resolve to the SAME filesystem.
+      case Some(s) if HdfsClass(s) => hadoopIo
       case Some(_) if assume =>
         // Operator-asserted contract (e.g. an object store fronted by
         // conditional-put fencing or a lock service).
-        new HadoopCatalogIo(spark.sessionState.newHadoopConf())
+        hadoopIo
       case Some(s) =>
         val kind = if (ObjectStores(s)) "a flat-namespace object store"
           else "an unverified filesystem"
+        val how = if (explicit.isEmpty)
+          s"resolves through fs.defaultFS to $kind" else s"is on $kind"
         throw new IllegalStateException(
-          s"warehouse '$warehouse' is on $kind ('$s:'): the versioned " +
+          s"warehouse '$warehouse' $how ('$s:'): the versioned " +
             "catalog's commit protocol requires exclusive-create " +
             "(O_CREAT|O_EXCL claim markers), atomic replacing rename " +
             "(CURRENT-pointer publish), and rename-as-move (archive/" +

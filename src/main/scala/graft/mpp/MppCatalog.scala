@@ -77,12 +77,6 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     * and retried, so two engines on one warehouse interleave commits
     * instead of silently overwriting each other (last-writer-wins was
     * the pre-round-5 behavior). */
-  /** Commits that lost a CAS race and re-applied onto fresh state —
-    * observability for the multi-writer path (ClusterCheck asserts the
-    * rebase-retry loop actually runs under contention). */
-  private[graft] val casRebases =
-    new java.util.concurrent.atomic.AtomicLong(0)
-
   private[mpp] def mutate(f: CatalogState => CatalogState): Unit =
     synchronized {
       staged match {
@@ -99,6 +93,12 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
           }
       }
     }
+
+  /** Commits that lost a CAS race and re-applied onto fresh state —
+    * observability for the multi-writer path (ClusterCheck asserts the
+    * rebase-retry loop actually runs under contention). */
+  private[graft] val casRebases =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   // --- persistence ------------------------------------------------------
 
@@ -192,9 +192,14 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     // deletes, a second engine's stale counter) cannot strand a
     // backlog behind the first missing file.
     val SnapRe = "v(\\d+)\\.(?:json|claim)".r
-    io.listNames(catalogDir).foreach {
-      case n @ SnapRe(num)
+    val tmpCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    io.listWithMtime(catalogDir).foreach {
+      case (n @ SnapRe(num), _)
           if num.toLong <= v - MppCatalog.RetainSnapshots =>
+        io.delete(s"$catalogDir/$n")
+      case (n, mt) if n.startsWith("CURRENT.tmp-") && mt < tmpCutoff =>
+        // A publisher that crashed between temp write and rename left
+        // its UUID-suffixed temp behind; stale ones sweep with age.
         io.delete(s"$catalogDir/$n")
       case _ =>
     }
@@ -239,11 +244,24 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
     * instants (pinned in TimeTravelSpec). Preserve mtimes when
     * relocating a warehouse, or use `VERSION AS OF`, which does not
     * depend on wall clocks at all. */
-  def versionAtTimestamp(ms: Long): Option[Long] =
-    retainedVersions.filter { v =>
-      val t = io.mtimeMs(snapFile(v))
+  def versionAtTimestamp(ms: Long): Option[Long] = {
+    val mt = snapshotMtimes()
+    mt.keys.toSeq.sorted.filter { v =>
+      val t = mt(v)
       t > 0L && t <= ms
     }.lastOption
+  }
+
+  /** version → snapshot-file mtime for every retained version, from
+    * ONE directory listing (listStatus carries mtimes on HDFS-class
+    * stores — never one getFileStatus RPC per version). */
+  def snapshotMtimes(): Map[Long, Long] = {
+    val SnapRe = "v(\\d+)\\.json".r
+    io.listWithMtime(catalogDir).flatMap {
+      case (SnapRe(n), mt) => Some(n.toLong -> mt)
+      case _ => None
+    }.toMap
+  }
 
   /** Publish instant of a retained version (snapshot-file mtime); 0
     * if the snapshot is gone. */

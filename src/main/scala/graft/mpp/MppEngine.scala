@@ -639,16 +639,37 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       if (fs.exists(stgPath)) {
         val bucketDirs = fs.listStatus(stgPath).filter(s =>
           s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+        // Track completed moves so a failure mid-sequence can UNDO
+        // them: the committer-based write this staging path replaced
+        // left nothing visible when a job aborted, and that
+        // all-or-nothing failure shape is preserved here — without it
+        // a disk-full on the Nth of M moves would leave N buckets'
+        // rows live (and, with time travel off, no manifest to RESTORE
+        // them away by).
+        val moved =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Path, Path)]
         import scala.jdk.CollectionConverters._
-        bucketDirs.toSeq.asJava.parallelStream().forEach { bd =>
-          val dst = new Path(dataRoot, bd.getPath.getName)
-          fs.mkdirs(dst) // idempotent under concurrent writers
-          fs.listStatus(bd.getPath).foreach { f =>
-            if (f.isFile &&
-                !fs.rename(f.getPath, new Path(dst, f.getPath.getName)))
-              throw new IllegalStateException(
-                s"INSERT ${t.name}: rename ${f.getPath} -> $dst failed")
+        try {
+          bucketDirs.toSeq.asJava.parallelStream().forEach { bd =>
+            val dst = new Path(dataRoot, bd.getPath.getName)
+            fs.mkdirs(dst) // idempotent under concurrent writers
+            fs.listStatus(bd.getPath).foreach { f =>
+              val target = new Path(dst, f.getPath.getName)
+              if (f.isFile) {
+                if (!fs.rename(f.getPath, target))
+                  throw new IllegalStateException(
+                    s"INSERT ${t.name}: rename ${f.getPath} -> $dst failed")
+                moved.add((f.getPath, target))
+                ()
+              }
+            }
           }
+        } catch {
+          case e: Throwable =>
+            moved.iterator().asScala.foreach { case (src, dst) =>
+              try fs.rename(dst, src) catch { case _: Exception => }
+            }
+            throw e
         }
       }
     } finally {
@@ -1362,9 +1383,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // Sweep manifest files.
     val cutoff = System.currentTimeMillis() - graceMs
     var manifestsDeleted = 0L
-    catalog.io.listNames(mDir).foreach { nm =>
-      if (!liveManifests.contains(nm) &&
-          catalog.io.mtimeMs(s"$mDir/$nm") < cutoff) {
+    // ONE status-bearing listing — never a per-file mtime RPC.
+    catalog.io.listWithMtime(mDir).foreach { case (nm, mt) =>
+      if (!liveManifests.contains(nm) && mt < cutoff) {
         catalog.io.delete(s"$mDir/$nm")
         manifestsDeleted += 1
       }
@@ -1559,6 +1580,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   def describeHistory(name: String): DataFrame = {
     val t = info(localKey(name))
     val versions = catalog.retainedVersions
+    val mtimes = catalog.snapshotMtimes() // one listing, all versions
     val sizes = fileSizeIndex(t)
     var prevRef: Option[String] = None
     var first = true // the window's baseline row: no predecessor to
@@ -1590,7 +1612,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           }
         val changed = exists && !first && ref != prevRef
         if (exists) { prevRef = ref; first = false }
-        val ts = new java.sql.Timestamp(catalog.versionMtime(v))
+        val ts = new java.sql.Timestamp(mtimes.getOrElse(v, 0L))
         (v, ts, exists, files, bytes, changed)
       }
     }

@@ -64,7 +64,8 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
         case "earliest" => CdcSource.Earliest
         case "latest" => -1L
         case n => n.toLong
-      }.filter(_ != -1L))
+      }.filter(_ != -1L),
+      metadataPath)
 
   private def param(parameters: Map[String, String], key: String): String =
     parameters.getOrElse(key, throw new IllegalArgumentException(
@@ -72,11 +73,42 @@ class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
 }
 
 class CdcSource(spark: SparkSession, warehouse: String, table: String,
-    startingVersion: Option[Long]) extends Source
+    startingVersion: Option[Long], metadataPath: String = "")
+    extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
   private val engine = new MppEngine(spark, warehouse)
+
+  /** True when the checkpoint's offset log is AHEAD of its commit log
+    * at source construction: the run's first `getBatch` will then be
+    * an uncommitted-batch REPLAY that MicroBatchExecution EXECUTES
+    * (crash recovery) — not the discarded committed-batch
+    * re-initialization — so it must keep the scratch-bounded
+    * multi-pass diff. Read once from the checkpoint logs
+    * (`metadataPath` = <checkpoint>/sources/<i>), which is the only
+    * deterministic way to tell the two restart shapes apart; a
+    * heuristic on call order alone would disable the scratch bound on
+    * exactly the replayed heavy batch after a mid-batch crash. */
+  private val replayPending: Boolean =
+    try {
+      if (metadataPath.isEmpty) false
+      else {
+        val srcDir = new org.apache.hadoop.fs.Path(metadataPath)
+        val ckptRoot = srcDir.getParent.getParent
+        val fs = ckptRoot.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        def maxBatch(name: String): Long = {
+          val d = new org.apache.hadoop.fs.Path(ckptRoot, name)
+          if (!fs.exists(d)) -1L
+          else fs.listStatus(d).iterator
+            .map(_.getPath.getName)
+            .filter(_.forall(_.isDigit))
+            .map(_.toLong).foldLeft(-1L)(math.max)
+        }
+        maxBatch("offsets") > maxBatch("commits")
+      }
+    } catch { case _: Exception => true } // unknown → keep the bound
 
   /** `Trigger.AvailableNow`: freeze the cutoff version at run start so
     * the run drains exactly what existed then and stops — commits that
@@ -144,7 +176,12 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = version(end)
-    val recovery = !offsetPolled // see offsetPolled above
+    // Committed-batch re-initialization (frame discarded): the only
+    // getBatch that may drop the scratch bound. An uncommitted-batch
+    // replay also arrives before the first offset poll but WILL be
+    // executed — replayPending tells them apart from the checkpoint
+    // logs.
+    val recovery = !offsetPolled && !replayPending
     val batch = start.map(version).orElse(startingVersion) match {
       case Some(CdcSource.Earliest) =>
         // TRUE bootstrap (r11 advisor, medium): `earliest` means "from

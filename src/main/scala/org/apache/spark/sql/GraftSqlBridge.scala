@@ -41,13 +41,32 @@ object GraftSqlBridge {
   def streamingBatch(spark: SparkSession, df: DataFrame): DataFrame =
     spark match {
       case c: classic.SparkSession =>
-        val planner = c.cloneSession()
-        planner.conf.set("spark.sql.adaptive.enabled", "false")
-        val qe = classic.Dataset.ofRows(planner,
+        val qe = classic.Dataset.ofRows(plannerFor(c),
           df.queryExecution.logical).queryExecution
         classic.Dataset.ofRows(c, execution.LogicalRDD(
           qe.analyzed.output, qe.toRdd, isStreaming = true)(c))
       case other => throw new IllegalStateException(
         s"expected a classic SparkSession, got ${other.getClass.getName}")
+    }
+
+  /** One AQE-off planner clone per parent session, weakly keyed — a
+    * short-trigger CDC stream calls streamingBatch once per
+    * micro-batch, and cloning a SparkSession (fresh SessionState +
+    * listener registration) per call would be thousands of session
+    * constructions per hour on the streaming hot path. The clone
+    * snapshots the parent's conf at first use; per-batch plan inputs
+    * (the logical plan itself) are unaffected, and the one conf that
+    * matters here is pinned explicitly. */
+  private val plannerSessions =
+    new java.util.WeakHashMap[classic.SparkSession, classic.SparkSession]
+  private def plannerFor(c: classic.SparkSession): classic.SparkSession =
+    plannerSessions.synchronized {
+      var p = plannerSessions.get(c)
+      if (p == null) {
+        p = c.cloneSession()
+        p.conf.set("spark.sql.adaptive.enabled", "false")
+        plannerSessions.put(c, p)
+      }
+      p
     }
 }

@@ -26,6 +26,34 @@ class CatalogIoSpec extends SparkTestBase {
       }
   }
 
+  test("a SCHEME-LESS warehouse is classified by fs.defaultFS — an " +
+      "object-store default filesystem cannot silently bypass the check") {
+    // On a real cluster a scheme-less path resolves against
+    // fs.defaultFS; classifying it as local would split the catalog
+    // (driver-local nio) from the data (defaultFS) — the exact quiet
+    // corruption the contract check exists to prevent.
+    val hc = spark.sparkContext.hadoopConfiguration
+    val saved = hc.get("fs.defaultFS")
+    try {
+      hc.set("fs.defaultFS", "s3a://bucket")
+      val e = intercept[IllegalStateException] {
+        CatalogIo.forWarehouse(spark, "/wh/schemeless")
+      }
+      assert(e.getMessage.contains("fs.defaultFS"), e.getMessage)
+      // …and an HDFS-class defaultFS routes through the Hadoop impl,
+      // so catalog and data resolve to the SAME filesystem.
+      hc.set("fs.defaultFS", "hdfs://nn:8020")
+      assert(CatalogIo.forWarehouse(spark, "/wh/schemeless")
+        .isInstanceOf[HadoopCatalogIo])
+    } finally {
+      if (saved == null) hc.unset("fs.defaultFS")
+      else hc.set("fs.defaultFS", saved)
+    }
+    // Default (file:///) keeps the nio impl.
+    assert(CatalogIo.forWarehouse(spark, "/wh/schemeless")
+      .isInstanceOf[LocalCatalogIo])
+  }
+
   test("an unknown scheme is rejected unless the operator asserts the " +
       "contract with graft.catalog.fs.assumeAtomic") {
     val e = intercept[IllegalStateException] {
