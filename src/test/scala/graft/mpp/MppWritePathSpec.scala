@@ -341,6 +341,47 @@ class MppWritePathSpec extends SparkTestBase {
         org.apache.spark.sql.catalyst.FunctionIdentifier("graft_boom_late"))
     }
   }
+
+  test("a failed INSERT publish undoes its completed moves: no partial " +
+      "rows become visible (all-or-nothing failure shape)") {
+    // The staged INSERT publishes by renaming files into the live
+    // bucket dirs; a failure on the Nth move must roll back the first
+    // N-1 (round-12 review finding) — otherwise a disk-full mid-
+    // publish leaves a silently partial append. Injection: replace
+    // one bucket DIR with a plain FILE so mkdirs/rename into it fail.
+    val e = freshEngine()
+    e.sql("CREATE TABLE ip(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("ip", spark.range(0, 400).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val before = e.table("ip").count()
+    val root = java.nio.file.Paths.get(e.warehouse, "data", "ip")
+    // Find a real bucket dir, replace it with a file of the same name.
+    val victim = java.nio.file.Files.list(root).iterator().next()
+    val saved = root.resolve(".savedbucket")
+    java.nio.file.Files.move(victim, saved)
+    java.nio.file.Files.write(victim, Array[Byte](1))
+    try {
+      intercept[Exception] {
+        e.insertInto("ip", spark.range(1000, 1400).toDF("k")
+          .withColumn("v", lit(-1.0)))
+      }
+    } finally {
+      java.nio.file.Files.delete(victim)
+      java.nio.file.Files.move(saved, victim)
+    }
+    graft.sources.ColocatedFileIndex.invalidate(
+      root.toString)
+    // No partial rows: the moves that succeeded before the failure
+    // were undone, so the failed statement contributed NOTHING.
+    assert(e.table("ip").filter(col("v") === -1.0).count() == 0L,
+      "failed INSERT left partial rows visible")
+    assert(e.table("ip").count() == before)
+    // And the engine still works afterwards.
+    e.insertInto("ip", spark.range(1000, 1400).toDF("k")
+      .withColumn("v", lit(-1.0)))
+    assert(e.table("ip").count() == before + 400)
+  }
 }
 
 /** Shared state for the mid-write-failure case: remember the first
