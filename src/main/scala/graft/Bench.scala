@@ -25,6 +25,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Jackson (bundled with Spark) for reading the previous round's
+    * artifact — the auto-regression rule's baseline. */
+  private lazy val mapperForPrev =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Per-query errors are RECORDED, never timed: a query that throws
     * would otherwise finish in ~0 s and flatter the total (round-2
     * verdict harness nit). Failed queries land in the `errors` map
@@ -250,16 +255,39 @@ object Bench {
     // 2000-char TAIL, so the isolated dict must sit inside it.
     val isoMin = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_MIN", "2.0").toDouble
     val isoMax = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_MAX", "8").toInt
-    // Watchlist rows are isolated REGARDLESS of the threshold
-    // (round-11 verdict item 3: rows that regressed >20% in bench
-    // context sat under the 2 s bar, so no per-plan truth was ever
-    // recorded for them — the measurement rule exists precisely for
-    // those). Default = the five rows round 11 flagged; override with
-    // GRAFT_BENCH_ISOLATE_EXTRA (comma list, empty disables).
-    val isoExtra = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_EXTRA",
-      "q_outer_join_agg,q_heavy_hitters,q_window_running," +
-        "q_filters_null,q_events_hourly,q_setops")
-      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // AUTO-REGRESSION rule (round-12 verdict item 2): the isolated
+    // list is COMPUTED FROM THE DIFF against the previous artifact,
+    // not from a hand-carried watchlist that lags one round. Every
+    // scaled row that regressed >25% vs the previous BENCH_FULL.json
+    // gets a fresh-JVM isolated number THIS round, so each regression
+    // is either reproduced (then chased) or attributed to bench-
+    // context spread with the per-plan truth recorded. Rows under
+    // 0.1 s are exempt (pure scheduling noise at that size; logged
+    // via the regressed dict regardless). GRAFT_BENCH_ISOLATE_EXTRA
+    // remains a manual addition hook.
+    val prevScaled: Map[String, Double] =
+      try {
+        val prev = mapperForPrev.readTree(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_BENCH_PREV",
+            sys.env.getOrElse("GRAFT_BENCH_JSON", "BENCH_FULL.json")))))
+        val sq = prev.get("scaled_queries")
+        if (sq == null) Map.empty
+        else {
+          import scala.jdk.CollectionConverters._
+          sq.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val regressed: Seq[(String, Double, Double)] = scaledRows.flatMap {
+      case (n, cur) => prevScaled.get(n) match {
+        case Some(prev) if cur > prev * 1.25 && cur >= 0.1 =>
+          Some((n, prev, cur))
+        case _ => None
+      }
+    }.sortBy(-_._3)
+    val isoExtra = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_EXTRA", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq ++
+      regressed.map(_._1)
     val (isoSrc, isoDir) =
       if (scaledRows.nonEmpty) (scaledRows, scaledDir)
       else (steady, sfDir)
@@ -269,12 +297,14 @@ object Bench {
         val heavy = isoSrc.filter(_._2 >= isoMin)
           .sortBy(-_._2).take(isoMax).map(_._1)
         val names = heavy ++
-          isoExtra.filter(n => !heavy.contains(n) &&
+          isoExtra.distinct.filter(n => !heavy.contains(n) &&
             isoSrc.exists(_._1 == n))
         isolatedPhase(names, isoDir)
       }
+    val regJson = regressed.map { case (n, p, c) =>
+      s"""\"$n\":[$p,$c]""" }.mkString("{", ",", "}")
     val isoJson =
-      s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir""""
+      s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir","regressed_vs_prev":$regJson"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled$isoJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of the stdout line; the COMPLETE

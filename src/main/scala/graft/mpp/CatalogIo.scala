@@ -51,6 +51,29 @@ trait CatalogIo {
     * sibling temp file, rename-replacing over `dst`). */
   def atomicPublish(dst: String, bytes: Array[Byte]): Unit
 
+  /** Conditional publish: write `bytes` at `dst` atomically ONLY IF
+    * its current content equals `expect` (`None` = must not exist);
+    * returns false otherwise. This is the CURRENT-pointer fence: the
+    * default implementation is check-then-publish — the same residual
+    * stall window every rename-based file-pointer catalog has (a
+    * writer that stalls between the read and the rename can clobber a
+    * concurrent publish; the claim protocol above makes the window
+    * microseconds). Stores with CONDITIONAL-WRITE semantics
+    * (If-Match / If-None-Match) override this with a genuinely atomic
+    * compare-and-swap, CLOSING the window — the one place an object
+    * store is STRONGER than POSIX rename. */
+  def publishIfContent(dst: String, bytes: Array[Byte],
+      expect: Option[Array[Byte]]): Boolean = {
+    val current =
+      if (exists(dst)) Some(readBytes(dst)) else None
+    val matches = (current, expect) match {
+      case (None, None) => true
+      case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+      case _ => false
+    }
+    if (matches) { atomicPublish(dst, bytes); true } else false
+  }
+
   /** Idempotent delete (no error when missing). */
   def delete(path: String): Unit
 
@@ -72,7 +95,17 @@ trait CatalogIo {
   * pre-round-12 behavior, now named as one of two contract-verified
   * implementations. */
 final class LocalCatalogIo extends CatalogIo {
-  private def p(s: String) = Paths.get(s)
+  // A `file:`-URI warehouse must land at the SAME absolute path the
+  // engine's data side resolves through Hadoop: java.nio would treat
+  // "file:/tmp/wh" as a RELATIVE path (a literal 'file:' directory
+  // under cwd), silently splitting the catalog from the data. Strip
+  // the scheme (and any empty authority) down to the absolute path.
+  private def p(s: String) =
+    if (s.startsWith("file:")) {
+      val rest = s.substring("file:".length)
+      Paths.get(if (rest.startsWith("/")) "/" + rest.dropWhile(_ == '/')
+        else rest)
+    } else Paths.get(s)
   override def mkdirs(dir: String): Unit = {
     Files.createDirectories(p(dir)); ()
   }
@@ -242,6 +275,21 @@ object CatalogIo {
     val assume = spark.conf
       .get("graft.catalog.fs.assumeAtomic", "false").toBoolean
     def hadoopIo = new HadoopCatalogIo(hadoopConf)
+    // A bound ConditionalStore provider wins over scheme dispatch: the
+    // operator has named the conditional-write implementation (an SDK
+    // bridge for their store; the emulation in tests) and the catalog
+    // runs its CAS protocol through [[ObjectStoreCatalogIo]] — the
+    // path that makes s3/gs warehouses first-class instead of
+    // rejected. Session-scoped like assumeAtomic: one session, one
+    // catalog-store decision.
+    val provider = spark.conf
+      .get("graft.catalog.objectstore.provider", "")
+    if (provider.nonEmpty) {
+      val store = Class.forName(provider).getDeclaredConstructor()
+        .newInstance().asInstanceOf[ConditionalStoreProvider]
+        .create(spark, warehouse)
+      return new ObjectStoreCatalogIo(store)
+    }
     scheme match {
       // file:/local (explicit, or scheme-less under a file-class
       // defaultFS): the nio impl — identical path resolution.
@@ -264,9 +312,13 @@ object CatalogIo {
             "(O_CREAT|O_EXCL claim markers), atomic replacing rename " +
             "(CURRENT-pointer publish), and rename-as-move (archive/" +
             "RESTORE) — HDFS-class semantics. On this scheme CAS " +
-            "commits would corrupt QUIETLY under writer races. Use a " +
-            "local/HDFS-class warehouse, or front the store with a " +
-            "coordination layer and assert it explicitly with " +
+            "commits would corrupt QUIETLY under writer races. Either " +
+            "(a) bind a conditional-write store implementation with " +
+            "graft.catalog.objectstore.provider=<ConditionalStoreProvider " +
+            "FQCN> (If-None-Match/If-Match PUTs give the catalog TRUE " +
+            "CAS semantics on S3-class stores), (b) use a local/" +
+            "HDFS-class warehouse, or (c) front the store with an " +
+            "external coordination layer and assert it explicitly with " +
             "graft.catalog.fs.assumeAtomic=true.")
     }
   }

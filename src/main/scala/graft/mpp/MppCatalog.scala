@@ -157,17 +157,20 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       }
     }
     if (!claimed) { refreshFromDisk(); return false }
-    // We own v: write the full snapshot, then publish with an atomic
-    // pointer swap — a reader either sees the old or the new version.
+    // We own v: write the full snapshot, then publish with a FENCED
+    // pointer swap — CURRENT moves to v only if it still reads `base`.
+    // A claim holder we stepped over may have woken and published, or
+    // (symmetrically) someone may have stepped over us while we
+    // stalled; moving CURRENT then would roll their commit back. On
+    // rename-based stores publishIfContent is check-then-publish (a
+    // residual microseconds stall window, same as every file-pointer
+    // catalog); on conditional-write object stores it is a genuinely
+    // ATOMIC If-Match compare-and-swap — no window at all.
     io.writeBytes(snapFile(v), mapper.writeValueAsBytes(s))
-    // Fence before publishing: abort unless the published version is
-    // STILL our base — a claim holder we stepped over may have woken
-    // and published, or (symmetrically) someone may have stepped over
-    // us while we stalled; moving CURRENT now would roll their commit
-    // back. A stall in the microseconds between this check and the
-    // move is the residual window; true multi-writer deployments want
-    // a coordination service, same as every file-pointer catalog.
-    if (committedVersion() != base) {
+    val expect = if (base == 0L) None
+      else Some(base.toString.getBytes(StandardCharsets.UTF_8))
+    if (!io.publishIfContent(currentFile,
+        v.toString.getBytes(StandardCharsets.UTF_8), expect)) {
       io.delete(snapFile(v))
       // Our claim was never published — remove it too, or every later
       // commit (including our own retry) burns the full grace wait
@@ -176,8 +179,6 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       refreshFromDisk()
       return false
     }
-    io.atomicPublish(currentFile,
-      v.toString.getBytes(StandardCharsets.UTF_8))
     committed = s
     version = v
     sweepOldVersions(v)

@@ -666,8 +666,24 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           }
         } catch {
           case e: Throwable =>
+            // Undo failures must be DIAGNOSABLE, not swallowed: under
+            // disk-full/FS errors — the exact scenario motivating the
+            // all-or-nothing shape — the undo itself can fail, leaving
+            // a partial append visible. Attach each failed undo as a
+            // suppressed exception so the statement's error carries the
+            // incomplete-rollback trace (and the RESTORE remedy).
             moved.iterator().asScala.foreach { case (src, dst) =>
-              try fs.rename(dst, src) catch { case _: Exception => }
+              val undoFailure =
+                try { if (fs.rename(dst, src)) None
+                  else Some(new java.io.IOException("rename returned false")) }
+                catch { case u: Exception => Some(u) }
+              undoFailure.foreach { u =>
+                e.addSuppressed(new IllegalStateException(
+                  s"INSERT ${t.name}: ROLLBACK INCOMPLETE — undo rename " +
+                    s"$dst -> $src failed; the partial append is VISIBLE. " +
+                    "With time travel on, `RESTORE TABLE " + t.name +
+                    " TO VERSION AS OF <current>` sweeps it.", u))
+              }
             }
             throw e
         }
@@ -1443,9 +1459,58 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             fs.delete(g.getPath, true))
       }
     }
+    // Stray LIVE files (round-12 verdict item 7): a DRIVER crash in the
+    // staged INSERT's publish window leaves some bucket moves done with
+    // no manifest committed — files visible to scans that no retained
+    // manifest references. Detect them here (VACUUM already owns the
+    // file-accounting walk), post-grace so an in-flight peer INSERT's
+    // moved-but-not-yet-committed files are never misread as strays.
+    // REPORT by default; `graft.vacuum.sweepStrays=true` deletes —
+    // deletion is only sound when time travel has been on for the
+    // table's whole life (a stale manifest from a TT-off interlude
+    // would misclassify legitimate live files), so it is an explicit
+    // operator action, like Delta's VACUUM retention override.
+    val strayFiles = new LongAdder
+    val strayBytes = new LongAdder
+    val sweepStrays =
+      spark.conf.get("graft.vacuum.sweepStrays", "false").toBoolean
+    catalog.state.tables.filterNot(_.deleted).foreach { t =>
+      val oid = t.tableOid.toString
+      if (catalog.state.tableManifests.contains(oid)) {
+        val keep = referenced.getOrElse(oid, Set.empty)
+        val root = new Path(dataPath(t.name))
+        val fs = root.getFileSystem(conf)
+        if (fs.exists(root)) {
+          val bucketDirs = fs.listStatus(root).filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith(s"$BucketCol="))
+          import scala.jdk.CollectionConverters._
+          val s0 = bucketDirs.toSeq.asJava.stream()
+          val s1 =
+            if (spark.conf.get("graft.vacuum.parallel", "true").toBoolean)
+              s0.parallel()
+            else s0
+          s1.forEach { bd =>
+            fs.listStatus(bd.getPath).foreach { f =>
+              val logical = s"${bd.getPath.getName}/${f.getPath.getName}"
+              if (f.isFile && !keep.contains(logical) &&
+                  f.getModificationTime < cutoff) {
+                strayFiles.increment()
+                strayBytes.add(f.getLen)
+                if (sweepStrays) {
+                  fs.delete(f.getPath, false)
+                  filesDeleted.increment()
+                  bytesReclaimed.add(f.getLen)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
     VacuumStats(manifestsDeleted, filesDeleted.sum(),
       bytesReclaimed.sum(), filesRetained.sum(), bytesRetained.sum(),
-      System.currentTimeMillis() - t0)
+      System.currentTimeMillis() - t0,
+      strayFiles.sum(), strayBytes.sum())
   }
 
   /** Snapshot at `version`, or the retention-window error. */
@@ -2498,9 +2563,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         // The statement returns the reclaim/retain accounting — the
         // operator's capacity answer, not a bare "VACUUM" echo.
         Seq((st.manifestsDeleted, st.filesDeleted, st.bytesReclaimed,
-            st.archiveFilesRetained, st.archiveBytesRetained, st.wallMs))
+            st.archiveFilesRetained, st.archiveBytesRetained, st.wallMs,
+            st.strayLiveFiles, st.strayLiveBytes))
           .toDF("manifests_deleted", "files_deleted", "bytes_reclaimed",
-            "archive_files_retained", "archive_bytes_retained", "wall_ms")
+            "archive_files_retained", "archive_bytes_retained", "wall_ms",
+            "stray_live_files", "stray_live_bytes")
       // Schema evolution (capability superset — CTAS/MERGE precedent):
       // ADD/DROP COLUMN are supported; every OTHER ALTER form still
       // rejects with the reference's message below.

@@ -76,4 +76,11 @@ final case class VacuumStats(
     bytesReclaimed: Long,
     archiveFilesRetained: Long,
     archiveBytesRetained: Long,
-    wallMs: Long)
+    wallMs: Long,
+    /** LIVE-directory files referenced by NO retained manifest and
+      * older than the grace window — the residue of a driver crash
+      * mid-INSERT-publish (SURVEY §8). Reported always; deleted (and
+      * then also counted in filesDeleted/bytesReclaimed) only with
+      * `graft.vacuum.sweepStrays=true`. */
+    strayLiveFiles: Long = 0L,
+    strayLiveBytes: Long = 0L)

@@ -34,8 +34,22 @@ import graft.mpp.MppEngine
   * window (20) cannot be diffed — a stream stalled past retention
   * fails with the tableChanges retention error rather than silently
   * skipping changes (Delta CDF couples to vacuum the same way).
-  * Schema evolution mid-stream fails the run (restart picks up the
-  * new schema), matching the declared sourceSchema contract. */
+  *
+  * Schema evolution mid-stream (round-12 verdict item 5): a Spark
+  * streaming query's analyzed plan has ONE schema for its whole run —
+  * no source can widen it mid-query (Delta's CDF schema tracking has
+  * the same constraint: stop, then restart under the new schema). The
+  * engine makes that stop LOSSLESS and, for additive changes,
+  * OPERATOR-FREE: offsets are clamped to the last pre-evolution
+  * version, so every batch under the old schema drains first; then
+  * the run fails with a typed [[CdcSchemaEvolvedException]] carrying
+  * the added columns + frozen defaults; restart picks up the widened
+  * schema and resumes exactly at the evolution point (pre-ADD replay
+  * batches back-fill the exist-default, the same per-file semantics
+  * the table's own reads have). [[CdcRead.superviseReplica]] automates
+  * the loop: ALTER the replica additively, restart, converge.
+  * Incompatible changes (DROP COLUMN, table drop) still fail loudly
+  * and are never auto-resumed. */
 class CdcSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-cdc"
@@ -79,6 +93,64 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
       .SupportsTriggerAvailableNow {
 
   private val engine = new MppEngine(spark, warehouse)
+
+  /** The catalog version this source's DECLARED schema was read at:
+    * the run's whole plan carries that schema, and every batch must
+    * conform to it. Read from disk AFTER engine construction so the
+    * (version, schema) pair is consistent — the schema itself comes
+    * from the snapshot at this version where retained. */
+  private val constructionVersion: Long = engine.catalog.currentVersionOnDisk
+
+  private val declaredTable: graft.mpp.TableInfo =
+    engine.catalog.snapshotAt(constructionVersion)
+      .flatMap(_.liveTable(table))
+      .orElse(engine.catalog.state.liveTable(table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no distributed table '$table'"))
+
+  private val declaredDdl: String = declaredTable.schemaDdl
+
+  /** Evolution scanner state: versions in (constructionVersion,
+    * checkedUpTo] are verified schema-stable; `evolvedAt` is the first
+    * version whose declared schema differs (or whose table is gone).
+    * Scanning reads at most the retained snapshot JSONs once each —
+    * versions swept past retention are skipped (a stream stalled that
+    * far fails with tableChanges' retention error anyway). */
+  @volatile private var checkedUpTo: Long = constructionVersion
+  @volatile private var evolvedAt: Option[Long] = None
+
+  private def scanEvolution(upTo: Long): Option[Long] = {
+    if (evolvedAt.isEmpty && upTo > checkedUpTo) synchronized {
+      var v = checkedUpTo + 1
+      while (v <= upTo && evolvedAt.isEmpty) {
+        engine.catalog.snapshotAt(v).foreach { st =>
+          if (!st.liveTable(table).map(_.schemaDdl).contains(declaredDdl))
+            evolvedAt = Some(v)
+        }
+        v += 1
+      }
+      checkedUpTo = evolvedAt.map(_ - 1).getOrElse(upTo)
+    }
+    evolvedAt
+  }
+
+  private def evolutionError(ev: Long): CdcSchemaEvolvedException = {
+    val live = engine.catalog.snapshotAt(ev).flatMap(_.liveTable(table))
+    val oldFields = org.apache.spark.sql.types.StructType
+      .fromDDL(declaredDdl).fields
+    val newFields = live.map(t => org.apache.spark.sql.types.StructType
+      .fromDDL(t.schemaDdl).fields).getOrElse(Array.empty)
+    val survives = oldFields.forall(of => newFields.exists(nf =>
+      nf.name.equalsIgnoreCase(of.name) && nf.dataType == of.dataType))
+    val added = newFields.filterNot(nf => oldFields.exists(
+        _.name.equalsIgnoreCase(nf.name)))
+      .map(nf => (nf.name, nf.dataType.sql,
+        live.flatMap(_.defaults.get(nf.name)))).toSeq
+    new CdcSchemaEvolvedException(table, ev, declaredDdl,
+      live.map(_.schemaDdl).getOrElse("<table dropped>"),
+      additive = live.isDefined && survives && added.nonEmpty,
+      addedColumns = added)
+  }
 
   /** True when the checkpoint's offset log is AHEAD of its commit log
     * at source construction: the run's first `getBatch` will then be
@@ -144,19 +216,35 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     offsetPolled = true
-    LongOffset(latestVersion)
+    val lat = latestVersion
+    scanEvolution(lat) match {
+      case None => LongOffset(lat)
+      case Some(ev) =>
+        // Schema evolved at `ev`: CLAMP offsets to ev-1 so every batch
+        // under the declared schema drains losslessly first; once the
+        // committed offset reaches the clamp, fail the run with the
+        // typed error — the restart (manual, or superviseReplica's
+        // automatic additive path) resumes at exactly this version
+        // under the widened schema. Nothing is skipped, nothing is
+        // projected away.
+        val clamp = ev - 1
+        val startV = start match {
+          case l: LongOffset => Some(l.offset)
+          case null => None
+          case o => Some(o.json().toLong)
+        }
+        if (startV.exists(_ >= clamp)) throw evolutionError(ev)
+        LongOffset(math.min(lat, clamp))
+    }
   }
 
   override def reportLatestOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset =
     LongOffset(latestVersion)
 
-  override val schema: StructType = {
-    val t = engine.catalog.state.liveTable(table).getOrElse(
-      throw new IllegalArgumentException(s"no distributed table '$table'"))
-    StructType(StructType.fromDDL(t.schemaDdl).fields :+
+  override val schema: StructType =
+    StructType(StructType.fromDDL(declaredDdl).fields :+
       StructField("_change_type", StringType, nullable = false))
-  }
 
   /** Latest committed catalog version; the stream advances whenever
     * any statement commits (version monotonicity is the CAS commit
@@ -165,7 +253,12 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
     * ref on both sides, zero files read). */
   override def getOffset: Option[Offset] = {
     offsetPolled = true
-    Some(LongOffset(latestVersion))
+    val lat = latestVersion
+    // Legacy V1 poll (no start-offset knowledge, so it can clamp but
+    // not fail-when-drained; the SupportsAdmissionControl path above
+    // is the one MicroBatchExecution actually drives).
+    Some(LongOffset(scanEvolution(lat)
+      .map(ev => math.min(lat, ev - 1)).getOrElse(lat)))
   }
 
   private def version(o: Offset): Long = o match {
@@ -202,7 +295,35 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
         engine.tableChanges(table, endV, endV)
     }
     // V1 contract: micro-batch plans must carry isStreaming=true.
-    GraftSqlBridge.streamingBatch(spark, batch)
+    GraftSqlBridge.streamingBatch(spark, conform(batch, endV))
+  }
+
+  /** Conform a batch to the run's DECLARED schema. A batch whose
+    * interval predates the declared schema (endV ≤ construction — the
+    * post-restart replay of a pre-ADD interval) is NARROWER: back-fill
+    * each missing column with its frozen exist-default (else NULL),
+    * exactly what the table's own reads answer for files predating the
+    * column; a column the batch has but the declared schema dropped
+    * before stream start projects away. A mismatch on an interval
+    * NEWER than construction means the offset log carries
+    * post-evolution versions the clamp never produced (a checkpoint
+    * from an engine without the clamp): fail with the typed error
+    * rather than guess. */
+  private def conform(batch: DataFrame, endV: Long): DataFrame = {
+    val have = batch.columns.map(c => c.toLowerCase -> c).toMap
+    val dataFields = schema.fields.filterNot(_.name == "_change_type")
+    val mismatch = dataFields.exists(f => !have.contains(f.name.toLowerCase)) ||
+      batch.columns.length - 1 != dataFields.length
+    if (!mismatch) return batch
+    if (endV > constructionVersion)
+      throw evolutionError(scanEvolution(endV).getOrElse(endV))
+    batch.select(dataFields.map { f =>
+      if (have.contains(f.name.toLowerCase))
+        col(have(f.name.toLowerCase)).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions
+        .expr(declaredTable.defaults.getOrElse(f.name, "NULL"))
+        .cast(f.dataType).as(f.name)
+    } :+ col("_change_type"): _*)
   }
 
   override def stop(): Unit = ()
@@ -212,6 +333,31 @@ object CdcSource {
   /** Sentinel for `startingVersion=earliest` (resolved at batch time). */
   private[streaming] val Earliest = -2L
 }
+
+/** The source table's declared schema changed at `atVersion` while a
+  * change stream was running. The run already DRAINED every batch up
+  * to `atVersion - 1` (the offset clamp), so restarting the stream on
+  * the same checkpoint resumes exactly at the evolution point under
+  * the widened schema — nothing skipped, nothing dropped. `additive`
+  * = every declared column survives with its type and the change only
+  * ADDS columns; `addedColumns` carries (name, type DDL, frozen
+  * default) for each, enough to apply the same ALTER to a replica. */
+class CdcSchemaEvolvedException(
+    val table: String,
+    val atVersion: Long,
+    val fromDdl: String,
+    val toDdl: String,
+    val additive: Boolean,
+    val addedColumns: Seq[(String, String, Option[String])])
+    extends RuntimeException(
+      s"schema of '$table' evolved at catalog version $atVersion " +
+        s"(from [$fromDdl] to [$toDdl]); the stream drained all " +
+        "changes before the evolution — restart it (same checkpoint) " +
+        "to continue under the new schema" +
+        (if (additive) ". The change is ADDITIVE: " +
+          "CdcRead.superviseReplica restarts replication automatically"
+         else ". The change is NOT additive; downstream consumers " +
+          "must migrate before restarting"))
 
 object CdcRead {
 
@@ -236,6 +382,24 @@ object CdcRead {
   def applyChangeBatch(e: MppEngine, replica: String, keyCol: String,
       batch: DataFrame): Unit = {
     val cols = e.tableColumns(replica)
+    // Width mismatches are LOUD, never silently projected: a batch
+    // carrying columns the replica lacks means the source evolved
+    // additively and the replica must be ALTERed first (dropping the
+    // values would silently diverge every post-ALTER update); a batch
+    // MISSING replica columns means the source narrowed — a migration,
+    // not a merge.
+    val batchData = batch.columns.filterNot(_ == "_change_type")
+    val extra = batchData.filterNot(c => cols.exists(_.equalsIgnoreCase(c)))
+    require(extra.isEmpty,
+      s"change batch for '$replica' carries column(s) " +
+        s"${extra.mkString(", ")} the replica lacks — apply the " +
+        "additive ALTER to the replica first (superviseReplica does " +
+        "this automatically)")
+    val missing = cols.filterNot(c => batchData.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"change batch for '$replica' lacks replica column(s) " +
+        s"${missing.mkString(", ")} — the source schema narrowed; " +
+        "migrate the replica before resuming replication")
     // Net per key: an insert row wins (upsert); a delete row with no
     // insert for the same key is a true deletion. The DataFrame merge
     // API (not SQL views) — foreachBatch hands a CLONED session whose
@@ -279,4 +443,78 @@ object CdcRead {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+
+  /** [[replicaPipeline]] with AUTOMATIC additive schema evolution
+    * (round-12 verdict item 5): runs the pipeline to termination;
+    * when it stops on a [[CdcSchemaEvolvedException]] whose change is
+    * additive, applies the SAME ADD COLUMNs (with the source's frozen
+    * defaults) to the replica and restarts from the same checkpoint —
+    * the stream resumes at the evolution point under the widened
+    * schema and the replica's pre-existing rows answer the default
+    * through its own exist-default read path, converging to the
+    * source without a full resync. Any other failure (DROP COLUMN,
+    * type change, table drop, ordinary errors) rethrows unchanged —
+    * those need a human. Blocks until the query terminates cleanly
+    * (so use `Trigger.AvailableNow` for catch-up-and-stop; a
+    * processing-time trigger supervises forever). `maxEvolutions`
+    * bounds restarts against a pathological ALTER loop. */
+  def superviseReplica(spark: SparkSession, sourceWarehouse: String,
+      sourceTable: String, dst: MppEngine, replica: String,
+      keyCol: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger,
+      startingVersion: Option[String] = Some("earliest"),
+      maxEvolutions: Int = 16): Unit = {
+    var evolutions = 0
+    var done = false
+    // Reconcile the replica's schema to the source's CURRENT one
+    // before (re)starting the pipeline: the restart-shaped evolution —
+    // checkpoint older than an ALTER, stream constructed after it —
+    // produces no mid-stream error at all (the fresh source already
+    // declares the widened schema), so the additive ALTER must happen
+    // HERE, not in a catch block. Source columns missing from the
+    // replica are added with the source's frozen defaults; a replica
+    // column absent from the source (the source narrowed) is a
+    // migration no automation should paper over.
+    def reconcile(): Unit = {
+      val srcT = new MppEngine(spark, sourceWarehouse)
+        .catalog.state.liveTable(sourceTable)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no distributed table '$sourceTable'"))
+      val srcFields = org.apache.spark.sql.types.StructType
+        .fromDDL(srcT.schemaDdl).fields
+      val repCols = dst.tableColumns(replica)
+      val narrowed = repCols.filterNot(c =>
+        srcFields.exists(_.name.equalsIgnoreCase(c)))
+      if (narrowed.nonEmpty) throw new IllegalStateException(
+        s"replica '$replica' has column(s) ${narrowed.mkString(", ")} " +
+          s"the source '$sourceTable' no longer declares — the source " +
+          "schema narrowed (DROP COLUMN); migrate the replica " +
+          "explicitly before resuming replication")
+      srcFields.filterNot(f => repCols.exists(_.equalsIgnoreCase(f.name)))
+        .foreach { f =>
+          dst.addColumn(replica, f.name, f.dataType.sql,
+            srcT.defaults.get(f.name))
+        }
+    }
+    while (!done) {
+      reconcile()
+      val q = replicaPipeline(spark, sourceWarehouse, sourceTable, dst,
+        replica, keyCol, checkpoint, trigger, startingVersion)
+      try { q.awaitTermination(); done = true }
+      catch {
+        case e: Throwable =>
+          val evo = Iterator.iterate[Throwable](e)(_.getCause)
+            .takeWhile(_ != null).take(16)
+            .collectFirst { case c: CdcSchemaEvolvedException => c }
+          evo match {
+            case Some(c) if c.additive && evolutions < maxEvolutions =>
+              // Live-stream evolution: the run drained to the point of
+              // the ALTER and stopped with the typed error; the next
+              // loop iteration reconciles and resumes there.
+              evolutions += 1
+            case _ => throw e
+          }
+      }
+    }
+  }
 }

@@ -353,6 +353,64 @@ object ClusterCheck {
         s"total=${e1.catalog.casRebases.get() + e2.catalog.casRebases.get()}")
     }
 
+    check("concurrent writers race CAS commits through the OBJECT-STORE " +
+        "CatalogIo: conditional-put claims + If-Match publishes linearize") {
+      // Round-12 verdict item 1: the same two-engine race as above,
+      // but every catalog operation rides ObjectStoreCatalogIo —
+      // conditional-create claims and an atomic If-Match CURRENT swap
+      // instead of O_EXCL files and renames. The emulation's
+      // conditional semantics hold across processes (hard-link
+      // creates, lock-file CAS), and the data jobs run on the two
+      // executor JVMs as usual.
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cluster-osio").toString
+      spark.conf.set("graft.catalog.objectstore.provider",
+        classOf[graft.mpp.EmulatedObjectStoreProvider].getName)
+      try {
+        val e1 = new graft.mpp.MppEngine(spark, wh)
+        assert(e1.catalog.io.isInstanceOf[graft.mpp.ObjectStoreCatalogIo],
+          "provider conf did not route to ObjectStoreCatalogIo")
+        e1.sql("CREATE TABLE ow(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+          "WITH BUCKETS 4")
+        val e2 = new graft.mpp.MppEngine(spark, wh)
+        // Serial alternation: deterministic rebase on every statement.
+        (0 until 2).foreach { i =>
+          e1.insertInto("ow", spark.range(i * 1000, i * 1000 + 500)
+            .toDF("k").withColumn("v", col("k") * 1.0))
+          e2.insertInto("ow", spark.range(i * 1000 + 500, (i + 1) * 1000)
+            .toDF("k").withColumn("v", col("k") * 1.0))
+        }
+        val rebasesSerial =
+          e1.catalog.casRebases.get() + e2.catalog.casRebases.get()
+        assert(rebasesSerial > 0,
+          "serial alternation never exercised the rebase-retry path")
+        // Concurrent phase: two threads race disjoint-key inserts.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future((0 until 3).foreach(i =>
+          e1.insertInto("ow", spark.range(10000 + i * 100,
+            10000 + i * 100 + 100).toDF("k").withColumn("v", lit(1.0)))))
+        val fb = Future((0 until 3).foreach(i =>
+          e2.insertInto("ow", spark.range(20000 + i * 100,
+            20000 + i * 100 + 100).toDF("k").withColumn("v", lit(2.0)))))
+        Await.result(fa.zip(fb),
+          scala.concurrent.duration.Duration(300, "s"))
+        // A third engine sees every row; the version chain is linear.
+        val e3 = new graft.mpp.MppEngine(spark, wh)
+        val got = e3.table("ow")
+          .agg(count(lit(1)),
+            sum(when(col("k") >= 10000 && col("k") < 20000, 1).otherwise(0)),
+            sum(when(col("k") >= 20000, 1).otherwise(0))).head()
+        assert(got.getLong(0) == 2000L + 600L, got.toString)
+        assert(got.getLong(1) == 300L && got.getLong(2) == 300L,
+          got.toString)
+        val vs = e3.catalog.retainedVersions
+        assert(vs == vs.distinct.sorted, s"non-linear history: $vs")
+        println(s"[cluster-check]   osio cas rebases: serial=$rebasesSerial " +
+          s"total=${e1.catalog.casRebases.get() + e2.catalog.casRebases.get()}")
+      } finally spark.conf.unset("graft.catalog.objectstore.provider")
+    }
+
     check("executor JVM killed mid-query: tasks retry on the survivor " +
         "and the result is exact") {
       def q: DataFrame = spark.range(0, 40000000L, 1, 96)

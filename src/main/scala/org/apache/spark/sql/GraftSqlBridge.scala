@@ -56,17 +56,27 @@ object GraftSqlBridge {
     * constructions per hour on the streaming hot path. The clone
     * snapshots the parent's conf at first use; per-batch plan inputs
     * (the logical plan itself) are unaffected, and the one conf that
-    * matters here is pinned explicitly. */
-  private val plannerSessions =
-    new java.util.WeakHashMap[classic.SparkSession, classic.SparkSession]
+    * matters here is pinned explicitly.
+    *
+    * The VALUE is held behind a `WeakReference`: a clone strongly
+    * reaches its parent (the map key) through its retained
+    * parentSessionState, so storing it directly would defeat the weak
+    * keying and retain every session that ever ran a CDC stream for
+    * the JVM's life (the same leak class the round-11 mpbStates fix
+    * removed). With the weak value the map anchors NO strong chain to
+    * the key; the cost is one re-clone (milliseconds) after any GC
+    * that collects an otherwise-unreferenced clone — amortized noise
+    * against a per-minute micro-batch cadence. */
+  private val plannerSessions = new java.util.WeakHashMap[
+    classic.SparkSession, java.lang.ref.WeakReference[classic.SparkSession]]
   private def plannerFor(c: classic.SparkSession): classic.SparkSession =
     plannerSessions.synchronized {
-      var p = plannerSessions.get(c)
-      if (p == null) {
-        p = c.cloneSession()
+      val cached = Option(plannerSessions.get(c)).flatMap(r => Option(r.get))
+      cached.getOrElse {
+        val p = c.cloneSession()
         p.conf.set("spark.sql.adaptive.enabled", "false")
-        plannerSessions.put(c, p)
+        plannerSessions.put(c, new java.lang.ref.WeakReference(p))
+        p
       }
-      p
     }
 }

@@ -95,6 +95,158 @@ class CatalogIoSpec extends SparkTestBase {
     assert(io.mtimeMs(s"$dir/missing") == 0L)
   }
 
+  test("a file:-URI warehouse resolves the CATALOG to the same root " +
+      "as the DATA (nio must not treat 'file:/x' as a relative path)") {
+    // Round-12 advisor (medium): java.nio's Paths.get("file:/tmp/wh")
+    // is a RELATIVE path (a literal 'file:' directory under cwd) while
+    // Hadoop resolves the same URI to /tmp/wh — the catalog silently
+    // landing apart from the data is exactly the split the contract
+    // check exists to prevent.
+    val root = Files.createTempDirectory("graft-fileuri").toString
+    val io = CatalogIo.forWarehouse(spark, s"file:$root")
+    assert(io.isInstanceOf[LocalCatalogIo])
+    io.mkdirs(s"file:$root/rawio")
+    io.writeBytes(s"file:$root/rawio/probe", "7".getBytes)
+    // The file must exist at the ABSOLUTE path, not under cwd/file:/…
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/rawio/probe")))
+    assert(!Files.exists(java.nio.file.Paths.get("file:")))
+    // Triple-slash URI form resolves identically.
+    assert(new String(io.readBytes(s"file://$root/rawio/probe")) == "7")
+    // And an ENGINE on a file:-URI warehouse reads its own writes back
+    // through both sides (catalog via nio, data via Hadoop).
+    val e = new MppEngine(spark, s"file:$root")
+    e.sql("CREATE TABLE fu(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("fu", spark.range(0, 8).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.col("k") * 2.0))
+    assert(e.table("fu").count() == 8)
+    assert(Files.isDirectory(
+      java.nio.file.Paths.get(s"$root/_mpp_catalog")))
+  }
+
+  test("EmulatedObjectStore honors the conditional-write contract: " +
+      "atomic PUT visibility, If-None-Match create, If-Match CAS") {
+    val root = Files.createTempDirectory("graft-emustore").toString
+    val st = new EmulatedObjectStore
+    val k = s"$root/CURRENT"
+    // If-None-Match: first create wins, second loses, content intact.
+    assert(st.putIfAbsent(k, "1".getBytes))
+    assert(!st.putIfAbsent(k, "9".getBytes))
+    val (b1, etag1) = st.get(k).get
+    assert(new String(b1) == "1")
+    // If-Match: succeeds against the live etag, then the OLD etag is
+    // stale and the CAS must fail.
+    assert(st.putIfMatch(k, "2".getBytes, etag1))
+    assert(new String(st.get(k).get._1) == "2")
+    assert(!st.putIfMatch(k, "3".getBytes, etag1))
+    assert(new String(st.get(k).get._1) == "2")
+    // If-Match against a missing key fails (no phantom create).
+    assert(!st.putIfMatch(s"$root/missing", "x".getBytes, etag1))
+    assert(!st.exists(s"$root/missing"))
+    // Contended CAS from many threads over the same base etag: exactly
+    // ONE winner (the store serializes; everyone else sees a changed
+    // etag) — the property the CURRENT-pointer fence rides on.
+    st.put(k, "base".getBytes)
+    val (_, baseTag) = st.get(k).get
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wins = Await.result(Future.sequence((0 until 16).map(i =>
+      Future(st.putIfMatch(k, s"w$i".getBytes, baseTag)))),
+      scala.concurrent.duration.Duration(30, "s")).count(identity)
+    assert(wins == 1, s"expected exactly one CAS winner, got $wins")
+  }
+
+  test("ObjectStoreCatalogIo drives the full CAS battery through " +
+      "conditional-write semantics (the S3-class code path)") {
+    val root = Files.createTempDirectory("graft-osio").toString
+    val io = new ObjectStoreCatalogIo(new EmulatedObjectStore)
+    io.mkdirs(s"$root/cat") // no-op on a flat namespace — never throws
+    // Primitive 1: exclusive create = conditional create.
+    assert(io.exclusiveCreate(s"$root/cat/v1.claim"))
+    assert(!io.exclusiveCreate(s"$root/cat/v1.claim"))
+    // Primitive 2: atomic publish = whole-object PUT.
+    io.atomicPublish(s"$root/cat/CURRENT", "1".getBytes)
+    io.atomicPublish(s"$root/cat/CURRENT", "2".getBytes)
+    assert(new String(io.readBytes(s"$root/cat/CURRENT")) == "2")
+    // The fenced publish: succeeds against the expected content, fails
+    // against stale content, and handles the None (absent) case.
+    assert(io.publishIfContent(s"$root/cat/CURRENT", "3".getBytes,
+      Some("2".getBytes)))
+    assert(!io.publishIfContent(s"$root/cat/CURRENT", "9".getBytes,
+      Some("2".getBytes)))
+    assert(new String(io.readBytes(s"$root/cat/CURRENT")) == "3")
+    assert(!io.publishIfContent(s"$root/cat/CURRENT", "9".getBytes, None))
+    assert(io.publishIfContent(s"$root/cat/FIRST", "0".getBytes, None))
+    // Round-trip the rest of the surface.
+    io.writeBytes(s"$root/cat/v2.json", "{}".getBytes)
+    assert(io.exists(s"$root/cat/v2.json"))
+    assert(io.mtimeMs(s"$root/cat/v2.json") > 0L)
+    assert(io.listNames(s"$root/cat").toSet ==
+      Set("v1.claim", "CURRENT", "FIRST", "v2.json"))
+    io.delete(s"$root/cat/v2.json")
+    io.delete(s"$root/cat/v2.json") // idempotent
+    assert(!io.exists(s"$root/cat/v2.json"))
+    assert(io.listNames(s"$root/missing").isEmpty)
+    assert(io.mtimeMs(s"$root/missing") == 0L)
+  }
+
+  test("a bound ConditionalStore provider routes the warehouse to " +
+      "ObjectStoreCatalogIo — s3/gs schemes become first-class") {
+    try {
+      spark.conf.set("graft.catalog.objectstore.provider",
+        classOf[EmulatedObjectStoreProvider].getName)
+      Seq("s3a://bucket/wh", "gs://bucket/wh", "/local/wh").foreach { wh =>
+        assert(CatalogIo.forWarehouse(spark, wh)
+          .isInstanceOf[ObjectStoreCatalogIo], wh)
+      }
+    } finally spark.conf.unset("graft.catalog.objectstore.provider")
+    // Without the provider the loud rejection stands — now naming the
+    // provider conf as the supported way in.
+    val e = intercept[IllegalStateException] {
+      CatalogIo.forWarehouse(spark, "s3a://bucket/wh")
+    }
+    assert(e.getMessage.contains("graft.catalog.objectstore.provider"))
+  }
+
+  test("a catalog on the object-store CatalogIo runs DDL + DML + " +
+      "time travel end-to-end (the S3-class deployment shape)") {
+    // Catalog files through conditional-put objects, data through the
+    // (local) Hadoop FS — the exact split a real S3 deployment has
+    // (conditional-write catalog + s3a data).
+    val wh = Files.createTempDirectory("graft-osio-wh").toString
+    try {
+      spark.conf.set("graft.catalog.objectstore.provider",
+        classOf[EmulatedObjectStoreProvider].getName)
+      val e = new MppEngine(spark, wh)
+      assert(e.catalog.io.isInstanceOf[ObjectStoreCatalogIo])
+      e.sql("CREATE TABLE oio(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 2")
+      e.insertInto("oio", spark.range(0, 10).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.col("k") * 1.0))
+      val v1 = e.catalog.currentVersionOnDisk
+      e.sql("UPDATE oio SET v = -1 WHERE k < 5")
+      assert(e.tableAsOf("oio", v1)
+        .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+        == (0 until 10).sum.toDouble)
+      assert(e.table("oio")
+        .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+        == (5 until 10).sum.toDouble - 5.0)
+      e.sql("DELETE FROM oio WHERE k >= 8")
+      assert(e.table("oio").count() == 8)
+      // Two engines CAS-race commits through conditional writes: both
+      // land, the third engine reads the union, history is linear.
+      val e2 = new MppEngine(spark, wh)
+      e.insertInto("oio", spark.range(100, 110).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.lit(1.0)))
+      e2.insertInto("oio", spark.range(200, 210).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.lit(2.0)))
+      val e3 = new MppEngine(spark, wh)
+      assert(e3.table("oio").count() == 28)
+      val vs = e3.catalog.retainedVersions
+      assert(vs == vs.distinct.sorted, s"non-linear history: $vs")
+    } finally spark.conf.unset("graft.catalog.objectstore.provider")
+  }
+
   test("a catalog forced through HadoopCatalogIo runs DDL + DML + " +
       "time travel end-to-end (the HDFS-class deployment shape)") {
     // Same warehouse path, but every catalog file operation goes

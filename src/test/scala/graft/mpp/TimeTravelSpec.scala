@@ -412,6 +412,53 @@ class TimeTravelSpec extends SparkTestBase {
       r.getAs[Long]("data_bytes") > 0L))
   }
 
+  test("VACUUM reports stray live files (the staged INSERT's " +
+      "driver-crash residue) and sweeps them only on explicit opt-in") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE sv(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("sv", spark.range(0, 20).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    // Inject the crash residue: a parquet-shaped file in a live bucket
+    // dir that NO manifest references (exactly what a driver death
+    // between the staged INSERT's bucket moves and commitManifest
+    // leaves behind — SURVEY §8).
+    val bucketDir = {
+      val d = java.nio.file.Paths.get(e.warehouse, "data", "sv")
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.contains("=")).toSeq.head
+      } finally s.close()
+    }
+    val stray = bucketDir.resolve("part-stray-crash-residue.parquet")
+    java.nio.file.Files.write(stray, Array.fill[Byte](128)(1))
+    // Default: REPORTED in the stats (and the SQL row), never deleted.
+    val st1 = e.vacuumTimeTravel(graceMs = 0L)
+    assert(st1.strayLiveFiles == 1L && st1.strayLiveBytes == 128L, st1)
+    assert(java.nio.file.Files.exists(stray), "report must not delete")
+    val row = e.sql("VACUUM RETAIN 0 HOURS").head()
+    assert(row.getAs[Long]("stray_live_files") == 1L, row.toString)
+    // Opt-in sweep: deleted and counted into the reclaim totals.
+    try {
+      spark.conf.set("graft.vacuum.sweepStrays", "true")
+      val st2 = e.vacuumTimeTravel(graceMs = 0L)
+      assert(st2.strayLiveFiles == 1L && st2.filesDeleted >= 1L, st2)
+      assert(!java.nio.file.Files.exists(stray))
+    } finally spark.conf.unset("graft.vacuum.sweepStrays")
+    // Committed data is untouched either way.
+    assert(e.table("sv").count() == 20L)
+    // A file younger than the grace window (an in-flight peer INSERT's
+    // moved-but-uncommitted output) is never reported, never swept.
+    val young = bucketDir.resolve("part-young-inflight.parquet")
+    java.nio.file.Files.write(young, Array.fill[Byte](64)(1))
+    val st3 = e.vacuumTimeTravel() // default 10-minute grace
+    assert(st3.strayLiveFiles == 0L, st3)
+    assert(java.nio.file.Files.exists(young))
+  }
+
   test("graft.timetravel.enabled=false restores delete-on-swap " +
       "(no archive dirs, no manifests accumulate)") {
     spark.conf.set("graft.timetravel.enabled", "false")

@@ -122,6 +122,114 @@ class CdcReadSpec extends SparkTestBase {
     assert(got == Seq(("delete", 7L), ("insert", 7L)), got.toString)
   }
 
+  test("ADDITIVE schema evolution mid-stream: offsets drain to the " +
+      "evolution point, superviseReplica ALTERs the replica and " +
+      "converges with the default populated") {
+    val src = freshEngine()
+    val dst = freshEngine()
+    src.sql("CREATE TABLE se(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    dst.sql("CREATE TABLE se_rep(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    src.insertInto("se", spark.range(0, 30).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val ckpt = Files.createTempDirectory("graft-cdcread-ckpt").toString
+    def supervise(): Unit = CdcRead.superviseReplica(spark,
+      src.warehouse, "se", dst, "se_rep", "k", ckpt,
+      Trigger.AvailableNow())
+    supervise() // pre-evolution sync
+    assert(dst.table("se_rep").count() == 30)
+
+    // Evolve mid-stream: ADD COLUMN with a frozen default, then touch
+    // rows under the NEW schema. The next supervised run must drain,
+    // hit the typed evolution stop, ALTER the replica, restart from
+    // the same checkpoint, and converge.
+    src.sql("ALTER TABLE se ADD COLUMN tier INT DEFAULT 7")
+    src.sql("UPDATE se SET tier = 9 WHERE k = 3")
+    src.insertInto("se", spark.range(100, 103).toDF("k")
+      .withColumn("v", lit(0.5))) // tier takes the default
+    supervise()
+    val rep = dst.table("se_rep").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[Int]("tier"))).sorted.toSeq
+    val want = src.table("se").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"),
+        r.getAs[Int]("tier"))).sorted.toSeq
+    assert(rep == want, s"replica diverged: $rep")
+    // The default reached BOTH row classes: pre-existing replica rows
+    // (via the replica's own exist-default) and post-ALTER inserts.
+    assert(rep.count(_._3 == 7) == 32 && rep.count(_._3 == 9) == 1)
+    // And the stream keeps running incrementally after the evolution.
+    src.sql("UPDATE se SET tier = 11 WHERE k = 5")
+    supervise()
+    assert(dst.table("se_rep").filter(col("k") === 5)
+      .head().getAs[Int]("tier") == 11)
+  }
+
+  test("NON-additive evolution (DROP COLUMN) mid-stream fails loudly " +
+      "with the typed error and is never auto-resumed") {
+    val src = freshEngine()
+    val dst = freshEngine()
+    src.sql("CREATE TABLE sd(k BIGINT, v DOUBLE, tag STRING) " +
+      "PARTITION BY (k) WITH BUCKETS 2")
+    dst.sql("CREATE TABLE sd_rep(k BIGINT, v DOUBLE, tag STRING) " +
+      "PARTITION BY (k) WITH BUCKETS 2")
+    src.insertInto("sd", spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 1.0).withColumn("tag", lit("a")))
+    val ckpt = Files.createTempDirectory("graft-cdcread-ckpt").toString
+    CdcRead.superviseReplica(spark, src.warehouse, "sd", dst, "sd_rep",
+      "k", ckpt, Trigger.AvailableNow())
+    src.sql("ALTER TABLE sd DROP COLUMN tag")
+    src.sql("UPDATE sd SET v = -1 WHERE k = 1")
+    val e = intercept[IllegalStateException] {
+      CdcRead.superviseReplica(spark, src.warehouse, "sd", dst, "sd_rep",
+        "k", ckpt, Trigger.AvailableNow())
+    }
+    assert(e.getMessage.contains("narrowed") && e.getMessage.contains("tag"),
+      e.getMessage)
+    // Nothing was silently applied under the narrowed schema.
+    assert(dst.table("sd_rep").count() == 10)
+    assert(dst.table("sd_rep").filter(col("k") === 1)
+      .head().getAs[Double]("v") == 1.0)
+  }
+
+  test("LIVE-stream evolution: offsets clamp to the last pre-ALTER " +
+      "version, then the run stops with the typed additive error") {
+    // Drive the source by hand — the deterministic way to pin the
+    // mid-run contract (a real trigger would race the ALTER): a
+    // source constructed BEFORE the ALTER must (1) clamp its offsets
+    // so every pre-ALTER batch drains under the declared schema, then
+    // (2) fail with CdcSchemaEvolvedException carrying the added
+    // column and its frozen default.
+    val e = freshEngine()
+    e.sql("CREATE TABLE lv(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("lv", spark.range(0, 10).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val src = new CdcSource(spark, e.warehouse, "lv", None)
+    val preAlter = e.catalog.currentVersionOnDisk
+    e.sql("ALTER TABLE lv ADD COLUMN tier INT DEFAULT 7")
+    e.sql("UPDATE lv SET tier = 9 WHERE k = 1")
+    val lim = org.apache.spark.sql.connector.read.streaming
+      .ReadLimit.allAvailable()
+    // Poll 1: latest is past the ALTER, but the offset clamps to the
+    // last pre-evolution version — nothing under the old schema is
+    // skipped, nothing under the new schema leaks into this run.
+    val off1 = src.latestOffset(null, lim)
+    assert(off1 == org.apache.spark.sql.execution.streaming.runtime
+      .LongOffset(preAlter), s"expected clamp to $preAlter, got $off1")
+    // Poll 2 (previous batch committed): the run is drained — the
+    // typed error fires with everything a supervisor needs.
+    val ex = intercept[CdcSchemaEvolvedException] {
+      src.latestOffset(
+        org.apache.spark.sql.execution.streaming.runtime
+          .LongOffset(preAlter), lim)
+    }
+    assert(ex.additive && ex.atVersion == preAlter + 1, ex.getMessage)
+    assert(ex.addedColumns == Seq(("tier", "INT", Some("7"))),
+      ex.addedColumns.toString)
+  }
+
   test("replicaPipeline: change feed + MERGE apply converges the " +
       "replica to the source, including deletes, and replays converge") {
     val src = freshEngine()
