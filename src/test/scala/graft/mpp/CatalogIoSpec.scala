@@ -95,6 +95,47 @@ class CatalogIoSpec extends SparkTestBase {
     assert(io.mtimeMs(s"$dir/missing") == 0L)
   }
 
+  test("HadoopCatalogIo battery on a SECOND FileSystem implementation " +
+      "(RawLocalFileSystem — no checksum wrapper, raw create/rename)") {
+    // The default `file:` path goes through LocalFileSystem, a
+    // ChecksumFileSystem wrapper whose create/rename differ from raw
+    // POSIX calls (sidecar .crc files, wrapped streams). Running the
+    // same battery over RawLocalFileSystem exercises a genuinely
+    // different Hadoop code path — the closest this sandbox gets to a
+    // second real warehouse FS (MiniDFSCluster needs hadoop-hdfs test
+    // jars Spark does not ship).
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    conf.setClass("fs.file.impl",
+      classOf[org.apache.hadoop.fs.RawLocalFileSystem],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    conf.setBoolean("fs.file.impl.disable.cache", true)
+    val dir = Files.createTempDirectory("graft-rawfs").toString
+    val io = new HadoopCatalogIo(conf)
+    io.mkdirs(s"file:$dir/cat")
+    assert(io.exclusiveCreate(s"file:$dir/cat/v1.claim"))
+    assert(!io.exclusiveCreate(s"file:$dir/cat/v1.claim"))
+    io.atomicPublish(s"file:$dir/cat/CURRENT", "1".getBytes)
+    io.atomicPublish(s"file:$dir/cat/CURRENT", "2".getBytes)
+    assert(new String(io.readBytes(s"file:$dir/cat/CURRENT")) == "2")
+    assert(io.publishIfContent(s"file:$dir/cat/CURRENT", "3".getBytes,
+      Some("2".getBytes)))
+    assert(!io.publishIfContent(s"file:$dir/cat/CURRENT", "9".getBytes,
+      Some("2".getBytes)))
+    io.writeBytes(s"file:$dir/cat/v2.json", "{}".getBytes)
+    assert(io.exists(s"file:$dir/cat/v2.json"))
+    assert(io.mtimeMs(s"file:$dir/cat/v2.json") > 0L)
+    // RawLocalFileSystem writes no .crc sidecars — the listing is
+    // exactly the catalog files.
+    assert(io.listNames(s"file:$dir/cat").toSet ==
+      Set("v1.claim", "CURRENT", "v2.json"))
+    assert(io.listWithMtime(s"file:$dir/cat").forall(_._2 > 0L))
+    io.delete(s"file:$dir/cat/v2.json")
+    io.delete(s"file:$dir/cat/v2.json")
+    assert(!io.exists(s"file:$dir/cat/v2.json"))
+    assert(io.listNames(s"file:$dir/missing").isEmpty)
+  }
+
   test("a file:-URI warehouse resolves the CATALOG to the same root " +
       "as the DATA (nio must not treat 'file:/x' as a relative path)") {
     // Round-12 advisor (medium): java.nio's Paths.get("file:/tmp/wh")
