@@ -617,6 +617,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // so `RESTORE TABLE t TO VERSION AS OF <current>` sweeps it.
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // Logical names of the files this INSERT publishes — the manifest
+    // delta (commitManifest's incremental path needs no listing).
+    val addedLogical =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]
     val stagingName = "ins-" + UUID.randomUUID().toString
     val staging = s"$warehouse/.staging/$stagingName"
     val lease = new Path(s"$warehouse/.staging/$stagingName.lease")
@@ -655,11 +659,18 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             fs.mkdirs(dst) // idempotent under concurrent writers
             fs.listStatus(bd.getPath).foreach { f =>
               val target = new Path(dst, f.getPath.getName)
-              if (f.isFile) {
+              // Data files only: committer artifacts ('_'/'.'-prefixed)
+              // must neither land in live bucket dirs nor enter the
+              // manifest delta (liveLogicalFiles applies the same
+              // filter — the incremental manifest must too).
+              if (f.isFile && !f.getPath.getName.startsWith(".") &&
+                  !f.getPath.getName.startsWith("_")) {
                 if (!fs.rename(f.getPath, target))
                   throw new IllegalStateException(
                     s"INSERT ${t.name}: rename ${f.getPath} -> $dst failed")
                 moved.add((f.getPath, target))
+                addedLogical.add(
+                  s"${bd.getPath.getName}/${f.getPath.getName}")
                 ()
               }
             }
@@ -694,7 +705,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       fs.delete(lease, false)
     }
     refreshView(t)
-    commitManifest(t)
+    // graft.manifest.incremental=false restores the full-listing
+    // commit — kept ONLY so the incremental path's benefit stays
+    // A/B-measurable (IngestProbe records both).
+    commitManifest(t, addedFiles =
+      if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
+        Some {
+          import scala.jdk.CollectionConverters._
+          addedLogical.iterator().asScala.toVector.sorted
+        }
+      else None)
     observedLong(obs)
   }
 
@@ -1326,37 +1346,124 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(t.name))
     val fs = root.getFileSystem(conf)
-    (0 until t.buckets).iterator.flatMap { k =>
+    // One RPC per bucket (listStatus; a missing dir throws instead of
+    // costing a second exists probe), fanned out in parallel — this
+    // runs at the END OF EVERY data-mutating statement, and the
+    // previous serial exists+list walk was 2k sequential metadata
+    // RPCs: at 64Ki buckets on a real HDFS/S3 warehouse that is
+    // minutes of commit tail per statement; parallel single-RPC
+    // listing makes it seconds (the same fan-out the vacuum sweep and
+    // ZoneMapFileIndex use).
+    import scala.jdk.CollectionConverters._
+    (0 until t.buckets).toVector.asJava.parallelStream().map[Vector[String]] { k =>
       val d = new Path(root, s"$BucketCol=$k")
-      if (!fs.exists(d)) Iterator.empty
-      else fs.listStatus(d).iterator
+      try fs.listStatus(d).iterator
         .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
           !s.getPath.getName.startsWith("_"))
-        .map(s => s"$BucketCol=$k/${s.getPath.getName}")
-    }.toVector
+        .map(s => s"$BucketCol=$k/${s.getPath.getName}").toVector
+      catch { case _: java.io.FileNotFoundException => Vector.empty }
+    }.collect(java.util.stream.Collectors.toList[Vector[String]])
+      .asScala.toVector.flatten
   }
 
   /** Commit the table's current file set as this version's manifest:
     * write `_mpp_catalog/manifests/<uuid>.json`, point the catalog's
     * `tableManifests` entry at it (CAS snapshot commit), then
     * amortized-vacuum history beyond the retention window. Called at
-    * the end of every data-mutating statement. */
-  private def commitManifest(t: TableInfo,
-      tableTransform: TableInfo => TableInfo = identity): Unit = {
+    * the end of every data-mutating statement.
+    *
+    * `addedFiles` is the INCREMENTAL append path (round 13): a pure
+    * additive statement (INSERT) KNOWS its delta, so the new manifest
+    * is `previous manifest + delta` — zero listing RPCs — computed
+    * INSIDE the CAS closure from the freshly loaded state, so a lost
+    * race re-derives from the PEER's just-committed manifest and the
+    * two writers' deltas COMPOSE (the full-listing path can
+    * transiently miss a peer's mid-move files at that version; the
+    * incremental path cannot). Falls back to the full listing when no
+    * previous manifest survives. Manifest files written by lost CAS
+    * attempts are unreferenced and age-swept by vacuum. Same contract
+    * as all of time travel: history integrity assumes time travel was
+    * ON for the table's life (a `graft.timetravel.enabled=false`
+    * interlude leaves no archives to travel to either way — SURVEY
+    * §8). */
+  private[mpp] def commitManifest(t: TableInfo,
+      tableTransform: TableInfo => TableInfo = identity,
+      addedFiles: Option[Vector[String]] = None): Unit = {
     if (!timeTravelEnabled) return
-    val files = liveLogicalFiles(t)
-    val name = UUID.randomUUID().toString + ".json"
-    catalog.io.writeBytes(s"${catalog.manifestDir}/$name",
-      MppCatalog.mapper.writeValueAsBytes(files))
+    def writeManifest(files: Vector[String]): String = {
+      val name = UUID.randomUUID().toString + ".json"
+      catalog.io.writeBytes(s"${catalog.manifestDir}/$name",
+        MppCatalog.mapper.writeValueAsBytes(files))
+      name
+    }
     // ONE CAS commit carries both the manifest pointer and any table
     // metadata change (RESTORE's schema rollback rides here): no
     // retained version can ever pair new metadata with a stale file
     // set or vice versa.
-    catalog.mutate(s => s.copy(
-      tables = s.tables.map(x =>
-        if (x.tableOid == t.tableOid) tableTransform(x) else x),
-      tableManifests = s.tableManifests +
-        (t.tableOid.toString -> name)))
+    addedFiles match {
+      case Some(delta0) =>
+        // Defense in depth: the manifest's name rule (no committer
+        // artifacts) holds regardless of what a caller passes.
+        val delta = delta0.filterNot { f =>
+          val n = f.substring(f.indexOf('/') + 1)
+          n.startsWith(".") || n.startsWith("_")
+        }
+        // The manifest this statement's in-memory state derives from:
+        // committed BEFORE our moves, so it cannot contain our
+        // job-unique file names — composing against it needs no
+        // reconciliation at all (the common, uncontended case).
+        val baseManifest = catalog.state.tableManifests
+          .get(t.tableOid.toString)
+        val hconf = spark.sessionState.newHadoopConf()
+        val liveRoot = new Path(dataPath(t.name))
+        val liveFs = liveRoot.getFileSystem(hconf)
+        // Listed at most ONCE even across CAS retries (the fallback
+        // must not re-walk k buckets per rebase while holding the
+        // catalog monitor).
+        lazy val fullListing = liveLogicalFiles(t)
+        catalog.mutate { s =>
+          val prevName = s.tableManifests.get(t.tableOid.toString)
+          val prev = prevName
+            .map(n => s"${catalog.manifestDir}/$n")
+            .filter(catalog.io.exists)
+            .map(p => MppCatalog.mapper.readValue(
+              catalog.io.readBytes(p), classOf[Vector[String]]))
+          val files = prev match {
+            case None => fullListing
+            case Some(pf) if prevName == baseManifest => pf ++ delta
+            case Some(pf) =>
+              // CONTENDED: a peer committed a manifest for THIS table
+              // while the statement ran. Its full listing may already
+              // contain some of our mid-move files (DEDUPE, or the
+              // entry doubles), and its COW rewrite may have merged
+              // them into its own output and archived the originals
+              // (LIVENESS drop, or the version counts those rows
+              // twice: once in the peer's rewrite output, once via
+              // the archived original). Both checks touch only the
+              // DELTA — never the table.
+              val pset = pf.toSet
+              import scala.jdk.CollectionConverters._
+              val fresh = delta.filterNot(pset)
+                .asJava.parallelStream()
+                .filter(f => liveFs.exists(new Path(liveRoot, f)))
+                .collect(java.util.stream.Collectors
+                  .toList[String]).asScala.toVector
+              pf ++ fresh
+          }
+          s.copy(
+            tables = s.tables.map(x =>
+              if (x.tableOid == t.tableOid) tableTransform(x) else x),
+            tableManifests = s.tableManifests +
+              (t.tableOid.toString -> writeManifest(files)))
+        }
+      case None =>
+        val name = writeManifest(liveLogicalFiles(t))
+        catalog.mutate(s => s.copy(
+          tables = s.tables.map(x =>
+            if (x.tableOid == t.tableOid) tableTransform(x) else x),
+          tableManifests = s.tableManifests +
+            (t.tableOid.toString -> name)))
+    }
     // Amortize the sweep: every 16th commit per engine (the window is
     // 20 snapshots; a sweep every commit would re-read them all on
     // every DML statement for no added safety).

@@ -142,6 +142,89 @@ object IngestProbe {
     }
     concurrentPhase("concurrent")
 
+    // Phase 2.5 (GRAFT_INGEST_HIGHK=<k>): the manifest-commit tail at
+    // HIGH bucket count — the component that scales with k, not rows.
+    // A/B: incremental append manifests (previous manifest + delta,
+    // zero listing RPCs) vs the full re-listing (2 serial RPCs per
+    // bucket before round 13; 1 parallel RPC per bucket after). On a
+    // real HDFS/S3 warehouse each listing RPC is 1-5 ms, so at 64Ki
+    // buckets the full listing is minutes of commit tail per
+    // statement; locally the RPC is ~0.1 ms, so the contrast here
+    // UNDERSTATES the deployed win by the RPC-latency ratio.
+    sys.env.get("GRAFT_INGEST_HIGHK").map(_.toInt).foreach { hk =>
+      val ht = "orders_hk"
+      val he = new graft.mpp.MppEngine(spark, wh)
+      he.catalog.state.liveTable(ht) match {
+        case Some(t) =>
+          // A stale table at a DIFFERENT k would attribute the A/B
+          // numbers to the wrong bucket count — refuse, don't guess.
+          require(t.buckets == hk, s"existing $ht has ${t.buckets} " +
+            s"buckets, GRAFT_INGEST_HIGHK=$hk — drop it or match the k")
+        case None =>
+          he.createDistributedTable(ht, schemaDdl, keyCol, hk)
+          // Synthesized seed (the batch() generator): a parquet
+          // .limit(n) plans a single-partition GlobalLimit — the whole
+          // seed would funnel through one task before the bucket
+          // shuffle.
+          var s = spark.range(0, 20000000L).toDF("__id")
+          StructType.fromDDL(schemaDdl).fields.foreach { f =>
+            s = s.withColumn(f.name,
+              if (f.name.equalsIgnoreCase(keyCol)) col("__id")
+              else f.dataType match {
+                case org.apache.spark.sql.types.StringType =>
+                  concat(lit("seed-"), col("__id") % 97)
+                case t: org.apache.spark.sql.types.NumericType =>
+                  (col("__id") % 10007).cast(t)
+                case t => lit(null).cast(t)
+              })
+          }
+          he.insertInto(ht,
+            s.select(StructType.fromDDL(schemaDdl).fields
+              .map(f => col(f.name)): _*))
+          report("highk_seed", s"$hk buckets, 20M rows")
+      }
+      // INTERLEAVED A/B (incremental, full, incremental, full, …):
+      // each statement grows the table by ~hk files, so a
+      // tag-then-tag order would hand the second tag a strictly
+      // larger table; alternation spreads the growth evenly across
+      // both arms. Key ranges disjoint per statement (writer 9,
+      // distinct rounds).
+      val hkRows = 200000L
+      def hkBatch(r: Int) = {
+        val base = 30000000000L + r * 10000000L
+        val cols = StructType.fromDDL(schemaDdl).fields
+        var df = spark.range(base, base + hkRows).toDF("__id")
+        cols.foreach { f =>
+          df = df.withColumn(f.name,
+            if (f.name.equalsIgnoreCase(keyCol)) col("__id")
+            else f.dataType match {
+              case org.apache.spark.sql.types.StringType =>
+                concat(lit(s"hk-r$r-"), col("__id") % 97)
+              case t: org.apache.spark.sql.types.NumericType =>
+                (col("__id") % 10007).cast(t)
+              case t => lit(null).cast(t)
+            })
+        }
+        df.select(cols.map(f => col(f.name)): _*)
+      }
+      he.insertInto(ht, hkBatch(100)) // warm (codegen, listings)
+      val wall = scala.collection.mutable.Map(
+        "incremental" -> 0.0, "full_listing" -> 0.0)
+      (0 until 6).foreach { i =>
+        val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
+          else ("full_listing", "false")
+        spark.conf.set("graft.manifest.incremental", conf)
+        val t0 = System.nanoTime()
+        he.insertInto(ht, hkBatch(i))
+        wall(tag) += sec(t0)
+      }
+      spark.conf.unset("graft.manifest.incremental")
+      wall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
+        report(s"highk_$tag",
+          f"${w / 3}%.2f s/statement (${hkRows} rows, $hk buckets)")
+      }
+    }
+
     // Phase 3: the same race through the conditional-put object-store
     // catalog (emulated store; data side unchanged).
     if (sys.env.get("GRAFT_INGEST_OSIO").contains("1")) {

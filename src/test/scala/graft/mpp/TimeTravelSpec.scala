@@ -412,6 +412,149 @@ class TimeTravelSpec extends SparkTestBase {
       r.getAs[Long]("data_bytes") > 0L))
   }
 
+  test("incremental INSERT manifests: every version's snapshot is " +
+      "exact, two writers' deltas compose, missing base falls back") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE im(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    // Mixed history: appends (incremental manifests) interleaved with
+    // a COW UPDATE (full-listing manifest) — every retained version
+    // must reconstruct the exact cumulative state.
+    e.insertInto("im", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    e.insertInto("im", spark.range(100, 250).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v2 = e.catalog.currentVersionOnDisk
+    e.sql("UPDATE im SET v = -1 WHERE k < 50")
+    val v3 = e.catalog.currentVersionOnDisk
+    e.insertInto("im", spark.range(250, 300).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v4 = e.catalog.currentVersionOnDisk
+    assert(e.tableAsOf("im", v1).count() == 100)
+    assert(e.tableAsOf("im", v2).count() == 250)
+    assert(e.tableAsOf("im", v3).count() == 250)
+    assert(e.tableAsOf("im", v3).filter(col("v") === -1).count() == 50)
+    assert(e.tableAsOf("im", v4).count() == 300)
+    // The incremental manifest carries NO duplicates and exactly the
+    // live file set: it must equal a from-scratch listing's row set.
+    assert(e.table("im").count() == 300)
+
+    // Two ENGINES alternate appends: each commit's manifest derives
+    // from the PEER's freshly committed one (the CAS closure re-reads
+    // state on rebase), so the deltas compose — no version may miss
+    // either writer's rows.
+    val e2 = new MppEngine(spark, e.warehouse)
+    e.insertInto("im", spark.range(1000, 1100).toDF("k")
+      .withColumn("v", lit(1.0)))
+    e2.insertInto("im", spark.range(2000, 2100).toDF("k")
+      .withColumn("v", lit(2.0)))
+    e.insertInto("im", spark.range(3000, 3100).toDF("k")
+      .withColumn("v", lit(3.0)))
+    val vAll = e2.catalog.currentVersionOnDisk
+    assert(new MppEngine(spark, e.warehouse)
+      .tableAsOf("im", vAll).count() == 600)
+
+    // Fallback: with the base manifest FILE gone (swept), the next
+    // INSERT re-derives from a full listing — state stays exact.
+    val mDir = java.nio.file.Paths.get(e.catalog.manifestDir)
+    val s = java.nio.file.Files.list(mDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach(p =>
+        java.nio.file.Files.deleteIfExists(p))
+    } finally s.close()
+    val e3 = new MppEngine(spark, e.warehouse)
+    e3.insertInto("im", spark.range(4000, 4050).toDF("k")
+      .withColumn("v", lit(4.0)))
+    assert(e3.tableAsOf("im",
+      e3.catalog.currentVersionOnDisk).count() == 650)
+  }
+
+  test("CONTENDED incremental manifest: a delta entry the peer's " +
+      "manifest already carries dedupes; one the peer archived drops") {
+    // Deterministic reproduction of the race the compose path guards:
+    // e1's statement is mid-flight when e2 commits a full-listing
+    // manifest for the SAME table. e1's CAS rebase must then (a) not
+    // double-enter files the peer's listing already captured and
+    // (b) not resurrect files the peer's COW rewrite archived.
+    val e1 = freshEngine()
+    e1.sql("CREATE TABLE cm(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e1.insertInto("cm", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val t1 = e1.catalog.state.liveTable("cm").get
+    // A live logical file from a bucket the peer's UPDATE will NOT
+    // touch (k=1 hashes to one bucket; take a file from the other).
+    val dataRoot = java.nio.file.Paths.get(e1.warehouse, "data", "cm")
+    def liveLogical(): Set[String] = {
+      // LIVE bucket dirs only (never .archive), data files only (the
+      // manifest's name rule: no '.'/'_' committer artifacts).
+      import scala.jdk.CollectionConverters._
+      val buckets = java.nio.file.Files.list(dataRoot)
+      try buckets.iterator().asScala
+        .filter(d => java.nio.file.Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("bucket="))
+        .flatMap { d =>
+          val fs = java.nio.file.Files.list(d)
+          try fs.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith(".") &&
+              !p.getFileName.toString.startsWith("_"))
+            .map(p => s"${d.getFileName}/${p.getFileName}").toVector
+          finally fs.close()
+        }.toSet
+      finally buckets.close()
+    }
+    // Peer commit lands while e1's state is stale: e2 rewrites the
+    // k=1 bucket (archives its old file, full-listing manifest).
+    val e2 = new MppEngine(spark, e1.warehouse)
+    e2.sql("UPDATE cm SET v = -1 WHERE k = 1")
+    val peerFiles = liveLogical()
+    val dup = peerFiles.head // already in the peer's manifest
+    val ghost = "bucket=0/part-archived-by-peer.parquet"
+    // e1 (stale base) commits an incremental delta containing both.
+    e1.commitManifest(t1, addedFiles = Some(Vector(dup, ghost)))
+    val e3 = new MppEngine(spark, e1.warehouse)
+    val mName = e3.catalog.state.tableManifests(t1.tableOid.toString)
+    val manifest = MppCatalog.mapper.readValue(
+      e3.catalog.io.readBytes(
+        s"${e3.catalog.manifestDir}/$mName"), classOf[Vector[String]])
+    assert(manifest.distinct == manifest, s"duplicate entries: $manifest")
+    assert(!manifest.contains(ghost), s"dead entry resurrected: $manifest")
+    assert(manifest.toSet == peerFiles,
+      s"manifest ${manifest.toSet} != live $peerFiles")
+    assert(e3.tableAsOf("cm", e3.catalog.currentVersionOnDisk)
+      .count() == 100)
+  }
+
+  test("genuinely CONCURRENT appends from two engines: every row " +
+      "lands once, the final manifest is duplicate-free and live") {
+    val e1 = freshEngine()
+    e1.sql("CREATE TABLE cc(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    val e2 = new MppEngine(spark, e1.warehouse)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future((0 until 4).foreach(i =>
+      e1.insertInto("cc", spark.range(i * 1000, i * 1000 + 250)
+        .toDF("k").withColumn("v", lit(1.0)))))
+    val fb = Future((0 until 4).foreach(i =>
+      e2.insertInto("cc", spark.range(10000 + i * 1000,
+        10000 + i * 1000 + 250).toDF("k").withColumn("v", lit(2.0)))))
+    Await.result(fa.zip(fb), scala.concurrent.duration.Duration(300, "s"))
+    val e3 = new MppEngine(spark, e1.warehouse)
+    val t = e3.catalog.state.liveTable("cc").get
+    assert(e3.table("cc").count() == 2000)
+    assert(e3.tableAsOf("cc", e3.catalog.currentVersionOnDisk)
+      .count() == 2000, "final manifest must hold both writers' rows")
+    val mName = e3.catalog.state.tableManifests(t.tableOid.toString)
+    val manifest = MppCatalog.mapper.readValue(
+      e3.catalog.io.readBytes(
+        s"${e3.catalog.manifestDir}/$mName"), classOf[Vector[String]])
+    assert(manifest.distinct == manifest, "duplicate manifest entries")
+  }
+
   test("VACUUM reports stray live files (the staged INSERT's " +
       "driver-crash residue) and sweeps them only on explicit opt-in") {
     val e = freshEngine()
