@@ -261,10 +261,8 @@ object Bench {
     // scaled row that regressed >25% vs the previous BENCH_FULL.json
     // gets a fresh-JVM isolated number THIS round, so each regression
     // is either reproduced (then chased) or attributed to bench-
-    // context spread with the per-plan truth recorded. Rows under
-    // 0.1 s are exempt (pure scheduling noise at that size; logged
-    // via the regressed dict regardless). GRAFT_BENCH_ISOLATE_EXTRA
-    // remains a manual addition hook.
+    // context spread with the per-plan truth recorded.
+    // GRAFT_BENCH_ISOLATE_EXTRA remains a manual addition hook.
     val prevScaled: Map[String, Double] =
       try {
         val prev = mapperForPrev.readTree(java.nio.file.Files.readAllBytes(
@@ -280,14 +278,17 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     val regressed: Seq[(String, Double, Double)] = scaledRows.flatMap {
       case (n, cur) => prevScaled.get(n) match {
-        case Some(prev) if cur > prev * 1.25 && cur >= 0.1 =>
-          Some((n, prev, cur))
+        case Some(prev) if cur > prev * 1.25 => Some((n, prev, cur))
         case _ => None
       }
     }.sortBy(-_._3)
+    // Every regression is LOGGED in the artifact; only rows ≥0.1 s get
+    // an isolated fork (below that a fresh JVM measures scheduler
+    // noise, not the plan — but the dict must still show the row so a
+    // tiny query's blow-up is never invisible).
     val isoExtra = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_EXTRA", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq ++
-      regressed.map(_._1)
+      regressed.filter(_._3 >= 0.1).map(_._1)
     val (isoSrc, isoDir) =
       if (scaledRows.nonEmpty) (scaledRows, scaledDir)
       else (steady, sfDir)

@@ -66,12 +66,9 @@ trait CatalogIo {
       expect: Option[Array[Byte]]): Boolean = {
     val current =
       if (exists(dst)) Some(readBytes(dst)) else None
-    val matches = (current, expect) match {
-      case (None, None) => true
-      case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
-      case _ => false
-    }
-    if (matches) { atomicPublish(dst, bytes); true } else false
+    if (CatalogIo.contentMatches(current, expect)) {
+      atomicPublish(dst, bytes); true
+    } else false
   }
 
   /** Idempotent delete (no error when missing). */
@@ -98,14 +95,13 @@ final class LocalCatalogIo extends CatalogIo {
   // A `file:`-URI warehouse must land at the SAME absolute path the
   // engine's data side resolves through Hadoop: java.nio would treat
   // "file:/tmp/wh" as a RELATIVE path (a literal 'file:' directory
-  // under cwd), silently splitting the catalog from the data. Strip
-  // the scheme (and any empty authority) down to the absolute path.
+  // under cwd), and naive slash-collapsing would fold an authority
+  // into the path ('file://localhost/tmp' → /localhost/tmp) — either
+  // way silently splitting the catalog from the data. Resolve like
+  // Hadoop does: URI path, authority ignored.
   private def p(s: String) =
-    if (s.startsWith("file:")) {
-      val rest = s.substring("file:".length)
-      Paths.get(if (rest.startsWith("/")) "/" + rest.dropWhile(_ == '/')
-        else rest)
-    } else Paths.get(s)
+    if (s.startsWith("file:")) Paths.get(CatalogIo.stripFileScheme(s))
+    else Paths.get(s)
   override def mkdirs(dir: String): Unit = {
     Files.createDirectories(p(dir)); ()
   }
@@ -237,6 +233,38 @@ final class HadoopCatalogIo(conf: org.apache.hadoop.conf.Configuration)
 }
 
 object CatalogIo {
+
+  /** Fence-content comparison, WHITESPACE-TOLERANT: the reader side
+    * (`committedVersion`) trims, so the fence must too — an operator
+    * who repairs CURRENT by hand (`echo 5 > CURRENT` leaves a trailing
+    * newline) must not strand the warehouse in a state every read
+    * accepts but every commit's byte-exact fence rejects (a permanent
+    * misleading "lost N version races" failure — review-found). */
+  private[mpp] def contentMatches(current: Option[Array[Byte]],
+      expect: Option[Array[Byte]]): Boolean = (current, expect) match {
+    case (None, None) => true
+    case (Some(a), Some(b)) =>
+      new String(a, java.nio.charset.StandardCharsets.UTF_8).trim ==
+        new String(b, java.nio.charset.StandardCharsets.UTF_8).trim
+    case _ => false
+  }
+
+  /** Resolve a `file:`-URI to its absolute local path the way Hadoop
+    * does — through java.net.URI, so an authority component is NOT
+    * folded into the path ('file://localhost/tmp/wh' → /tmp/wh, never
+    * /localhost/tmp/wh); manual stripping only for strings URI cannot
+    * parse (e.g. unescaped spaces). */
+  private[mpp] def stripFileScheme(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      val p = u.getPath
+      if (p != null && p.nonEmpty) p else manualStrip(s)
+    } catch { case _: java.net.URISyntaxException => manualStrip(s) }
+
+  private def manualStrip(s: String): String = {
+    val rest = s.substring("file:".length)
+    if (rest.startsWith("/")) "/" + rest.dropWhile(_ == '/') else rest
+  }
 
   /** POSIX/HDFS-class schemes: all three primitives hold. `abfs[s]`
     * is ADLS Gen2 with a hierarchical namespace — real renames. */

@@ -618,9 +618,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
     // Logical names of the files this INSERT publishes — the manifest
-    // delta (commitManifest's incremental path needs no listing).
+    // delta (commitManifest's incremental path needs no listing) —
+    // and the manifest the table had BEFORE any move: the uncontended
+    // compose fast path is sound only against a manifest that cannot
+    // have seen this statement's files, which is precisely one
+    // committed before now.
     val addedLogical =
       new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val manifestBase = catalog.state.tableManifests.get(t.tableOid.toString)
     val stagingName = "ins-" + UUID.randomUUID().toString
     val staging = s"$warehouse/.staging/$stagingName"
     val lease = new Path(s"$warehouse/.staging/$stagingName.lease")
@@ -714,7 +719,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           import scala.jdk.CollectionConverters._
           addedLogical.iterator().asScala.toVector.sorted
         }
-      else None)
+      else None,
+      deltaBase = Some(manifestBase))
     observedLong(obs)
   }
 
@@ -1388,7 +1394,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * §8). */
   private[mpp] def commitManifest(t: TableInfo,
       tableTransform: TableInfo => TableInfo = identity,
-      addedFiles: Option[Vector[String]] = None): Unit = {
+      addedFiles: Option[Vector[String]] = None,
+      deltaBase: Option[Option[String]] = None): Unit = {
     if (!timeTravelEnabled) return
     def writeManifest(files: Vector[String]): String = {
       val name = UUID.randomUUID().toString + ".json"
@@ -1408,12 +1415,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           val n = f.substring(f.indexOf('/') + 1)
           n.startsWith(".") || n.startsWith("_")
         }
-        // The manifest this statement's in-memory state derives from:
-        // committed BEFORE our moves, so it cannot contain our
-        // job-unique file names — composing against it needs no
-        // reconciliation at all (the common, uncontended case).
-        val baseManifest = catalog.state.tableManifests
-          .get(t.tableOid.toString)
+        // The manifest committed BEFORE this statement's moves began —
+        // it cannot contain the statement's job-unique file names, so
+        // composing against it needs no reconciliation (the common,
+        // uncontended case). The CALLER must capture it before moving
+        // any file (a capture taken here, after the moves, could
+        // already reflect a peer's full listing that saw them —
+        // review-found); callers that cannot say pass None and every
+        // compose takes the reconciling path.
+        val baseManifest: Option[String] = deltaBase.flatten
         val hconf = spark.sessionState.newHadoopConf()
         val liveRoot = new Path(dataPath(t.name))
         val liveFs = liveRoot.getFileSystem(hconf)
@@ -1467,7 +1477,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // Amortize the sweep: every 16th commit per engine (the window is
     // 20 snapshots; a sweep every commit would re-read them all on
     // every DML statement for no added safety).
-    if (vacuumTick.incrementAndGet() % 16 == 0) vacuumTimeTravel()
+    if (vacuumTick.incrementAndGet() % 16 == 0)
+      vacuumTimeTravel(10 * 60 * 1000L, scanStrays = false)
   }
 
   private val vacuumTick = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1485,8 +1496,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * (round-11 "what's wrong #3"); deletions are tracked by counter,
     * never by re-listing the directory. Returns the reclaim/retain
     * accounting (round-11 item 1: VACUUM's answer must be measurable). */
-  def vacuumTimeTravel(
-      graceMs: Long = 10 * 60 * 1000L): VacuumStats = {
+  def vacuumTimeTravel(graceMs: Long = 10 * 60 * 1000L): VacuumStats =
+    vacuumTimeTravel(graceMs, scanStrays = true)
+
+  /** As [[vacuumTimeTravel]]; `scanStrays = false` skips the
+    * live-directory stray scan — the AMORTIZED per-16th-commit vacuum
+    * uses it, because that scan lists every live bucket dir of every
+    * table (O(total buckets) RPCs), which would reintroduce on the
+    * commit tail exactly the listing cost the incremental manifests
+    * removed. Explicit VACUUM (the SQL statement, the public
+    * overload) always scans. */
+  def vacuumTimeTravel(graceMs: Long, scanStrays: Boolean): VacuumStats = {
     val t0 = System.currentTimeMillis()
     val snaps = catalog.retainedVersions.flatMap(catalog.snapshotAt)
     if (snaps.isEmpty) return VacuumStats(0, 0, 0, 0, 0,
@@ -1581,6 +1601,25 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val strayBytes = new LongAdder
     val sweepStrays =
       spark.conf.get("graft.vacuum.sweepStrays", "false").toBoolean
+    // A stray's AGE cannot come from file mtime alone: rename preserves
+    // the staging write time, so a slow statement's freshly published
+    // files can look hours old (write at T, moves+commit at T+15min).
+    // The authoritative in-flight signal is the statement LEASE
+    // (heartbeat-refreshed every 60 s): while ANY lease in this
+    // warehouse is active, skip stray classification entirely — a
+    // mid-publish peer's files must never be reported, let alone
+    // swept. Crashed statements stop heart-beating, so the residue
+    // this scan exists for becomes classifiable within minutes.
+    val leaseActive = {
+      val staging = new Path(s"$warehouse/.staging")
+      val sfs = staging.getFileSystem(conf)
+      val horizon = System.currentTimeMillis() - 5 * 60 * 1000L
+      try sfs.exists(staging) && sfs.listStatus(staging).exists(s =>
+        s.getPath.getName.endsWith(".lease") &&
+          s.getModificationTime > horizon)
+      catch { case _: java.io.IOException => true } // unknown → assume
+    }
+    if (scanStrays && !leaseActive)
     catalog.state.tables.filterNot(_.deleted).foreach { t =>
       val oid = t.tableOid.toString
       if (catalog.state.tableManifests.contains(oid)) {

@@ -100,7 +100,10 @@ final class ObjectStoreCatalogIo(store: ConditionalStore) extends CatalogIo {
       expect: Option[Array[Byte]]): Boolean = expect match {
     case None => store.putIfAbsent(dst, bytes)
     case Some(b) => store.get(dst) match {
-      case Some((cur, etag)) if java.util.Arrays.equals(cur, b) =>
+      // Whitespace-tolerant content check (see CatalogIo.contentMatches)
+      // but the If-Match condition rides the EXACT current etag.
+      case Some((cur, etag))
+          if CatalogIo.contentMatches(Some(cur), Some(b)) =>
         // The If-Match condition re-verifies atomically at the store:
         // a writer that slips in between this read and the PUT changes
         // the etag and the PUT fails — no stall window.
@@ -141,11 +144,8 @@ final class ObjectStoreCatalogIo(store: ConditionalStore) extends CatalogIo {
 final class EmulatedObjectStore extends ConditionalStore {
 
   private def p(s: String): Path =
-    if (s.startsWith("file:")) {
-      val rest = s.substring("file:".length)
-      Paths.get(if (rest.startsWith("/")) "/" + rest.dropWhile(_ == '/')
-        else rest)
-    } else Paths.get(s)
+    if (s.startsWith("file:")) Paths.get(CatalogIo.stripFileScheme(s))
+    else Paths.get(s)
 
   private def etagOf(bytes: Array[Byte]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -192,38 +192,75 @@ final class EmulatedObjectStore extends ConditionalStore {
   override def putIfMatch(key: String, bytes: Array[Byte],
       etag: String): Boolean = {
     val dst = p(key)
-    withKeyLock(dst) {
+    withKeyLock(dst) { ownerStillHolds =>
       get(key) match {
-        case Some((_, cur)) if cur == etag => put(key, bytes); true
+        case Some((_, cur)) if cur == etag =>
+          // Re-verify ownership at the last instant before the write:
+          // a breaker that (wrongly or rightly) took the lock during a
+          // long stall must win ALONE — we abort rather than risk a
+          // second winner. Residual window: a stall longer than the
+          // 60 s break horizon BETWEEN this check and the move; a real
+          // store's server-side If-Match has none.
+          if (ownerStillHolds()) { put(key, bytes); true } else false
         case _ => false
       }
     }
   }
 
   /** Serializes If-Match compare-and-replace per key across JVMs: an
-    * O_EXCL sidecar, spun briefly, stale-broken by age (a holder that
-    * died mid-CAS must not wedge the warehouse — real stores have no
-    * such state to leak). */
-  private def withKeyLock[A](dst: Path)(body: => A): A = {
+    * OWNER-TOKENED O_EXCL sidecar. A holder that died mid-CAS must
+    * not wedge the warehouse, so locks older than 60 s (holders are
+    * sub-second; heart-beats are not worth the emulation's weight)
+    * are broken — by ATOMIC RENAME to a unique name, so exactly one
+    * breaker wins and a freshly re-acquired lock can never be deleted
+    * by a racer holding a stale observation (the delete-based break's
+    * TOCTOU — review-found). `body` receives an ownership probe for a
+    * last-instant re-check. */
+  private def withKeyLock[A](dst: Path)(body: (() => Boolean) => A): A = {
     val lock = dst.resolveSibling(dst.getFileName.toString + ".cas-lock")
-    val deadline = System.currentTimeMillis() + 10000
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + 30000
     var held = false
     while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
+      try {
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val age = try System.currentTimeMillis() -
             Files.getLastModifiedTime(lock).toMillis
             catch { case _: java.io.IOException => 0L }
-          if (age > 5000) { Files.deleteIfExists(lock); () }
-          else if (System.currentTimeMillis() > deadline)
+          if (age > 60000) {
+            // Atomic break: rename wins exactly once (the loop then
+            // re-contends for a fresh lock); the renamed-away file is
+            // uniquely ours to remove.
+            val broken = lock.resolveSibling(
+              lock.getFileName.toString + ".broken-" +
+                java.util.UUID.randomUUID())
+            try { Files.move(lock, broken); Files.deleteIfExists(broken); () }
+            catch { case _: java.io.IOException => } // raced: retry
+          } else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(s"emulated CAS lock wedged: $lock")
           else Thread.sleep(2)
         case _: java.io.IOException =>
-          Files.createDirectories(dst.getParent); ()
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"emulated CAS lock unusable: $lock")
+          Files.createDirectories(dst.getParent)
+          Thread.sleep(2)
       }
     }
-    try body finally { Files.deleteIfExists(lock); () }
+    def ownerStillHolds(): Boolean =
+      try new String(Files.readAllBytes(lock),
+        StandardCharsets.UTF_8) == token
+      catch { case _: java.io.IOException => false }
+    try body(ownerStillHolds _)
+    finally {
+      // Release ONLY our own lock: if a breaker renamed it away (and
+      // someone re-acquired), deleting blindly would free THEIR lock.
+      if (ownerStillHolds()) { Files.deleteIfExists(lock); () }
+    }
   }
 
   override def delete(key: String): Unit = {

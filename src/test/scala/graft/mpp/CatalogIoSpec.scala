@@ -165,6 +165,39 @@ class CatalogIoSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$root/_mpp_catalog")))
   }
 
+  test("a hand-repaired CURRENT with a trailing newline does not " +
+      "strand the warehouse: the fence is whitespace-tolerant like " +
+      "the reader") {
+    val wh = Files.createTempDirectory("graft-trim").toString
+    val e = new MppEngine(spark, wh)
+    e.sql("CREATE TABLE tr(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e.insertInto("tr", spark.range(0, 5).toDF("k")
+      .withColumn("v", org.apache.spark.sql.functions.lit(1.0)))
+    val cur = java.nio.file.Paths.get(wh, "_mpp_catalog", "CURRENT")
+    val v = new String(Files.readAllBytes(cur)).trim
+    Files.write(cur, (v + "\n").getBytes) // the `echo N > CURRENT` repair
+    // Reads still resolve…
+    assert(e.table("tr").count() == 5)
+    // …and the NEXT commit must succeed, not burn its CAS retries
+    // against a byte-exact fence the reader side would have accepted.
+    val e2 = new MppEngine(spark, wh)
+    e2.sql("UPDATE tr SET v = -1 WHERE k = 0")
+    assert(e2.table("tr").filter(
+      org.apache.spark.sql.functions.col("v") === -1).count() == 1)
+  }
+
+  test("a file:-URI warehouse WITH an authority resolves like Hadoop " +
+      "(authority ignored), never folded into the path") {
+    val root = Files.createTempDirectory("graft-fileauth").toString
+    val io = CatalogIo.forWarehouse(spark, s"file://localhost$root")
+    io.writeBytes(s"file://localhost$root/probe", "9".getBytes)
+    assert(Files.exists(java.nio.file.Paths.get(s"$root/probe")),
+      "authority must not become a path component")
+    assert(!Files.exists(java.nio.file.Paths.get(s"/localhost$root/probe")))
+    assert(new String(io.readBytes(s"file://localhost$root/probe")) == "9")
+  }
+
   test("EmulatedObjectStore honors the conditional-write contract: " +
       "atomic PUT visibility, If-None-Match create, If-Match CAS") {
     val root = Files.createTempDirectory("graft-emustore").toString
