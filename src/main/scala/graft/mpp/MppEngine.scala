@@ -248,6 +248,67 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     refreshView(t)
   }
 
+  /** `ALTER TABLE t REBUCKET n` — ONLINE bucket-count change
+    * (capability superset: the reference fixes shard count at creation,
+    * `create_distributed_table.cpp:134-140`; Citus ships the same
+    * operation as `alter_distributed_table(shard_count)`). The k chosen
+    * at creation is the one knob a growing deployment cannot otherwise
+    * revisit: a table created at 32 buckets that grows to 10 TB caps
+    * every colocated join and COW rewrite at 32-way parallelism, and
+    * one created at 64Ki buckets pays 64Ki-file statements forever.
+    *
+    * One routed COW rewrite of the whole table into the new layout:
+    * scan under the current snapshot, recompute the bucket id under
+    * the new count, stage, swap every bucket dir of BOTH layouts
+    * (grow: new dirs appear; shrink: dirs beyond the new k archive
+    * away), and commit bucket count + shard bookkeeping in the SAME
+    * CAS as the manifest pointer — no retained version pairs either
+    * layout's file set with the other's bucket count. Readers stay
+    * live throughout (per-bucket move-aside swap); time travel across
+    * the boundary reads the archived old layout like any rewrite;
+    * RESTORE to a pre-rebucket version puts the old count back with
+    * the old files. Cost: one full shuffle + write with
+    * bytes-proportional tasks (the stageAndSwap machinery) — the same
+    * shape as OPTIMIZE over the whole table, which is the honest
+    * price of re-hashing every row. */
+  def rebucket(rawName: String, newBuckets: Int): Unit = {
+    val name = localKey(rawName)
+    val t = info(name)
+    require(newBuckets > 0,
+      s"REBUCKET: bucket count must be positive: $newBuckets")
+    if (newBuckets == t.buckets) return
+    val out = readWithBucket(t)
+      .select(userSchema(t).fieldNames.map(col): _*)
+      .withColumn(BucketCol,
+        pmod(hash(col(t.partitionColumn)), lit(newBuckets)))
+    val affected = (0 until math.max(t.buckets, newBuckets)).toSet
+    val tNew = t.copy(buckets = newBuckets)
+    stageAndSwap(tNew, affected, out, shuffle = true,
+      sizeHint = affectedBytes(t, (0 until t.buckets).toSet),
+      tableTransform = _.copy(buckets = newBuckets),
+      stateTransform = reshardState(t.tableOid, newBuckets))
+    // With time travel off there is no manifest commit to carry the
+    // metadata — apply it directly.
+    if (!timeTravelEnabled) catalog.mutate(s =>
+      reshardState(t.tableOid, newBuckets)(s.copy(
+        tables = s.tables.map(x =>
+          if (x.tableOid == t.tableOid) x.copy(buckets = newBuckets)
+          else x))))
+    BucketPruning.register(dataPath(name), t.partitionColumn, newBuckets)
+    graft.sources.ColocatedFileIndex.invalidate(dataPath(name))
+    refreshView(info(name))
+  }
+
+  /** Re-derive the round-robin shard bookkeeping for a table's new
+    * bucket count (same placement rule as createDistributedTable). */
+  private def reshardState(oid: Long, buckets: Int)(
+      s: CatalogState): CatalogState = {
+    val nodes = if (s.nodes.isEmpty) Vector("localhost:0")
+      else s.nodes.map(n => s"${n.host}:${n.port}")
+    s.copy(shards = s.shards.filterNot(_.tableOid == oid) ++
+      (0 until buckets).map(i => ShardInfo(oid, i, nodes(i % nodes.size))))
+  }
+
   // --- schema evolution (capability superset: the reference rejects
   // ALTER wholesale, mpp_schema_entry.cpp:158-160 — same precedent as
   // CTAS/MERGE/OPTIMIZE). Both statements are METADATA-ONLY: no data
@@ -601,31 +662,47 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // groups bounded for later intra-bucket scan parallelism (see
       // stageAndSwap's rationale).
       .repartition(t.buckets, bucketRouting((0 until t.buckets).toSet))
-    // Write to a LEASED per-statement staging dir, then MOVE each file
-    // into its live bucket dir — renames only, file names are
-    // job-unique. A SaveMode.Append straight at the table root shares
-    // Hadoop's hardcoded `_temporary` pending dir across concurrent
-    // jobs in one application: a peer INSERT's job cleanup deletes
-    // this job's in-flight task outputs (observed as task-retry storms
-    // in ClusterCheck's concurrent-writer case) and the shared
-    // committer state has silent-loss corners. Per-statement staging
-    // removes the shared state entirely; two engines' INSERTs now
-    // interleave without touching each other's files. A crash
-    // mid-move leaves a partial append visible — the reference's own
-    // non-transactional data guarantee (README.md:115); with time
-    // travel on the partial is absent from every committed manifest,
-    // so `RESTORE TABLE t TO VERSION AS OF <current>` sweeps it.
-    val dataRoot = new Path(dataPath(t.name))
-    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    // Logical names of the files this INSERT publishes — the manifest
-    // delta (commitManifest's incremental path needs no listing) —
-    // and the manifest the table had BEFORE any move: the uncontended
+    // The manifest the table had BEFORE any move: the uncontended
     // compose fast path is sound only against a manifest that cannot
     // have seen this statement's files, which is precisely one
     // committed before now.
+    val manifestBase = catalog.state.tableManifests.get(t.tableOid.toString)
+    val added = stagedAppend(t, shaped)
+    refreshView(t)
+    // graft.manifest.incremental=false restores the full-listing
+    // commit — kept ONLY so the incremental path's benefit stays
+    // A/B-measurable (IngestProbe records both).
+    commitManifest(t, addedFiles =
+      if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
+        Some(added)
+      else None,
+      deltaBase = Some(manifestBase))
+    observedLong(obs)
+  }
+
+  /** Write `shaped` (user columns + BucketCol, already
+    * partition-shaped) into a LEASED per-statement staging dir, then
+    * MOVE each data file into its live bucket dir — renames only, file
+    * names are job-unique. Returns the published files' logical names
+    * (the caller's manifest delta). Shared by INSERT and the MERGE
+    * insert-only fast path: a SaveMode.Append straight at the table
+    * root shares Hadoop's hardcoded `_temporary` pending dir across
+    * concurrent jobs in one application — a peer job's cleanup deletes
+    * this job's in-flight task outputs (observed as task-retry storms
+    * in ClusterCheck's concurrent-writer case) and the shared
+    * committer state has silent-loss corners. Per-statement staging
+    * removes the shared state entirely; two engines' appends
+    * interleave without touching each other's files. A crash mid-move
+    * leaves a partial append visible — the reference's own
+    * non-transactional data guarantee (README.md:115); with time
+    * travel on the partial is absent from every committed manifest,
+    * so `RESTORE TABLE t TO VERSION AS OF <current>` sweeps it. */
+  private def stagedAppend(t: TableInfo,
+      shaped: DataFrame): Vector[String] = {
+    val dataRoot = new Path(dataPath(t.name))
+    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val addedLogical =
       new java.util.concurrent.ConcurrentLinkedQueue[String]
-    val manifestBase = catalog.state.tableManifests.get(t.tableOid.toString)
     val stagingName = "ins-" + UUID.randomUUID().toString
     val staging = s"$warehouse/.staging/$stagingName"
     val lease = new Path(s"$warehouse/.staging/$stagingName.lease")
@@ -672,7 +749,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
                   !f.getPath.getName.startsWith("_")) {
                 if (!fs.rename(f.getPath, target))
                   throw new IllegalStateException(
-                    s"INSERT ${t.name}: rename ${f.getPath} -> $dst failed")
+                    s"append ${t.name}: rename ${f.getPath} -> $dst failed")
                 moved.add((f.getPath, target))
                 addedLogical.add(
                   s"${bd.getPath.getName}/${f.getPath.getName}")
@@ -695,7 +772,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
                 catch { case u: Exception => Some(u) }
               undoFailure.foreach { u =>
                 e.addSuppressed(new IllegalStateException(
-                  s"INSERT ${t.name}: ROLLBACK INCOMPLETE — undo rename " +
+                  s"append ${t.name}: ROLLBACK INCOMPLETE — undo rename " +
                     s"$dst -> $src failed; the partial append is VISIBLE. " +
                     "With time travel on, `RESTORE TABLE " + t.name +
                     " TO VERSION AS OF <current>` sweeps it.", u))
@@ -709,19 +786,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       fs.delete(new Path(staging), true)
       fs.delete(lease, false)
     }
-    refreshView(t)
-    // graft.manifest.incremental=false restores the full-listing
-    // commit — kept ONLY so the incremental path's benefit stays
-    // A/B-measurable (IngestProbe records both).
-    commitManifest(t, addedFiles =
-      if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
-        Some {
-          import scala.jdk.CollectionConverters._
-          addedLogical.iterator().asScala.toVector.sorted
-        }
-      else None,
-      deltaBase = Some(manifestBase))
-    observedLong(obs)
+    import scala.jdk.CollectionConverters._
+    addedLogical.iterator().asScala.toVector.sorted
   }
 
   /** Runtime NOT NULL rejection for declared non-nullable columns — the
@@ -839,6 +905,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val conf = spark.sessionState.newHadoopConf()
         val dataRoot = new Path(dataPath(t.name))
         val fs = dataRoot.getFileSystem(conf)
+        val manifestBase =
+          catalog.state.tableManifests.get(t.tableOid.toString)
         val tag = UUID.randomUUID().toString // truncate archive gen
         (0 until t.buckets).foreach { k =>
           val d = new Path(dataRoot, s"$BucketCol=$k")
@@ -846,7 +914,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             new Path(archiveDirFor(t, tag), s"$BucketCol=$k"))
         }
         refreshView(t)
-        commitManifest(t)
+        // Every bucket replaced with nothing: the manifest delta is a
+        // constant-size record, zero listing RPCs at any bucket count.
+        commitManifest(t,
+          replacedBuckets = Some(((0 until t.buckets).toSet,
+            Vector.empty[String])),
+          deltaBase = Some(manifestBase))
         n
       case _ =>
         val cond = where.map(expr).getOrElse(lit(true))
@@ -1139,7 +1212,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   private def stageAndSwap(t: TableInfo, affected: Set[Int],
       out: DataFrame, sortBy: Seq[String] = Nil,
       shuffle: Boolean = true, sizeHint: Long = -1L,
-      dropAfterSort: Seq[String] = Nil): Unit = {
+      dropAfterSort: Seq[String] = Nil,
+      tableTransform: TableInfo => TableInfo = identity,
+      stateTransform: CatalogState => CatalogState = identity): Unit = {
     // Operational knob: `graft.cow.shuffleWrites=true` forces every
     // rewrite through the routed exchange — a deployment that values
     // the compact file-per-bucket layout over rewrite latency (e.g.
@@ -1151,6 +1226,9 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val conf = spark.sessionState.newHadoopConf()
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(conf)
+    // Manifest the table had BEFORE any of this rewrite's moves — the
+    // delta commit's uncontended-compose anchor (see commitManifest).
+    val manifestBase = catalog.state.tableManifests.get(t.tableOid.toString)
     val stagingName = UUID.randomUUID().toString
     val staging = s"$warehouse/.staging/$stagingName"
     // Lease heartbeat: a sibling `<uuid>.lease` file touched every
@@ -1303,7 +1381,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     fs.delete(new Path(staging), true)
     fs.delete(lease, false)
     refreshView(t)
-    commitManifest(t)
+    // The swap replaced exactly `affected`'s bucket dirs: the manifest
+    // delta lists those dirs' new contents (O(affected) RPCs) against
+    // the pre-rewrite base — never the whole table.
+    commitManifest(t, tableTransform,
+      replacedBuckets =
+        Some((affected, liveLogicalFiles(t, affected.toVector.sorted))),
+      deltaBase = Some(manifestBase),
+      stateTransform = stateTransform)
   }
 
   // --- time travel (VERSION AS OF over the versioned catalog) ----------
@@ -1348,7 +1433,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * bucket dirs — the same O(files) metadata pass every commit of a
     * file-pointer catalog performs (Delta's JSON action log, Iceberg's
     * manifest write). */
-  private def liveLogicalFiles(t: TableInfo): Vector[String] = {
+  private def liveLogicalFiles(t: TableInfo): Vector[String] =
+    liveLogicalFiles(t, (0 until t.buckets).toVector)
+
+  /** As above, restricted to `buckets` — the COW commit's shape: a
+    * narrow rewrite that swapped 3 of 64Ki bucket dirs lists exactly
+    * those 3 (its manifest delta's `add` side), not the table. */
+  private def liveLogicalFiles(t: TableInfo,
+      buckets: Vector[Int]): Vector[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(t.name))
     val fs = root.getFileSystem(conf)
@@ -1361,7 +1453,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // listing makes it seconds (the same fan-out the vacuum sweep and
     // ZoneMapFileIndex use).
     import scala.jdk.CollectionConverters._
-    (0 until t.buckets).toVector.asJava.parallelStream().map[Vector[String]] { k =>
+    buckets.asJava.parallelStream().map[Vector[String]] { k =>
       val d = new Path(root, s"$BucketCol=$k")
       try fs.listStatus(d).iterator
         .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
@@ -1370,6 +1462,76 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       catch { case _: java.io.FileNotFoundException => Vector.empty }
     }.collect(java.util.stream.Collectors.toList[Vector[String]])
       .asScala.toVector.flatten
+  }
+
+  // --- manifest delta log (format v2) ---------------------------------
+  // A manifest file is either a FULL file list (v1: a plain JSON array
+  // — every pre-round-13 manifest, and every checkpoint) or a DELTA
+  // against a base manifest (v2: `{"v":2,"base":name,"depth":n,
+  // "add":[logical files],"replaced":[bucket ids]}`). A version's file
+  // set reconstructs as
+  //   files(base) minus (entries in `replaced` buckets) plus `add`
+  // — INSERT writes {add}, a COW bucket swap writes {replaced, add},
+  // TRUNCATE writes {replaced=all}. Chain length is bounded by
+  // checkpointing (commitManifest), so reads stay O(chain ≤ N small
+  // files) and the retained window pins at most one checkpoint past
+  // its oldest reference.
+
+  private val ManifestDepthRe = """-d(\d+)\.json$""".r
+
+  /** Chain depth encoded in the manifest NAME (`<uuid>-d<k>.json`) so
+    * the uncontended commit can decide delta-vs-checkpoint without a
+    * read; full manifests (plain `<uuid>.json`) are depth 0. */
+  private def manifestDepth(name: String): Int =
+    ManifestDepthRe.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
+
+  /** Bucket id of a logical manifest entry (`bucket=k/fileName`). */
+  private def manifestBucketOf(f: String): Int = {
+    val seg = f.substring(0, f.indexOf('/'))
+    seg.substring(seg.indexOf('=') + 1).toInt
+  }
+
+  /** Reconstruct manifest `name`'s logical file list, following the
+    * base chain to the nearest checkpoint. Returns None when the
+    * manifest — or ANY base in its chain — is gone (swept beyond the
+    * retention window): a delta without its base is unreadable by
+    * construction, which is why vacuum retains the transitive closure.
+    * `memo` (name → result) serves passes that read many manifests of
+    * one window (vacuum, DESCRIBE HISTORY, tableChanges): retained
+    * versions' chains share checkpoints, so the window reads each
+    * physical file once. */
+  private[mpp] def loadManifest(name: String,
+      memo: scala.collection.mutable.Map[String, Option[Vector[String]]] = null)
+      : Option[Vector[String]] = {
+    val cached = if (memo != null) memo.get(name) else None
+    cached.getOrElse {
+      val p = s"${catalog.manifestDir}/$name"
+      val bytes =
+        try { if (catalog.io.exists(p)) Some(catalog.io.readBytes(p)) else None }
+        catch { case _: java.io.FileNotFoundException => None }
+      val r = bytes.flatMap { b =>
+        val node = MppCatalog.mapper.readTree(b)
+        if (node.isArray) {
+          import scala.jdk.CollectionConverters._
+          Some(node.elements().asScala.map(_.asText()).toVector)
+        } else {
+          import scala.jdk.CollectionConverters._
+          val base = node.get("base").asText()
+          val add = Option(node.get("add"))
+            .map(_.elements().asScala.map(_.asText()).toVector)
+            .getOrElse(Vector.empty)
+          val replaced = Option(node.get("replaced"))
+            .map(_.elements().asScala.map(_.asInt()).toSet)
+            .getOrElse(Set.empty[Int])
+          loadManifest(base, memo).map { bf =>
+            (if (replaced.isEmpty) bf
+             else bf.filterNot(f => replaced.contains(manifestBucketOf(f)))) ++ add
+          }
+        }
+      }
+      if (memo != null) memo(name) = r
+      r
+    }
   }
 
   /** Commit the table's current file set as this version's manifest:
@@ -1385,65 +1547,110 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * race re-derives from the PEER's just-committed manifest and the
     * two writers' deltas COMPOSE (the full-listing path can
     * transiently miss a peer's mid-move files at that version; the
-    * incremental path cannot). Falls back to the full listing when no
-    * previous manifest survives. Manifest files written by lost CAS
-    * attempts are unreferenced and age-swept by vacuum. Same contract
-    * as all of time travel: history integrity assumes time travel was
-    * ON for the table's life (a `graft.timetravel.enabled=false`
-    * interlude leaves no archives to travel to either way — SURVEY
-    * §8). */
+    * incremental path cannot). `replacedBuckets` is the COW twin: a
+    * bucket-granular rewrite KNOWS which bucket dirs it swapped and
+    * what now lives there, so its manifest is `previous manifest −
+    * those buckets' entries + the new files`. Falls back to the full
+    * listing when no previous manifest survives or a peer contended.
+    *
+    * Manifests are a DELTA LOG with checkpoints (round 13, second
+    * wave): the incremental paths write a small v2 delta file
+    * (`{base, depth, add, replaced}`) instead of re-serializing the
+    * whole table's file list — per-commit metadata I/O is O(statement)
+    * instead of O(table files), the term that dominates the commit
+    * tail once a table holds millions of files. Every
+    * `graft.manifest.checkpointEvery`-th chain link (default 10)
+    * writes a FULL manifest (a plain JSON array — the v1 format, so
+    * old manifests read unchanged as depth-0 checkpoints), bounding
+    * every read's reconstruction walk and the window's base-retention
+    * overhead. Readers reconstruct via [[loadManifest]]; vacuum keeps
+    * the transitive base CLOSURE of every retained reference alive.
+    * Manifest files written by lost CAS attempts are unreferenced and
+    * age-swept by vacuum. Same contract as all of time travel: history
+    * integrity assumes time travel was ON for the table's life (a
+    * `graft.timetravel.enabled=false` interlude leaves no archives to
+    * travel to either way — SURVEY §8). */
   private[mpp] def commitManifest(t: TableInfo,
       tableTransform: TableInfo => TableInfo = identity,
       addedFiles: Option[Vector[String]] = None,
-      deltaBase: Option[Option[String]] = None): Unit = {
+      deltaBase: Option[Option[String]] = None,
+      replacedBuckets: Option[(Set[Int], Vector[String])] = None,
+      stateTransform: CatalogState => CatalogState = identity): Unit = {
     if (!timeTravelEnabled) return
-    def writeManifest(files: Vector[String]): String = {
+    val incremental =
+      spark.conf.get("graft.manifest.incremental", "true").toBoolean
+    val checkpointEvery = math.max(1, spark.conf
+      .get("graft.manifest.checkpointEvery", "10").toInt)
+    def writeFull(files: Vector[String]): String = {
       val name = UUID.randomUUID().toString + ".json"
       catalog.io.writeBytes(s"${catalog.manifestDir}/$name",
         MppCatalog.mapper.writeValueAsBytes(files))
       name
     }
+    def writeDelta(base: String, depth: Int, add: Vector[String],
+        replaced: Vector[Int]): String = {
+      // Depth rides in the NAME so the uncontended commit decides
+      // full-vs-delta without reading anything.
+      val name = UUID.randomUUID().toString + s"-d$depth.json"
+      val node = MppCatalog.mapper.createObjectNode()
+      node.put("v", 2)
+      node.put("base", base)
+      node.put("depth", depth)
+      val a = node.putArray("add")
+      add.foreach(a.add)
+      val r = node.putArray("replaced")
+      replaced.foreach(r.add)
+      catalog.io.writeBytes(s"${catalog.manifestDir}/$name",
+        MppCatalog.mapper.writeValueAsBytes(node))
+      name
+    }
+    // The manifest committed BEFORE this statement's moves began —
+    // composing against it needs no reconciliation (the common,
+    // uncontended case). The CALLER must capture it before moving
+    // any file (a capture taken here, after the moves, could
+    // already reflect a peer's full listing that saw them —
+    // review-found); callers that cannot say pass None and every
+    // compose takes the reconciling path.
+    val baseManifest: Option[String] = deltaBase.flatten
+    // Listed at most ONCE even across CAS retries (the fallback
+    // must not re-walk k buckets per rebase while holding the
+    // catalog monitor).
+    lazy val fullListing = liveLogicalFiles(t)
     // ONE CAS commit carries both the manifest pointer and any table
     // metadata change (RESTORE's schema rollback rides here): no
     // retained version can ever pair new metadata with a stale file
     // set or vice versa.
-    addedFiles match {
-      case Some(delta0) =>
+    (addedFiles, replacedBuckets) match {
+      case (Some(delta0), _) if incremental =>
         // Defense in depth: the manifest's name rule (no committer
         // artifacts) holds regardless of what a caller passes.
         val delta = delta0.filterNot { f =>
           val n = f.substring(f.indexOf('/') + 1)
           n.startsWith(".") || n.startsWith("_")
         }
-        // The manifest committed BEFORE this statement's moves began —
-        // it cannot contain the statement's job-unique file names, so
-        // composing against it needs no reconciliation (the common,
-        // uncontended case). The CALLER must capture it before moving
-        // any file (a capture taken here, after the moves, could
-        // already reflect a peer's full listing that saw them —
-        // review-found); callers that cannot say pass None and every
-        // compose takes the reconciling path.
-        val baseManifest: Option[String] = deltaBase.flatten
         val hconf = spark.sessionState.newHadoopConf()
         val liveRoot = new Path(dataPath(t.name))
         val liveFs = liveRoot.getFileSystem(hconf)
-        // Listed at most ONCE even across CAS retries (the fallback
-        // must not re-walk k buckets per rebase while holding the
-        // catalog monitor).
-        lazy val fullListing = liveLogicalFiles(t)
         catalog.mutate { s =>
           val prevName = s.tableManifests.get(t.tableOid.toString)
-          val prev = prevName
-            .map(n => s"${catalog.manifestDir}/$n")
-            .filter(catalog.io.exists)
-            .map(p => MppCatalog.mapper.readValue(
-              catalog.io.readBytes(p), classOf[Vector[String]]))
-          val files = prev match {
-            case None => fullListing
-            case Some(pf) if prevName == baseManifest => pf ++ delta
-            case Some(pf) =>
+          val name = prevName match {
+            case None => writeFull(fullListing)
+            case Some(pn) if prevName == baseManifest &&
+                catalog.io.exists(s"${catalog.manifestDir}/$pn") =>
+              // Uncontended: the base cannot contain this statement's
+              // job-unique names — commit is ONE small write plus ONE
+              // existence probe (the probe is what lets an
+              // out-of-band-swept base heal via the fallback below
+              // instead of chaining a delta onto a hole).
+              val depth = manifestDepth(pn) + 1
+              if (depth < checkpointEvery) writeDelta(pn, depth, delta, Vector.empty)
+              else loadManifest(pn) match {
+                case Some(pf) => writeFull(pf ++ delta)
+                case None => writeFull(fullListing)
+              }
+            case Some(pn) =>
               // CONTENDED: a peer committed a manifest for THIS table
-              // while the statement ran. Its full listing may already
+              // while the statement ran. Its listing may already
               // contain some of our mid-move files (DEDUPE, or the
               // entry doubles), and its COW rewrite may have merged
               // them into its own output and archived the originals
@@ -1451,28 +1658,68 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
               // twice: once in the peer's rewrite output, once via
               // the archived original). Both checks touch only the
               // DELTA — never the table.
-              val pset = pf.toSet
-              import scala.jdk.CollectionConverters._
-              val fresh = delta.filterNot(pset)
-                .asJava.parallelStream()
-                .filter(f => liveFs.exists(new Path(liveRoot, f)))
-                .collect(java.util.stream.Collectors
-                  .toList[String]).asScala.toVector
-              pf ++ fresh
+              loadManifest(pn) match {
+                case None => writeFull(fullListing)
+                case Some(pf) =>
+                  val pset = pf.toSet
+                  import scala.jdk.CollectionConverters._
+                  val fresh = delta.filterNot(pset)
+                    .asJava.parallelStream()
+                    .filter(f => liveFs.exists(new Path(liveRoot, f)))
+                    .collect(java.util.stream.Collectors
+                      .toList[String]).asScala.toVector
+                  val depth = manifestDepth(pn) + 1
+                  if (depth < checkpointEvery)
+                    writeDelta(pn, depth, fresh, Vector.empty)
+                  else writeFull(pf ++ fresh)
+              }
           }
-          s.copy(
+          stateTransform(s.copy(
             tables = s.tables.map(x =>
               if (x.tableOid == t.tableOid) tableTransform(x) else x),
             tableManifests = s.tableManifests +
-              (t.tableOid.toString -> writeManifest(files)))
+              (t.tableOid.toString -> name)))
         }
-      case None =>
-        val name = writeManifest(liveLogicalFiles(t))
-        catalog.mutate(s => s.copy(
+      case (_, Some((affected, newFiles0))) if incremental =>
+        val newFiles = newFiles0.filterNot { f =>
+          val n = f.substring(f.indexOf('/') + 1)
+          n.startsWith(".") || n.startsWith("_")
+        }
+        catalog.mutate { s =>
+          val prevName = s.tableManifests.get(t.tableOid.toString)
+          val name = prevName match {
+            case Some(pn) if prevName == baseManifest &&
+                catalog.io.exists(s"${catalog.manifestDir}/$pn") =>
+              val depth = manifestDepth(pn) + 1
+              if (depth < checkpointEvery)
+                writeDelta(pn, depth, newFiles, affected.toVector.sorted)
+              else loadManifest(pn) match {
+                case Some(pf) =>
+                  writeFull(pf.filterNot(f =>
+                    affected.contains(manifestBucketOf(f))) ++ newFiles)
+                case None => writeFull(fullListing)
+              }
+            case _ =>
+              // No base, or a peer contended mid-rewrite: a concurrent
+              // writer may have appended into the very buckets this
+              // statement swapped — its files went through the swap
+              // (or not) in ways only the filesystem knows. List the
+              // truth (exactly the pre-round-13 behavior).
+              writeFull(fullListing)
+          }
+          stateTransform(s.copy(
+            tables = s.tables.map(x =>
+              if (x.tableOid == t.tableOid) tableTransform(x) else x),
+            tableManifests = s.tableManifests +
+              (t.tableOid.toString -> name)))
+        }
+      case _ =>
+        val name = writeFull(fullListing)
+        catalog.mutate(s => stateTransform(s.copy(
           tables = s.tables.map(x =>
             if (x.tableOid == t.tableOid) tableTransform(x) else x),
           tableManifests = s.tableManifests +
-            (t.tableOid.toString -> name)))
+            (t.tableOid.toString -> name))))
     }
     // Amortize the sweep: every 16th commit per engine (the window is
     // 20 snapshots; a sweep every commit would re-read them all on
@@ -1511,18 +1758,25 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val snaps = catalog.retainedVersions.flatMap(catalog.snapshotAt)
     if (snaps.isEmpty) return VacuumStats(0, 0, 0, 0, 0,
       System.currentTimeMillis() - t0)
-    val liveManifests = snaps.flatMap(_.tableManifests.values).toSet
     val mDir = catalog.manifestDir
     val referenced = scala.collection.mutable.Map
       .empty[String, Set[String]] // oid -> logical files
+    // The memo doubles as the chain walk: after reconstructing every
+    // retained reference, its keys are exactly the manifests those
+    // references transitively NEED (each delta's base chain down to a
+    // checkpoint) — the set the sweep must keep. Deleting a base still
+    // referenced by a live delta would make a retained version
+    // unreadable; direct references are kept even when their chain is
+    // already broken (deleting them adds nothing and loses evidence).
+    val memo = scala.collection.mutable.Map
+      .empty[String, Option[Vector[String]]]
     snaps.foreach(_.tableManifests.foreach { case (oid, m) =>
-      val p = s"$mDir/$m"
-      if (catalog.io.exists(p)) {
-        val fl = MppCatalog.mapper.readValue(catalog.io.readBytes(p),
-          classOf[Vector[String]])
+      loadManifest(m, memo).foreach { fl =>
         referenced(oid) = referenced.getOrElse(oid, Set.empty) ++ fl
       }
     })
+    val liveManifests = snaps.flatMap(_.tableManifests.values).toSet ++
+      memo.collect { case (n, Some(_)) => n }
     // Sweep manifest files.
     val cutoff = System.currentTimeMillis() - graceMs
     var manifestsDeleted = 0L
@@ -1676,12 +1930,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     snap.tableManifests.get(oid.toString) match {
       case None => Vector.empty[String] // created but never written
       case Some(m) =>
-        val p = s"${catalog.manifestDir}/$m"
-        require(catalog.io.exists(p),
-          s"VERSION AS OF $version: manifest $m swept — version beyond " +
-            "the vacuum retention window")
-        MppCatalog.mapper.readValue(catalog.io.readBytes(p),
-          classOf[Vector[String]])
+        loadManifest(m).getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF $version: manifest $m (or a base in its " +
+            "delta chain) swept — version beyond the vacuum retention " +
+            "window"))
     }
 
   /** Resolve logical names (`bucket=k/fileName`) to current physical
@@ -1793,6 +2045,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val versions = catalog.retainedVersions
     val mtimes = catalog.snapshotMtimes() // one listing, all versions
     val sizes = fileSizeIndex(t)
+    // Reconstruction memo shared across the window: consecutive
+    // versions' delta chains share checkpoints, so the whole history
+    // reads each manifest file once.
+    val manifestMemo = scala.collection.mutable.Map
+      .empty[String, Option[Vector[String]]]
     var prevRef: Option[String] = None
     var first = true // the window's baseline row: no predecessor to
     // diff against, so it can never honestly claim `changed` (the
@@ -1807,18 +2064,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           else ref match {
             case None => (Some(0), Some(0L)) // created, never written
             case Some(m) =>
-              val p = s"${catalog.manifestDir}/$m"
-              if (!catalog.io.exists(p)) (None, None) // swept: unknown
-              else {
-                val fl = MppCatalog.mapper.readValue(
-                  catalog.io.readBytes(p), classOf[Vector[String]])
-                // Bytes only when every file is still physically
-                // present (live or archived) — a partial sum would
-                // quietly understate the version's real footprint.
-                val sz = fl.map(sizes.get)
-                (Some(fl.size),
-                  if (sz.forall(_.isDefined)) Some(sz.flatten.sum)
-                  else None)
+              loadManifest(m, manifestMemo) match {
+                case None => (None, None) // swept: unknown
+                case Some(fl) =>
+                  // Bytes only when every file is still physically
+                  // present (live or archived) — a partial sum would
+                  // quietly understate the version's real footprint.
+                  val sz = fl.map(sizes.get)
+                  (Some(fl.size),
+                    if (sz.forall(_.isDefined)) Some(sz.flatten.sum)
+                    else None)
               }
           }
         val changed = exists && !first && ref != prevRef
@@ -1881,14 +2136,22 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           s"RESTORE $name: rename failed for $lf")
       }
     }
-    // Metadata travels with the data — v's schema, defaults, and
-    // dropped-name quarantine (a restore past an ADD removes the
-    // column; past a DROP, the files carrying it are back and the
-    // declared schema names it again) — in the SAME commit as the
-    // manifest pointer, so no retained version pairs restored
-    // metadata with the pre-restore file set.
+    // Metadata travels with the data — v's schema, defaults,
+    // dropped-name quarantine, and BUCKET COUNT (a restore past a
+    // REBUCKET puts the old layout's files back, so the old k must
+    // come back with them or pruning/routing would hash against the
+    // wrong modulus) — in the SAME commit as the manifest pointer, so
+    // no retained version pairs restored metadata with the
+    // pre-restore file set.
     commitManifest(cur, _.copy(schemaDdl = tv.schemaDdl,
-      defaults = tv.defaults, droppedColumns = tv.droppedColumns))
+      defaults = tv.defaults, droppedColumns = tv.droppedColumns,
+      buckets = tv.buckets),
+      stateTransform =
+        if (tv.buckets == cur.buckets) identity
+        else reshardState(cur.tableOid, tv.buckets))
+    if (tv.buckets != cur.buckets)
+      BucketPruning.register(dataPath(cur.name), cur.partitionColumn,
+        tv.buckets)
     graft.sources.ColocatedFileIndex.invalidate(dataPath(cur.name))
     refreshView(info(key))
   }
@@ -2317,16 +2580,20 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       val inserts = kept.select(schema.fields.map(f =>
           insertVal(f).as(f.name)): _*)
         .withColumn(BucketCol, pmod(hash(col(pc)), lit(t.buckets)))
-      routeToBuckets(enforceNotNull(t, inserts)
-          .observe(obs, count(lit(1)).as("n")), affected)
-        .write.mode(SaveMode.Append)
-        .option("parquet.block.size",
-          spark.conf.get("graft.cow.rowGroupBytes",
-            (32L * 1024 * 1024).toString))
-        .partitionBy(BucketCol)
-        .parquet(dataPath(t.name))
+      // Same staged-rename publish as INSERT (no shared `_temporary`
+      // committer state with concurrent writers) and the same
+      // incremental manifest: the appended files ARE the delta.
+      val manifestBase =
+        catalog.state.tableManifests.get(t.tableOid.toString)
+      val added = stagedAppend(t,
+        routeToBuckets(enforceNotNull(t, inserts)
+          .observe(obs, count(lit(1)).as("n")), affected))
       refreshView(t)
-      commitManifest(t)
+      commitManifest(t, addedFiles =
+        if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
+          Some(added)
+        else None,
+        deltaBase = Some(manifestBase))
       return observedLong(obs)
     }
     val tgt = affectedScan.withColumn("__t_present", lit(1))
@@ -2725,6 +2992,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           if catalog.state.liveTable(localKey(name)).isDefined =>
         dropColumn(name, colName)
         Seq(s"ALTER TABLE $name DROP COLUMN $colName").toDF("result")
+      case AlterRebucketRe(name, n)
+          if catalog.state.liveTable(localKey(name)).isDefined =>
+        rebucket(name, n.toInt)
+        Seq(s"ALTER TABLE $name REBUCKET $n").toDF("result")
       case AlterRe(name)
           if catalog.state.liveTable(localKey(name)).isDefined =>
         throw new UnsupportedOperationException(
@@ -3255,6 +3526,8 @@ object MppEngine {
       """(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+?))?\s*$""").r
   private val AlterDropColRe =
     """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+COLUMN\s+(\w+)\s*$""".r
+  private val AlterRebucketRe =
+    """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+REBUCKET\s+(\d+)\s*$""".r
   private val AlterRe =
     """(?is)^ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\b.*$""".r
   private val ExplainRe =

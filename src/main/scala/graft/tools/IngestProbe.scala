@@ -208,8 +208,25 @@ object IngestProbe {
         df.select(cols.map(f => col(f.name)): _*)
       }
       he.insertInto(ht, hkBatch(100)) // warm (codegen, listings)
+      // Size of the manifest each statement COMMITTED — the metadata
+      // write the v2 delta log shrinks from O(table files) to
+      // O(statement). Bytes are the honest proxy for the deployed
+      // win: on an object store the manifest PUT's latency and cost
+      // scale with exactly this number.
+      def committedManifestLen(): Long = {
+        val t = he.catalog.state.liveTable(ht).get
+        he.catalog.state.tableManifests.get(t.tableOid.toString)
+          .map { n =>
+            val p = new org.apache.hadoop.fs.Path(
+              s"${he.catalog.manifestDir}/$n")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getFileStatus(p).getLen
+          }.getOrElse(0L)
+      }
       val wall = scala.collection.mutable.Map(
         "incremental" -> 0.0, "full_listing" -> 0.0)
+      val mbytes = scala.collection.mutable.Map(
+        "incremental" -> 0L, "full_listing" -> 0L)
       (0 until 6).foreach { i =>
         val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
           else ("full_listing", "false")
@@ -217,11 +234,47 @@ object IngestProbe {
         val t0 = System.nanoTime()
         he.insertInto(ht, hkBatch(i))
         wall(tag) += sec(t0)
+        mbytes(tag) += committedManifestLen()
       }
-      spark.conf.unset("graft.manifest.incremental")
       wall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
         report(s"highk_$tag",
-          f"${w / 3}%.2f s/statement (${hkRows} rows, $hk buckets)")
+          f"${w / 3}%.2f s/statement, ${mbytes(tag) / 3} manifest " +
+            f"bytes/commit (${hkRows} rows, $hk buckets)")
+      }
+      // COW commit tail at high k: a single-key UPDATE swaps ONE
+      // bucket dir; its v2 commit lists that bucket and writes a
+      // constant-size delta, where the full path re-lists all hk
+      // buckets and re-serializes the whole table's file list.
+      val fields = StructType.fromDDL(schemaDdl).fields
+      val setCol = fields.find(f =>
+          !f.name.equalsIgnoreCase(keyCol) &&
+            f.dataType == org.apache.spark.sql.types.StringType)
+        .orElse(fields.find(f => !f.name.equalsIgnoreCase(keyCol) &&
+          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+        .getOrElse(sys.error("no updatable column"))
+      val upWall = scala.collection.mutable.Map(
+        "incremental" -> 0.0, "full_listing" -> 0.0)
+      val upBytes = scala.collection.mutable.Map(
+        "incremental" -> 0L, "full_listing" -> 0L)
+      (0 until 4).foreach { i =>
+        val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
+          else ("full_listing", "false")
+        spark.conf.set("graft.manifest.incremental", conf)
+        val k = 30000000000L + 100L * 10000000L + i // warm batch keys
+        val v = setCol.dataType match {
+          case org.apache.spark.sql.types.StringType => s"'probe-$i'"
+          case _ => i.toString
+        }
+        val t0 = System.nanoTime()
+        he.sql(s"UPDATE $ht SET ${setCol.name} = $v WHERE $keyCol = $k")
+        upWall(tag) += sec(t0)
+        upBytes(tag) += committedManifestLen()
+      }
+      spark.conf.unset("graft.manifest.incremental")
+      upWall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
+        report(s"highk_update_$tag",
+          f"${w / 2}%.2f s/statement, ${upBytes(tag) / 2} manifest " +
+            f"bytes/commit (1-key COW, $hk buckets)")
       }
     }
 

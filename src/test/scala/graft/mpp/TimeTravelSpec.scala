@@ -110,8 +110,13 @@ class TimeTravelSpec extends SparkTestBase {
       val s = java.nio.file.Files.list(mDir)
       try s.count() finally s.close()
     }
-    // At most one manifest per retained snapshot can stay referenced.
-    assert(manifests <= MppCatalog.RetainSnapshots + 1,
+    // At most one manifest per retained snapshot can stay directly
+    // referenced, plus the oldest retained delta's base chain back to
+    // its checkpoint (≤ checkpointEvery−1 files) — vacuum must keep
+    // the transitive closure or retained versions become unreadable.
+    val checkpointEvery =
+      spark.conf.get("graft.manifest.checkpointEvery", "10").toInt
+    assert(manifests <= MppCatalog.RetainSnapshots + checkpointEvery,
       s"manifest files not swept: $manifests")
     // Unreferenced archive generations were removed (bounded history).
     val arch = java.nio.file.Paths.get(e.warehouse, "data", "tv",
@@ -517,9 +522,7 @@ class TimeTravelSpec extends SparkTestBase {
     e1.commitManifest(t1, addedFiles = Some(Vector(dup, ghost)))
     val e3 = new MppEngine(spark, e1.warehouse)
     val mName = e3.catalog.state.tableManifests(t1.tableOid.toString)
-    val manifest = MppCatalog.mapper.readValue(
-      e3.catalog.io.readBytes(
-        s"${e3.catalog.manifestDir}/$mName"), classOf[Vector[String]])
+    val manifest = e3.loadManifest(mName).get // reconstructs v2 chains
     assert(manifest.distinct == manifest, s"duplicate entries: $manifest")
     assert(!manifest.contains(ghost), s"dead entry resurrected: $manifest")
     assert(manifest.toSet == peerFiles,
@@ -549,9 +552,7 @@ class TimeTravelSpec extends SparkTestBase {
     assert(e3.tableAsOf("cc", e3.catalog.currentVersionOnDisk)
       .count() == 2000, "final manifest must hold both writers' rows")
     val mName = e3.catalog.state.tableManifests(t.tableOid.toString)
-    val manifest = MppCatalog.mapper.readValue(
-      e3.catalog.io.readBytes(
-        s"${e3.catalog.manifestDir}/$mName"), classOf[Vector[String]])
+    val manifest = e3.loadManifest(mName).get // reconstructs v2 chains
     assert(manifest.distinct == manifest, "duplicate manifest entries")
   }
 
@@ -600,6 +601,123 @@ class TimeTravelSpec extends SparkTestBase {
     val st3 = e.vacuumTimeTravel() // default 10-minute grace
     assert(st3.strayLiveFiles == 0L, st3)
     assert(java.nio.file.Files.exists(young))
+  }
+
+  // --- manifest delta log (format v2) ---------------------------------
+
+  /** Manifest names in the table's catalog dir, with their raw JSON
+    * first byte: '[' = full (v1/checkpoint), '{' = delta (v2). */
+  private def manifestShapes(e: MppEngine): Map[String, Char] = {
+    val mDir = java.nio.file.Paths.get(e.catalog.manifestDir)
+    val s = java.nio.file.Files.list(mDir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map { p =>
+        val b = java.nio.file.Files.readAllBytes(p)
+        p.getFileName.toString -> b.dropWhile(_.toChar.isWhitespace)
+          .head.toChar
+      }.toMap
+    } finally s.close()
+  }
+
+  test("manifest delta log: INSERT/UPDATE/DELETE/truncate commit " +
+      "DELTAS, every retained version reconstructs exactly, " +
+      "checkpoints bound the chain") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE dl(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    // A history long enough to cross the checkpoint cadence (10):
+    // appends, a narrow COW update, a delete, a truncate, more appends.
+    var expected = Map.empty[Long, Double]
+    val versions = Vector.newBuilder[(Long, Map[Long, Double])]
+    def snap(): Unit =
+      versions += ((e.catalog.currentVersionOnDisk, expected))
+    (0 until 4).foreach { i =>
+      e.insertInto("dl", spark.range(i * 100, i * 100 + 100).toDF("k")
+        .withColumn("v", col("k") * 1.0))
+      expected ++= (i * 100 until i * 100 + 100)
+        .map(k => k.toLong -> k.toDouble)
+      snap()
+    }
+    e.sql("UPDATE dl SET v = -1 WHERE k < 50")
+    expected = expected.map { case (k, v) => k -> (if (k < 50) -1.0 else v) }
+    snap()
+    e.sql("DELETE FROM dl WHERE k >= 350")
+    expected = expected.filter(_._1 < 350)
+    snap()
+    e.sql("DELETE FROM dl") // truncate fast path: constant-size delta
+    expected = Map.empty
+    snap()
+    (0 until 8).foreach { i =>
+      e.insertInto("dl", spark.range(i * 10, i * 10 + 10).toDF("k")
+        .withColumn("v", lit(7.0)))
+      expected ++= (i * 10 until i * 10 + 10).map(k => k.toLong -> 7.0)
+      snap()
+    }
+    val retained = e.catalog.retainedVersions.toSet
+    versions.result().filter(v => retained(v._1)).foreach {
+      case (v, exp) =>
+        val got = rows(e.tableAsOf("dl", v)).toMap
+        assert(got == exp, s"version $v: ${got.size} vs ${exp.size}")
+    }
+    // The log is REALLY a delta log: most commits wrote objects, and
+    // the checkpoint cadence wrote at least one full array past the
+    // CREATE-time baseline.
+    val shapes = manifestShapes(e)
+    assert(shapes.values.count(_ == '{') >= 10,
+      s"expected mostly delta manifests: $shapes")
+    assert(shapes.count { case (n, c) => c == '[' } >= 1, s"$shapes")
+    // Name-encoded depth never reaches the checkpoint cadence.
+    val depthRe = """-d(\d+)\.json$""".r
+    val maxDepth = shapes.keys
+      .flatMap(n => depthRe.findFirstMatchIn(n).map(_.group(1).toInt))
+      .maxOption.getOrElse(0)
+    assert(maxDepth < 10, s"chain unbounded: depth $maxDepth")
+    // DESCRIBE HISTORY reconstructs counts/bytes through the chains.
+    val hist = e.describeHistory("dl").collect()
+    assert(hist.exists(r => !r.isNullAt(r.fieldIndex("data_files")) &&
+      r.getAs[Int]("data_files") > 0))
+  }
+
+  test("manifest delta log: vacuum keeps the base CLOSURE — the " +
+      "oldest retained version reconstructs after a zero-grace sweep " +
+      "even with checkpoints far apart") {
+    // Force long chains so retained deltas reference bases OUTSIDE
+    // the direct-reference set — the sweep must keep them.
+    spark.conf.set("graft.manifest.checkpointEvery", "1000")
+    try {
+      val e = freshEngine()
+      e.sql("CREATE TABLE vc(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 2")
+      (0 until 30).foreach { i =>
+        e.insertInto("vc", spark.range(i * 10, i * 10 + 10).toDF("k")
+          .withColumn("v", lit(i.toDouble)))
+      }
+      e.vacuumTimeTravel(graceMs = 0L)
+      val oldest = e.catalog.retainedVersions.head
+      val got = e.tableAsOf("vc", oldest).count()
+      assert(got > 0, "oldest retained version must stay readable")
+      assert(e.tableAsOf("vc",
+        e.catalog.currentVersionOnDisk).count() == 300)
+    } finally spark.conf.unset("graft.manifest.checkpointEvery")
+  }
+
+  test("graft.manifest.incremental=false writes only FULL manifests " +
+      "(the A/B control) and history still reconstructs") {
+    spark.conf.set("graft.manifest.incremental", "false")
+    try {
+      val e = freshEngine()
+      e.sql("CREATE TABLE fm(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 2")
+      e.insertInto("fm", spark.range(0, 50).toDF("k")
+        .withColumn("v", col("k") * 1.0))
+      val v1 = e.catalog.currentVersionOnDisk
+      e.sql("UPDATE fm SET v = -1 WHERE k < 10")
+      assert(manifestShapes(e).values.forall(_ == '['),
+        "knob off ⇒ every manifest a full array")
+      assert(e.tableAsOf("fm", v1).filter(col("v") === -1).count() == 0)
+      assert(e.table("fm").filter(col("v") === -1).count() == 10)
+    } finally spark.conf.unset("graft.manifest.incremental")
   }
 
   test("graft.timetravel.enabled=false restores delete-on-swap " +
