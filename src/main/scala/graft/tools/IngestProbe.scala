@@ -276,6 +276,25 @@ object IngestProbe {
           f"${w / 2}%.2f s/statement, ${upBytes(tag) / 2} manifest " +
             f"bytes/commit (1-key COW, $hk buckets)")
       }
+      // Phase 2.6 (GRAFT_INGEST_REBUCKET=<k2>): the repair REBUCKET
+      // exists for. The high-k arms above show tiny appends paying a
+      // per-bucket file+task fan-out; re-hash the table to k2 online
+      // and re-run the same append — the per-statement fixed cost
+      // should drop roughly with k, turning a mis-sized table back
+      // into one whose ingest shape is healthy.
+      sys.env.get("GRAFT_INGEST_REBUCKET").map(_.toInt).foreach { k2 =>
+        val rows = he.table(ht).count()
+        val t0 = System.nanoTime()
+        he.sql(s"ALTER TABLE $ht REBUCKET $k2")
+        report("rebucket",
+          f"${sec(t0)}%.1f s ($hk -> $k2 buckets, $rows rows)")
+        require(he.table(ht).count() == rows, "REBUCKET changed rows")
+        val t1 = System.nanoTime()
+        he.insertInto(ht, hkBatch(50))
+        report("rebucket_append",
+          f"${sec(t1)}%.2f s/statement ($hkRows rows, $k2 buckets; " +
+            "compare the highk arms above)")
+      }
     }
 
     // Phase 3: the same race through the conditional-put object-store
