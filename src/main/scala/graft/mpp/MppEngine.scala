@@ -185,9 +185,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   private def fullSchema(t: TableInfo): StructType =
     StructType(userSchema(t).fields :+ StructField(BucketCol, IntegerType))
 
-  private def info(table: String): TableInfo =
-    catalog.state.liveTable(localKey(table)).getOrElse(
+  private def info(table: String): TableInfo = {
+    val t = catalog.state.liveTable(localKey(table)).getOrElse(
       throw new IllegalArgumentException(s"no distributed table '$table'"))
+    // Bucket count became MUTABLE with REBUCKET: whenever the freshest
+    // catalog state reaches this engine (startup, a CAS-conflict
+    // refresh, a transaction), re-align the JVM-wide pruning registry
+    // so no reader in this JVM keeps pruning with a stale modulus
+    // (review-found). Idempotent TrieMap put — negligible per call.
+    BucketPruning.register(dataPath(t.name), t.partitionColumn, t.buckets)
+    t
+  }
 
   /** Declared user-column names of a distributed table (public: lets
     * callers shape partial-column DML, e.g. the CDC sink's explicit
@@ -234,11 +242,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         defaults, deleted = false)
       // Round-robin shard placement over registered nodes — bookkeeping
       // for __mpp_system surface parity; Spark schedules by data split.
-      val nodes = if (st.nodes.isEmpty) Vector("localhost:0")
-        else st.nodes.map(n => s"${n.host}:${n.port}")
-      val shards = (0 until buckets).map(i =>
-        ShardInfo(oid, i, nodes(i % nodes.size)))
-      st.copy(tables = st.tables :+ t, shards = st.shards ++ shards)
+      // Same placement rule as REBUCKET/RESTORE (reshardState).
+      reshardState(oid, buckets)(st.copy(tables = st.tables :+ t))
     }
     val t = info(name)
     val fs = new Path(dataPath(name)).getFileSystem(
@@ -263,14 +268,29 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * (grow: new dirs appear; shrink: dirs beyond the new k archive
     * away), and commit bucket count + shard bookkeeping in the SAME
     * CAS as the manifest pointer — no retained version pairs either
-    * layout's file set with the other's bucket count. Readers stay
-    * live throughout (per-bucket move-aside swap); time travel across
-    * the boundary reads the archived old layout like any rewrite;
-    * RESTORE to a pre-rebucket version puts the old count back with
-    * the old files. Cost: one full shuffle + write with
+    * layout's file set with the other's bucket count. Time travel
+    * across the boundary reads the archived old layout like any
+    * rewrite; RESTORE to a pre-rebucket version puts the old count
+    * back with the old files. Cost: one full shuffle + write with
     * bytes-proportional tasks (the stageAndSwap machinery) — the same
     * shape as OPTIMIZE over the whole table, which is the honest
-    * price of re-hashing every row. */
+    * price of re-hashing every row.
+    *
+    * Concurrency is WEAKER than every other COW statement and callers
+    * must know it: the ordinary swap guarantee ("a reader sees each
+    * bucket in its old or new state") keeps every row in exactly one
+    * visible location because rows never change buckets — REBUCKET is
+    * the one operation where they all do, so a live-dir scan that
+    * straddles the dir-by-dir swap can count a row twice or zero
+    * times, and a concurrent WRITER's files are hashed under the
+    * wrong modulus (its commit now fails loudly — see commitManifest's
+    * layout guard — and RESTORE recovers). Snapshot reads
+    * (`tableAsOf`) pin a manifest and are immune. Run REBUCKET the
+    * way you run a schema migration: no concurrent writers, live-dir
+    * readers tolerating one inconsistent scan or routed to a pinned
+    * version. Peer engines in OTHER JVMs converge on their next
+    * catalog refresh (any CAS commit), the same staleness window peer
+    * ALTER ADD COLUMN already has. */
   def rebucket(rawName: String, newBuckets: Int): Unit = {
     val name = localKey(rawName)
     val t = info(name)
@@ -1477,9 +1497,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   // files) and the retained window pins at most one checkpoint past
   // its oldest reference.
 
-  private val ManifestDepthRe = """-d(\d+)\.json$""".r
+  /** `.d<k>` — DOT-separated so the suffix can never collide with the
+    * random hex of a full manifest's plain `<uuid>.json` name (UUIDs
+    * contain no dots; a `-d<digits>` suffix COULD occur inside a UUID
+    * tail and a long match would even overflow toInt — review-found).
+    * Digits bounded: no legitimate depth exceeds the checkpoint
+    * cadence, and a bounded group cannot overflow. */
+  private val ManifestDepthRe = """\.d(\d{1,6})\.json$""".r
 
-  /** Chain depth encoded in the manifest NAME (`<uuid>-d<k>.json`) so
+  /** Chain depth encoded in the manifest NAME (`<uuid>.d<k>.json`) so
     * the uncontended commit can decide delta-vs-checkpoint without a
     * read; full manifests (plain `<uuid>.json`) are depth 0. */
   private def manifestDepth(name: String): Int =
@@ -1591,7 +1617,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         replaced: Vector[Int]): String = {
       // Depth rides in the NAME so the uncontended commit decides
       // full-vs-delta without reading anything.
-      val name = UUID.randomUUID().toString + s"-d$depth.json"
+      val name = UUID.randomUUID().toString + s".d$depth.json"
       val node = MppCatalog.mapper.createObjectNode()
       node.put("v", 2)
       node.put("base", base)
@@ -1616,6 +1642,29 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // must not re-walk k buckets per rebase while holding the
     // catalog monitor).
     lazy val fullListing = liveLogicalFiles(t)
+    // A concurrent REBUCKET (or RESTORE across one) that relaid the
+    // table mid-statement invalidates this statement's routing: its
+    // files were hashed under the OLD modulus and may sit in
+    // wrong-modulus bucket dirs, where pruned reads would silently
+    // miss them. Committing would persist that corruption — fail
+    // LOUDLY instead (the underlying data-plane race is the same
+    // non-transactional window every COW writer has, SURVEY §8).
+    // Compared through tableTransform so layout-changing statements
+    // (REBUCKET/RESTORE), whose transform sets the count on both
+    // sides, exempt themselves.
+    def guardLayout(s: CatalogState): Unit =
+      s.tables.find(x => x.tableOid == t.tableOid && !x.deleted)
+        .foreach { cur =>
+          if (tableTransform(cur).buckets != tableTransform(t).buckets)
+            throw new IllegalStateException(
+              s"table ${t.name}: bucket count changed mid-statement " +
+                s"(now ${cur.buckets}, statement routed under " +
+                s"${t.buckets}) — a concurrent REBUCKET relaid the " +
+                "table, so this statement's files were hashed under " +
+                "the wrong modulus and are NOT committed. Recover " +
+                s"with RESTORE TABLE ${t.name} TO VERSION AS OF " +
+                "<pre-statement version>, then re-run the statement.")
+        }
     // ONE CAS commit carries both the manifest pointer and any table
     // metadata change (RESTORE's schema rollback rides here): no
     // retained version can ever pair new metadata with a stale file
@@ -1632,6 +1681,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         val liveRoot = new Path(dataPath(t.name))
         val liveFs = liveRoot.getFileSystem(hconf)
         catalog.mutate { s =>
+          guardLayout(s)
           val prevName = s.tableManifests.get(t.tableOid.toString)
           val name = prevName match {
             case None => writeFull(fullListing)
@@ -1686,6 +1736,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           n.startsWith(".") || n.startsWith("_")
         }
         catalog.mutate { s =>
+          guardLayout(s)
           val prevName = s.tableManifests.get(t.tableOid.toString)
           val name = prevName match {
             case Some(pn) if prevName == baseManifest &&
@@ -1715,11 +1766,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
       case _ =>
         val name = writeFull(fullListing)
-        catalog.mutate(s => stateTransform(s.copy(
-          tables = s.tables.map(x =>
-            if (x.tableOid == t.tableOid) tableTransform(x) else x),
-          tableManifests = s.tableManifests +
-            (t.tableOid.toString -> name))))
+        catalog.mutate { s =>
+          guardLayout(s)
+          stateTransform(s.copy(
+            tables = s.tables.map(x =>
+              if (x.tableOid == t.tableOid) tableTransform(x) else x),
+            tableManifests = s.tableManifests +
+              (t.tableOid.toString -> name)))
+        }
     }
     // Amortize the sweep: every 16th commit per engine (the window is
     // 20 snapshots; a sweep every commit would re-read them all on
@@ -1768,15 +1822,24 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // referenced by a live delta would make a retained version
     // unreadable; direct references are kept even when their chain is
     // already broken (deleting them adds nothing and loses evidence).
-    val memo = scala.collection.mutable.Map
-      .empty[String, Option[Vector[String]]]
-    snaps.foreach(_.tableManifests.foreach { case (oid, m) =>
-      loadManifest(m, memo).foreach { fl =>
-        referenced(oid) = referenced.getOrElse(oid, Set.empty) ++ fl
+    // One memo PER TABLE, dropped when its window is done: chains only
+    // ever share manifests within a table, and a warehouse-wide memo
+    // would hold every table's reconstructed file lists on the driver
+    // simultaneously (review-found).
+    val chainNames = Set.newBuilder[String]
+    snaps.flatMap(_.tableManifests.toSeq).groupBy(_._1)
+      .foreach { case (oid, refs) =>
+        val memo = scala.collection.mutable.Map
+          .empty[String, Option[Vector[String]]]
+        refs.map(_._2).distinct.foreach { m =>
+          loadManifest(m, memo).foreach { fl =>
+            referenced(oid) = referenced.getOrElse(oid, Set.empty) ++ fl
+          }
+        }
+        memo.foreach { case (n, r) => if (r.isDefined) chainNames += n }
       }
-    })
-    val liveManifests = snaps.flatMap(_.tableManifests.values).toSet ++
-      memo.collect { case (n, Some(_)) => n }
+    val liveManifests =
+      snaps.flatMap(_.tableManifests.values).toSet ++ chainNames.result()
     // Sweep manifest files.
     val cutoff = System.currentTimeMillis() - graceMs
     var manifestsDeleted = 0L
@@ -2106,6 +2169,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     val key = localKey(name)
     val snap = snapshotOrFail(version)
     val cur = info(key)
+    val restoreBase =
+      catalog.state.tableManifests.get(cur.tableOid.toString)
     val tv = snap.tables.find(x => x.tableOid == cur.tableOid && !x.deleted)
       .getOrElse(throw new IllegalArgumentException(
         s"RESTORE $name: table did not exist at version $version"))
@@ -2142,10 +2207,21 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // come back with them or pruning/routing would hash against the
     // wrong modulus) — in the SAME commit as the manifest pointer, so
     // no retained version pairs restored metadata with the
-    // pre-restore file set.
-    commitManifest(cur, _.copy(schemaDdl = tv.schemaDdl,
-      defaults = tv.defaults, droppedColumns = tv.droppedColumns,
-      buckets = tv.buckets),
+    // pre-restore file set. The restored manifest is `target` ITSELF,
+    // committed as a delta replacing the UNION of both layouts' bucket
+    // ranges (a restore across a REBUCKET moves files in dirs beyond
+    // cur.buckets; a listing bounded by cur's k would silently drop
+    // them from the manifest and a later stray-sweeping VACUUM would
+    // DELETE them — review-found). The widened TableInfo keeps the
+    // contended-fallback listing covering both ranges too.
+    val unionK = math.max(cur.buckets, tv.buckets)
+    commitManifest(cur.copy(buckets = unionK),
+      _.copy(schemaDdl = tv.schemaDdl,
+        defaults = tv.defaults, droppedColumns = tv.droppedColumns,
+        buckets = tv.buckets),
+      replacedBuckets =
+        Some(((0 until unionK).toSet, target.toVector.sorted)),
+      deltaBase = Some(restoreBase),
       stateTransform =
         if (tv.buckets == cur.buckets) identity
         else reshardState(cur.tableOid, tv.buckets))

@@ -358,13 +358,6 @@ object MppQueries {
   def qMppDefaults(s: SparkSession, dir: String): DataFrame =
     sharedEngine(s, dir).table("cust_d").orderBy("c_custkey")
 
-  /** OPTIMIZE through the dialect, then verify by aggregate: every
-    * pass re-clusters each bucket by o_custkey (SORT BY forces the
-    * rewrite — real staging write + atomic swap per pass, the
-    * convergent-DML idiom), so the timed cost is genuine compaction
-    * and the result must still match the plain-parquet oracle row for
-    * row. The warm()-built table is append-grown (3 fragment inserts →
-    * 3 files/bucket) until the first pass compacts it. */
   /** `ALTER TABLE … REBUCKET` — the online bucket-count change
     * (capability superset; the reference fixes shard count at
     * creation, create_distributed_table.cpp:134-140). Convergent-DML
@@ -383,6 +376,13 @@ object MppQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** OPTIMIZE through the dialect, then verify by aggregate: every
+    * pass re-clusters each bucket by o_custkey (SORT BY forces the
+    * rewrite — real staging write + atomic swap per pass, the
+    * convergent-DML idiom), so the timed cost is genuine compaction
+    * and the result must still match the plain-parquet oracle row for
+    * row. The warm()-built table is append-grown (3 fragment inserts →
+    * 3 files/bucket) until the first pass compacts it. */
   def qMppOptimize(s: SparkSession, dir: String): DataFrame = {
     val e = sharedEngine(s, dir)
     e.sql("OPTIMIZE orders_opt SORT BY (o_custkey)")

@@ -94,6 +94,41 @@ class RebucketSpec extends SparkTestBase {
     assert(e.explainShards(e.table("rt").filter("k = 7")) == "Shards: 1/4")
   }
 
+  test("RESTORE across a SHRINK (grow-back): the restored manifest " +
+      "references every file in dirs beyond the current k — nothing " +
+      "is stranded for a stray-sweeping VACUUM to delete") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rg(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 8")
+    e.insertInto("rg", spark.range(0, 500).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v8 = e.catalog.currentVersionOnDisk
+    e.sql("ALTER TABLE rg REBUCKET 4")
+    // Restore to the WIDER layout: files come back into bucket dirs
+    // 4..7, beyond the pre-restore k=4 — the restored manifest must
+    // reference them (a listing bounded by the current k would
+    // silently drop them; review-found data-loss path).
+    e.sql(s"RESTORE TABLE rg TO VERSION AS OF $v8")
+    val t = e.catalog.state.liveTable("rg").get
+    assert(t.buckets == 8)
+    val mName = e.catalog.state.tableManifests(t.tableOid.toString)
+    val manifest = e.loadManifest(mName).get
+    assert((0 until 8).forall(k =>
+      manifest.exists(_.startsWith(s"bucket=$k/"))),
+      s"manifest misses wide-layout dirs: $manifest")
+    assert(e.table("rg").count() == 500)
+    assert(e.tableAsOf("rg",
+      e.catalog.currentVersionOnDisk).count() == 500)
+    assert(e.explainShards(e.table("rg").filter("k = 7")) == "Shards: 1/8")
+    // End-to-end data-safety: an aggressive stray-sweeping vacuum
+    // finds nothing unreferenced among the restored files.
+    spark.conf.set("graft.vacuum.sweepStrays", "true")
+    try {
+      e.vacuumTimeTravel(graceMs = 0L)
+      assert(e.table("rg").count() == 500)
+    } finally spark.conf.unset("graft.vacuum.sweepStrays")
+  }
+
   test("REBUCKET with time travel OFF still commits the metadata") {
     spark.conf.set("graft.timetravel.enabled", "false")
     try {

@@ -668,7 +668,7 @@ class TimeTravelSpec extends SparkTestBase {
       s"expected mostly delta manifests: $shapes")
     assert(shapes.count { case (n, c) => c == '[' } >= 1, s"$shapes")
     // Name-encoded depth never reaches the checkpoint cadence.
-    val depthRe = """-d(\d+)\.json$""".r
+    val depthRe = """\.d(\d+)\.json$""".r
     val maxDepth = shapes.keys
       .flatMap(n => depthRe.findFirstMatchIn(n).map(_.group(1).toInt))
       .maxOption.getOrElse(0)
