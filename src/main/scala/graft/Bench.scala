@@ -282,13 +282,32 @@ object Bench {
         case _ => None
       }
     }.sortBy(-_._3)
+    // HOST-DRIFT detector (round-13 second wave): when MOST of the
+    // surface "regressed", the explanation is one host, not dozens of
+    // independent plan regressions — and isolating every row forks the
+    // better part of an hour of fresh JVMs to prove it (observed: a
+    // slower VM state regressed 78/103 rows at once, including
+    // documents-only kernels no engine change can touch). Above the
+    // fraction threshold the isolation set collapses to the WORST few
+    // regressions plus fixed pure-compute CANARIES — kernels with
+    // zero engine/warehouse involvement, so a canary whose ISOLATED
+    // number also regressed is host drift confirmed, machine-readably
+    // (`host_drift` in the artifact). Below the threshold the
+    // round-12 rule is unchanged: every regressed row isolates.
+    val driftFraction = sys.env
+      .getOrElse("GRAFT_BENCH_DRIFT_FRACTION", "0.25").toDouble
+    val comparable = scaledRows.count { case (n, _) => prevScaled.contains(n) }
+    val hostDrift = comparable >= 20 &&
+      regressed.size > comparable * driftFraction
+    val canaryRows = Seq("q_dedup_ngram_jaccard", "q_text_stats")
     // Every regression is LOGGED in the artifact; only rows ≥0.1 s get
     // an isolated fork (below that a fresh JVM measures scheduler
     // noise, not the plan — but the dict must still show the row so a
     // tiny query's blow-up is never invisible).
+    val regNames = regressed.filter(_._3 >= 0.1).map(_._1)
     val isoExtra = sys.env.getOrElse("GRAFT_BENCH_ISOLATE_EXTRA", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq ++
-      regressed.filter(_._3 >= 0.1).map(_._1)
+      (if (hostDrift) regNames.take(4) ++ canaryRows else regNames)
     val (isoSrc, isoDir) =
       if (scaledRows.nonEmpty) (scaledRows, scaledDir)
       else (steady, sfDir)
@@ -305,7 +324,8 @@ object Bench {
     val regJson = regressed.map { case (n, p, c) =>
       s"""\"$n\":[$p,$c]""" }.mkString("{", ",", "}")
     val isoJson =
-      s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir","regressed_vs_prev":$regJson"""
+      s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir","regressed_vs_prev":$regJson""" +
+        s""","host_drift":{"suspected":$hostDrift,"comparable":$comparable,"regressed":${regressed.size}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled$isoJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of the stdout line; the COMPLETE
