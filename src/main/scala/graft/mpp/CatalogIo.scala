@@ -263,7 +263,17 @@ object CatalogIo {
 
   private def manualStrip(s: String): String = {
     val rest = s.substring("file:".length)
-    if (rest.startsWith("/")) "/" + rest.dropWhile(_ == '/') else rest
+    if (rest.startsWith("//")) {
+      // Authority form ('file://host/path', URI-unparseable e.g. from
+      // an unescaped space): drop the authority the way URI does —
+      // folding it into the path would land the catalog under
+      // /host/... while the data side resolves to /path (the quiet
+      // catalog/data split this helper exists to prevent;
+      // review-found). 'file:///path' has an empty authority and
+      // falls through to the path unchanged.
+      val afterAuth = rest.drop(2).dropWhile(_ != '/')
+      if (afterAuth.isEmpty) "/" else afterAuth
+    } else rest
   }
 
   /** POSIX/HDFS-class schemes: all three primitives hold. `abfs[s]`

@@ -198,9 +198,13 @@ final class MppCatalog(spark: SparkSession, val warehouse: String) {
       case (n @ SnapRe(num), _)
           if num.toLong <= v - MppCatalog.RetainSnapshots =>
         io.delete(s"$catalogDir/$n")
-      case (n, mt) if n.startsWith("CURRENT.tmp-") && mt < tmpCutoff =>
+      case (n, mt) if n.contains(".tmp-") && mt < tmpCutoff =>
         // A publisher that crashed between temp write and rename left
-        // its UUID-suffixed temp behind; stale ones sweep with age.
+        // its UUID-suffixed temp behind — `CURRENT.tmp-*` from the
+        // pointer publish, or `v<NNNNN>.json.tmp-*` from the
+        // object-store writeTmp's snapshot puts (the CURRENT-only
+        // prefix match let those accumulate forever — review-found).
+        // Stale ones sweep with age.
         io.delete(s"$catalogDir/$n")
       case _ =>
     }

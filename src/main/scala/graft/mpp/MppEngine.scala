@@ -282,9 +282,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * visible location because rows never change buckets — REBUCKET is
     * the one operation where they all do, so a live-dir scan that
     * straddles the dir-by-dir swap can count a row twice or zero
-    * times, and a concurrent WRITER's files are hashed under the
-    * wrong modulus (its commit now fails loudly — see commitManifest's
-    * layout guard — and RESTORE recovers). Snapshot reads
+    * times, and a concurrent WRITER's rows are hashed under the wrong
+    * modulus. BOTH orderings of that race fail loudly rather than
+    * corrupt: a writer committing AFTER the rebucket trips
+    * commitManifest's layout guard, and a writer committing DURING the
+    * relay makes the REBUCKET itself abort at its commit
+    * (failOnContention — the writer's rows are archived inside the
+    * swap, and a quiet full-listing commit would have vanished a
+    * SUCCESSFUL statement); RESTORE recovers either way. Snapshot reads
     * (`tableAsOf`) pin a manifest and are immune. Run REBUCKET the
     * way you run a schema migration: no concurrent writers, live-dir
     * readers tolerating one inconsistent scan or routed to a pinned
@@ -306,7 +311,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     stageAndSwap(tNew, affected, out, shuffle = true,
       sizeHint = affectedBytes(t, (0 until t.buckets).toSet),
       tableTransform = _.copy(buckets = newBuckets),
-      stateTransform = reshardState(t.tableOid, newBuckets))
+      stateTransform = reshardState(t.tableOid, newBuckets),
+      failOnContention = true)
     // With time travel off there is no manifest commit to carry the
     // metadata — apply it directly.
     if (!timeTravelEnabled) catalog.mutate(s =>
@@ -687,38 +693,45 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // have seen this statement's files, which is precisely one
     // committed before now.
     val manifestBase = catalog.state.tableManifests.get(t.tableOid.toString)
-    val added = stagedAppend(t, shaped)
-    refreshView(t)
-    // graft.manifest.incremental=false restores the full-listing
-    // commit — kept ONLY so the incremental path's benefit stays
-    // A/B-measurable (IngestProbe records both).
-    commitManifest(t, addedFiles =
-      if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
-        Some(added)
-      else None,
-      deltaBase = Some(manifestBase))
+    stagedAppend(t, shaped) { added =>
+      refreshView(t)
+      // graft.manifest.incremental=false restores the full-listing
+      // commit — kept ONLY so the incremental path's benefit stays
+      // A/B-measurable (IngestProbe records both).
+      commitManifest(t, addedFiles =
+        if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
+          Some(added)
+        else None,
+        deltaBase = Some(manifestBase))
+    }
     observedLong(obs)
   }
 
   /** Write `shaped` (user columns + BucketCol, already
     * partition-shaped) into a LEASED per-statement staging dir, then
     * MOVE each data file into its live bucket dir — renames only, file
-    * names are job-unique. Returns the published files' logical names
-    * (the caller's manifest delta). Shared by INSERT and the MERGE
-    * insert-only fast path: a SaveMode.Append straight at the table
-    * root shares Hadoop's hardcoded `_temporary` pending dir across
-    * concurrent jobs in one application — a peer job's cleanup deletes
-    * this job's in-flight task outputs (observed as task-retry storms
-    * in ClusterCheck's concurrent-writer case) and the shared
-    * committer state has silent-loss corners. Per-statement staging
-    * removes the shared state entirely; two engines' appends
-    * interleave without touching each other's files. A crash mid-move
-    * leaves a partial append visible — the reference's own
-    * non-transactional data guarantee (README.md:115); with time
-    * travel on the partial is absent from every committed manifest,
-    * so `RESTORE TABLE t TO VERSION AS OF <current>` sweeps it. */
-  private def stagedAppend(t: TableInfo,
-      shaped: DataFrame): Vector[String] = {
+    * names are job-unique — and run `commit` (the caller's manifest
+    * commit, handed the published files' logical names) BEFORE the
+    * lease is released: the lease is VACUUM's only authoritative
+    * in-flight signal, and a lease dropped between the moves and the
+    * manifest commit opens a window where a stray-sweeping VACUUM
+    * (whose `referenced` set predates this statement) could delete
+    * freshly published, about-to-be-committed files (review-found).
+    * Shared by INSERT and the MERGE insert-only fast path: a
+    * SaveMode.Append straight at the table root shares Hadoop's
+    * hardcoded `_temporary` pending dir across concurrent jobs in one
+    * application — a peer job's cleanup deletes this job's in-flight
+    * task outputs (observed as task-retry storms in ClusterCheck's
+    * concurrent-writer case) and the shared committer state has
+    * silent-loss corners. Per-statement staging removes the shared
+    * state entirely; two engines' appends interleave without touching
+    * each other's files. A crash mid-move leaves a partial append
+    * visible — the reference's own non-transactional data guarantee
+    * (README.md:115); with time travel on the partial is absent from
+    * every committed manifest, so `RESTORE TABLE t TO VERSION AS OF
+    * <current>` sweeps it. */
+  private def stagedAppend(t: TableInfo, shaped: DataFrame)(
+      commit: Vector[String] => Unit): Unit = {
     val dataRoot = new Path(dataPath(t.name))
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
     val addedLogical =
@@ -801,13 +814,17 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
             throw e
         }
       }
+      // Commit INSIDE the lease (see scaladoc): the staging dir is
+      // already gone, but the statement stays visibly in-flight to
+      // VACUUM's stray scan until its manifest is committed.
+      fs.delete(stgPath, true)
+      import scala.jdk.CollectionConverters._
+      commit(addedLogical.iterator().asScala.toVector.sorted)
     } finally {
       heartbeat.interrupt()
       fs.delete(new Path(staging), true)
       fs.delete(lease, false)
     }
-    import scala.jdk.CollectionConverters._
-    addedLogical.iterator().asScala.toVector.sorted
   }
 
   /** Runtime NOT NULL rejection for declared non-nullable columns — the
@@ -1234,7 +1251,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       shuffle: Boolean = true, sizeHint: Long = -1L,
       dropAfterSort: Seq[String] = Nil,
       tableTransform: TableInfo => TableInfo = identity,
-      stateTransform: CatalogState => CatalogState = identity): Unit = {
+      stateTransform: CatalogState => CatalogState = identity,
+      failOnContention: Boolean = false): Unit = {
     // Operational knob: `graft.cow.shuffleWrites=true` forces every
     // rewrite through the routed exchange — a deployment that values
     // the compact file-per-bucket layout over rewrite latency (e.g.
@@ -1366,9 +1384,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         if (!doShuffle && mpb.depth.decrementAndGet() == 0)
           spark.conf.set(mpbKey, mpb.saved)
       }
-    } finally {
-      heartbeat.interrupt()
-    }
     // Swap: per affected bucket, move the old dir ASIDE first, rename
     // the staged dir in, then drop the old one — the live data is never
     // deleted before its replacement is in place, and a failed rename
@@ -1399,7 +1414,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         new Path(archiveDirFor(t, stagingName), s"$BucketCol=$k"))
     }
     fs.delete(new Path(staging), true)
-    fs.delete(lease, false)
     refreshView(t)
     // The swap replaced exactly `affected`'s bucket dirs: the manifest
     // delta lists those dirs' new contents (O(affected) RPCs) against
@@ -1408,7 +1422,18 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       replacedBuckets =
         Some((affected, liveLogicalFiles(t, affected.toVector.sorted))),
       deltaBase = Some(manifestBase),
-      stateTransform = stateTransform)
+      stateTransform = stateTransform,
+      failOnContention = failOnContention)
+    // The lease (heartbeat-refreshed) covers write, swap AND commit:
+    // it is VACUUM's only authoritative in-flight signal, and the old
+    // shape — heartbeat stopped after the staging write, lease deleted
+    // before the commit — left a long swap's freshly visible files
+    // classifiable as strays by a concurrent stray-sweeping VACUUM
+    // whose `referenced` set predates this statement (review-found).
+    } finally {
+      heartbeat.interrupt()
+      fs.delete(lease, false)
+    }
   }
 
   // --- time travel (VERSION AS OF over the versioned catalog) ----------
@@ -1601,7 +1626,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       addedFiles: Option[Vector[String]] = None,
       deltaBase: Option[Option[String]] = None,
       replacedBuckets: Option[(Set[Int], Vector[String])] = None,
-      stateTransform: CatalogState => CatalogState = identity): Unit = {
+      stateTransform: CatalogState => CatalogState = identity,
+      failOnContention: Boolean = false): Unit = {
     if (!timeTravelEnabled) return
     val incremental =
       spark.conf.get("graft.manifest.incremental", "true").toBoolean
@@ -1638,10 +1664,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // review-found); callers that cannot say pass None and every
     // compose takes the reconciling path.
     val baseManifest: Option[String] = deltaBase.flatten
-    // Listed at most ONCE even across CAS retries (the fallback
-    // must not re-walk k buckets per rebase while holding the
-    // catalog monitor).
-    lazy val fullListing = liveLogicalFiles(t)
+    // Re-listed PER CAS ATTEMPT, not cached across retries: a lost
+    // rebase means a peer committed mid-statement, and a listing taken
+    // before that commit can miss the peer's freshly moved files — a
+    // manifest built from it would quietly drop committed rows from
+    // the version (review-found; the old once-per-statement cache
+    // optimized the rebase storm at the cost of exactly this hole).
+    // Contended retries are rare; the O(k) walk per retry is the
+    // correct price.
+    def fullListing(): Vector[String] = liveLogicalFiles(t)
     // A concurrent REBUCKET (or RESTORE across one) that relaid the
     // table mid-statement invalidates this statement's routing: its
     // files were hashed under the OLD modulus and may sit in
@@ -1684,7 +1715,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           guardLayout(s)
           val prevName = s.tableManifests.get(t.tableOid.toString)
           val name = prevName match {
-            case None => writeFull(fullListing)
+            case None => writeFull(fullListing())
             case Some(pn) if prevName == baseManifest &&
                 catalog.io.exists(s"${catalog.manifestDir}/$pn") =>
               // Uncontended: the base cannot contain this statement's
@@ -1696,7 +1727,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
               if (depth < checkpointEvery) writeDelta(pn, depth, delta, Vector.empty)
               else loadManifest(pn) match {
                 case Some(pf) => writeFull(pf ++ delta)
-                case None => writeFull(fullListing)
+                case None => writeFull(fullListing())
               }
             case Some(pn) =>
               // CONTENDED: a peer committed a manifest for THIS table
@@ -1709,7 +1740,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
               // the archived original). Both checks touch only the
               // DELTA — never the table.
               loadManifest(pn) match {
-                case None => writeFull(fullListing)
+                case None => writeFull(fullListing())
                 case Some(pf) =>
                   val pset = pf.toSet
                   import scala.jdk.CollectionConverters._
@@ -1748,15 +1779,32 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
                 case Some(pf) =>
                   writeFull(pf.filterNot(f =>
                     affected.contains(manifestBucketOf(f))) ++ newFiles)
-                case None => writeFull(fullListing)
+                case None => writeFull(fullListing())
               }
-            case _ =>
+            case prev =>
               // No base, or a peer contended mid-rewrite: a concurrent
               // writer may have appended into the very buckets this
               // statement swapped — its files went through the swap
-              // (or not) in ways only the filesystem knows. List the
-              // truth (exactly the pre-round-13 behavior).
-              writeFull(fullListing)
+              // (or not) in ways only the filesystem knows.
+              if (failOnContention && prev.isDefined && prev != baseManifest)
+                // REBUCKET: a peer's commit landed while every bucket
+                // was being relaid — its files are archived inside
+                // this swap (absent from the staged output), so a
+                // quiet full-listing commit would make the peer's
+                // SUCCESSFUL statement silently vanish from the
+                // current version (review-found). Fail THIS statement
+                // loudly instead; the peer's version is committed and
+                // RESTORE recovers everything.
+                throw new IllegalStateException(
+                  s"REBUCKET ${t.name}: a concurrent statement " +
+                    "committed while the table was being relaid; its " +
+                    "rows are archived inside this rebucket's swap " +
+                    "and the rebucket is NOT committed. Recover with " +
+                    s"RESTORE TABLE ${t.name} TO VERSION AS OF " +
+                    "<the concurrent statement's version>, then " +
+                    "re-run REBUCKET without concurrent writers.")
+              // List the truth (exactly the pre-round-13 behavior).
+              writeFull(fullListing())
           }
           stateTransform(s.copy(
             tables = s.tables.map(x =>
@@ -1765,9 +1813,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
               (t.tableOid.toString -> name)))
         }
       case _ =>
-        val name = writeFull(fullListing)
         catalog.mutate { s =>
           guardLayout(s)
+          // Written INSIDE the closure so a CAS retry re-lists and
+          // re-writes against the freshly loaded state (same rationale
+          // as fullListing being a def).
+          val name = writeFull(fullListing())
           stateTransform(s.copy(
             tables = s.tables.map(x =>
               if (x.tableOid == t.tableOid) tableTransform(x) else x),
@@ -2661,15 +2712,16 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       // incremental manifest: the appended files ARE the delta.
       val manifestBase =
         catalog.state.tableManifests.get(t.tableOid.toString)
-      val added = stagedAppend(t,
+      stagedAppend(t,
         routeToBuckets(enforceNotNull(t, inserts)
-          .observe(obs, count(lit(1)).as("n")), affected))
-      refreshView(t)
-      commitManifest(t, addedFiles =
-        if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
-          Some(added)
-        else None,
-        deltaBase = Some(manifestBase))
+          .observe(obs, count(lit(1)).as("n")), affected)) { added =>
+        refreshView(t)
+        commitManifest(t, addedFiles =
+          if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
+            Some(added)
+          else None,
+          deltaBase = Some(manifestBase))
+      }
       return observedLong(obs)
     }
     val tgt = affectedScan.withColumn("__t_present", lit(1))

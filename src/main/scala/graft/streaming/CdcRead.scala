@@ -115,7 +115,17 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
     * version whose declared schema differs (or whose table is gone).
     * Scanning reads at most the retained snapshot JSONs once each —
     * versions swept past retention are skipped (a stream stalled that
-    * far fails with tableChanges' retention error anyway). */
+    * far fails with tableChanges' retention error anyway).
+    *
+    * Cost model, stated honestly: each NEW catalog version costs this
+    * stream one whole-snapshot JSON read+parse (the snapshot is the
+    * unit of catalog persistence; there is no per-table schema file),
+    * so N streams on a warehouse committing C times/min pay N×C
+    * snapshot parses/min — kilobytes each, amortized once per version
+    * per stream, never per poll. If multi-hundred-table catalogs with
+    * hot commit rates ever make this the bottleneck, the scale path
+    * is a per-table schema VERSION counter in CatalogState (bumped
+    * only by ALTER), turning the scan into an integer compare. */
   @volatile private var checkedUpTo: Long = constructionVersion
   @volatile private var evolvedAt: Option[Long] = None
 
@@ -254,12 +264,30 @@ class CdcSource(spark: SparkSession, warehouse: String, table: String,
   override def getOffset: Option[Offset] = {
     offsetPolled = true
     val lat = latestVersion
-    // Legacy V1 poll (no start-offset knowledge, so it can clamp but
-    // not fail-when-drained; the SupportsAdmissionControl path above
-    // is the one MicroBatchExecution actually drives).
-    Some(LongOffset(scanEvolution(lat)
-      .map(ev => math.min(lat, ev - 1)).getOrElse(lat)))
+    // Legacy V1 poll. It has no start-offset parameter, so drainage is
+    // tracked HERE: once this source has already emitted the clamp and
+    // the evolution is still pending on the next poll, the clamped
+    // range has been dispatched (a failed batch replays from the
+    // checkpoint before any poll) — fail with the typed error exactly
+    // like latestOffset. Without this a V1-driven stream would sit at
+    // ev-1 forever, silently replicating nothing and never handing
+    // superviseReplica its restart signal (review-found). The
+    // SupportsAdmissionControl path above is the one
+    // MicroBatchExecution actually drives.
+    scanEvolution(lat) match {
+      case None => Some(LongOffset(lat))
+      case Some(ev) =>
+        val clamp = math.min(lat, ev - 1)
+        if (v1Emitted.exists(_ >= clamp) && lat >= ev)
+          throw evolutionError(ev)
+        v1Emitted = Some(clamp)
+        Some(LongOffset(clamp))
+    }
   }
+
+  /** Last offset the legacy V1 `getOffset` returned — its drainage
+    * tracker (the V1 trait carries no start offset). */
+  @volatile private var v1Emitted: Option[Long] = None
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset

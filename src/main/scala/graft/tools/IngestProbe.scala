@@ -71,19 +71,21 @@ object IngestProbe {
     val baseCount = seed.table(table).count()
     report("base_rows", baseCount.toString)
 
-    // Append batches are generated, keyed DISJOINTLY per (writer,
-    // batch) far above the seeded key range; every non-key column is
+    // ONE synthetic-row generator for every phase (seed, append
+    // batches, high-k batches) — the three near-identical copies had
+    // already drifted (the seed lacked the DateType arm). Keys are
+    // made DISJOINT per caller via `base`; every non-key column is
     // synthesized from the id so batches are never value-identical.
-    def batch(writer: Int, round: Int): org.apache.spark.sql.DataFrame = {
-      val base = 20000000000L + writer * 1000000000L + round * 10000000L
+    def synthRows(prefix: String, base: Long, n: Long)
+        : org.apache.spark.sql.DataFrame = {
       val cols = StructType.fromDDL(schemaDdl).fields
-      var df = spark.range(base, base + batchRows).toDF("__id")
+      var df = spark.range(base, base + n).toDF("__id")
       cols.foreach { f =>
         df = df.withColumn(f.name,
           if (f.name.equalsIgnoreCase(keyCol)) col("__id")
           else f.dataType match {
             case org.apache.spark.sql.types.StringType =>
-              concat(lit(s"w$writer-r$round-"), col("__id") % 97)
+              concat(lit(prefix), col("__id") % 97)
             case org.apache.spark.sql.types.DateType =>
               to_date(lit("2024-01-01"))
             case t: org.apache.spark.sql.types.NumericType =>
@@ -93,6 +95,10 @@ object IngestProbe {
       }
       df.select(cols.map(f => col(f.name)): _*)
     }
+    def batch(writer: Int, round: Int): org.apache.spark.sql.DataFrame =
+      synthRows(s"w$writer-r$round-",
+        20000000000L + writer * 1000000000L + round * 10000000L,
+        batchRows)
 
     def appendRun(e: graft.mpp.MppEngine, writer: Int): Double = {
       val t0 = System.nanoTime()
@@ -162,25 +168,10 @@ object IngestProbe {
             s"buckets, GRAFT_INGEST_HIGHK=$hk — drop it or match the k")
         case None =>
           he.createDistributedTable(ht, schemaDdl, keyCol, hk)
-          // Synthesized seed (the batch() generator): a parquet
-          // .limit(n) plans a single-partition GlobalLimit — the whole
-          // seed would funnel through one task before the bucket
-          // shuffle.
-          var s = spark.range(0, 20000000L).toDF("__id")
-          StructType.fromDDL(schemaDdl).fields.foreach { f =>
-            s = s.withColumn(f.name,
-              if (f.name.equalsIgnoreCase(keyCol)) col("__id")
-              else f.dataType match {
-                case org.apache.spark.sql.types.StringType =>
-                  concat(lit("seed-"), col("__id") % 97)
-                case t: org.apache.spark.sql.types.NumericType =>
-                  (col("__id") % 10007).cast(t)
-                case t => lit(null).cast(t)
-              })
-          }
-          he.insertInto(ht,
-            s.select(StructType.fromDDL(schemaDdl).fields
-              .map(f => col(f.name)): _*))
+          // Synthesized seed (synthRows): a parquet .limit(n) plans
+          // a single-partition GlobalLimit — the whole seed would
+          // funnel through one task before the bucket shuffle.
+          he.insertInto(ht, synthRows("seed-", 0L, 20000000L))
           report("highk_seed", s"$hk buckets, 20M rows")
       }
       // INTERLEAVED A/B (incremental, full, incremental, full, …):
@@ -190,23 +181,8 @@ object IngestProbe {
       // both arms. Key ranges disjoint per statement (writer 9,
       // distinct rounds).
       val hkRows = 200000L
-      def hkBatch(r: Int) = {
-        val base = 30000000000L + r * 10000000L
-        val cols = StructType.fromDDL(schemaDdl).fields
-        var df = spark.range(base, base + hkRows).toDF("__id")
-        cols.foreach { f =>
-          df = df.withColumn(f.name,
-            if (f.name.equalsIgnoreCase(keyCol)) col("__id")
-            else f.dataType match {
-              case org.apache.spark.sql.types.StringType =>
-                concat(lit(s"hk-r$r-"), col("__id") % 97)
-              case t: org.apache.spark.sql.types.NumericType =>
-                (col("__id") % 10007).cast(t)
-              case t => lit(null).cast(t)
-            })
-        }
-        df.select(cols.map(f => col(f.name)): _*)
-      }
+      def hkBatch(r: Int) =
+        synthRows(s"hk-r$r-", 30000000000L + r * 10000000L, hkRows)
       he.insertInto(ht, hkBatch(100)) // warm (codegen, listings)
       // Size of the manifest each statement COMMITTED — the metadata
       // write the v2 delta log shrinks from O(table files) to

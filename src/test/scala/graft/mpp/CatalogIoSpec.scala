@@ -198,6 +198,19 @@ class CatalogIoSpec extends SparkTestBase {
     assert(new String(io.readBytes(s"file://localhost$root/probe")) == "9")
   }
 
+  test("the URI-unparseable fallback (manualStrip) also drops an " +
+      "authority — a 'file://host/path with space' never lands under " +
+      "/host/...") {
+    // An unescaped space makes java.net.URI throw, routing through
+    // the manual fallback, which previously FOLDED the authority into
+    // the path (review-found: catalog under /localhost/... while the
+    // data side resolves to /path).
+    assert(CatalogIo.stripFileScheme("file://localhost/tmp/my wh") ==
+      "/tmp/my wh")
+    assert(CatalogIo.stripFileScheme("file:///tmp/my wh") == "/tmp/my wh")
+    assert(CatalogIo.stripFileScheme("file:/tmp/my wh") == "/tmp/my wh")
+  }
+
   test("EmulatedObjectStore honors the conditional-write contract: " +
       "atomic PUT visibility, If-None-Match create, If-Match CAS") {
     val root = Files.createTempDirectory("graft-emustore").toString

@@ -145,6 +145,44 @@ class RebucketSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.timetravel.enabled")
   }
 
+  test("both orderings of the writer-vs-REBUCKET race fail LOUDLY: " +
+      "the layout guard trips a stale-modulus commit, and a rebucket " +
+      "with a contended manifest base aborts") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rc(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("rc", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val tOld = e.catalog.state.liveTable("rc").get
+    // Ordering A — writer commits AFTER a peer's REBUCKET: its rows
+    // were routed under the old modulus; the commit must refuse.
+    val peer = new MppEngine(spark, e.warehouse)
+    peer.sql("ALTER TABLE rc REBUCKET 8")
+    val exA = intercept[IllegalStateException] {
+      e.commitManifest(tOld,
+        addedFiles = Some(Vector.empty), deltaBase = Some(None))
+    }
+    assert(exA.getMessage.contains("bucket count changed mid-statement"),
+      exA.getMessage)
+    // Ordering B — a peer commits DURING the relay (the rebucket's
+    // captured base is stale at its own commit): the rebucket aborts
+    // instead of quietly committing a listing that lost the peer's
+    // rows.
+    val t8 = e.catalog.state.liveTable("rc").get
+    val staleBase = e.catalog.state.tableManifests.get(t8.tableOid.toString)
+    peer.insertInto("rc", spark.range(1000, 1010).toDF("k")
+      .withColumn("v", lit(1.0)))
+    val exB = intercept[IllegalStateException] {
+      e.commitManifest(t8,
+        replacedBuckets = Some(((0 until 8).toSet, Vector.empty)),
+        deltaBase = Some(staleBase), failOnContention = true)
+    }
+    assert(exB.getMessage.contains("concurrent statement committed"),
+      exB.getMessage)
+    // Neither failed commit moved the table: the peer's rows survive.
+    assert(new MppEngine(spark, e.warehouse).table("rc").count() == 110)
+  }
+
   test("REBUCKET to the same count is a no-op; other ALTER forms " +
       "still reject") {
     val e = freshEngine()
