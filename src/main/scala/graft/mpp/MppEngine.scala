@@ -186,6 +186,15 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     StructType(userSchema(t).fields :+ StructField(BucketCol, IntegerType))
 
   private def info(table: String): TableInfo = {
+    // Cross-engine metadata freshness: a peer's ALTER/REBUCKET/CREATE
+    // reaches this engine's READS at the next statement, not at its
+    // next CAS conflict (the data side already converges per query via
+    // the listing fingerprint; this closes the metadata half). One
+    // CURRENT-pointer read per call; disable with
+    // graft.catalog.refreshOnRead=false for single-writer deployments
+    // that want zero catalog RPCs on the read path.
+    if (spark.conf.get("graft.catalog.refreshOnRead", "true").toBoolean)
+      catalog.refreshIfStale()
     val t = catalog.state.liveTable(localKey(table)).getOrElse(
       throw new IllegalArgumentException(s"no distributed table '$table'"))
     // Bucket count became MUTABLE with REBUCKET: whenever the freshest

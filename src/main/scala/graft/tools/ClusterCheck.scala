@@ -293,13 +293,20 @@ object ClusterCheck {
       // peer is only ever picked up through the commit-rebase path).
       val e2 = new graft.mpp.MppEngine(spark, wh)
       // Serial alternation: e2's catalog has not seen e1's commit and
-      // vice versa — deterministic rebase on every statement.
-      (0 until 3).foreach { i =>
+      // vice versa — deterministic rebase on every statement. The
+      // refresh-on-read alignment (round 13) would freshen each
+      // engine's CAS base at the statement's first table lookup and
+      // make the serial phase rebase-free (a genuine improvement) —
+      // disable it HERE ONLY so the rebase-retry machinery keeps a
+      // deterministic exercise; the concurrent phase below still
+      // rebases under true commit races with the default config.
+      spark.conf.set("graft.catalog.refreshOnRead", "false")
+      try (0 until 3).foreach { i =>
         e1.insertInto("cw", spark.range(i * 1000, i * 1000 + 500)
           .toDF("k").withColumn("v", col("k") * 1.0))
         e2.insertInto("cw", spark.range(i * 1000 + 500, (i + 1) * 1000)
           .toDF("k").withColumn("v", col("k") * 1.0))
-      }
+      } finally spark.conf.unset("graft.catalog.refreshOnRead")
       val rebasesSerial =
         e1.catalog.casRebases.get() + e2.catalog.casRebases.get()
       assert(rebasesSerial > 0,
@@ -373,13 +380,16 @@ object ClusterCheck {
         e1.sql("CREATE TABLE ow(k BIGINT, v DOUBLE) PARTITION BY (k) " +
           "WITH BUCKETS 4")
         val e2 = new graft.mpp.MppEngine(spark, wh)
-        // Serial alternation: deterministic rebase on every statement.
-        (0 until 2).foreach { i =>
+        // Serial alternation: deterministic rebase on every statement
+        // (refresh-on-read disabled here only — same rationale as the
+        // rename-catalog race above).
+        spark.conf.set("graft.catalog.refreshOnRead", "false")
+        try (0 until 2).foreach { i =>
           e1.insertInto("ow", spark.range(i * 1000, i * 1000 + 500)
             .toDF("k").withColumn("v", col("k") * 1.0))
           e2.insertInto("ow", spark.range(i * 1000 + 500, (i + 1) * 1000)
             .toDF("k").withColumn("v", col("k") * 1.0))
-        }
+        } finally spark.conf.unset("graft.catalog.refreshOnRead")
         val rebasesSerial =
           e1.catalog.casRebases.get() + e2.catalog.casRebases.get()
         assert(rebasesSerial > 0,

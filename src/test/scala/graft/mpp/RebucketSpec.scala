@@ -183,6 +183,26 @@ class RebucketSpec extends SparkTestBase {
     assert(new MppEngine(spark, e.warehouse).table("rc").count() == 110)
   }
 
+  test("a PEER engine with a warm (stale) catalog converges on the " +
+      "relaid layout at its next read — refresh-on-read") {
+    val e1 = freshEngine()
+    e1.sql("CREATE TABLE rp(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 2")
+    e1.insertInto("rp", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val e2 = new MppEngine(spark, e1.warehouse)
+    assert(e2.table("rp").count() == 100) // warms e2's cached state k=2
+    e1.sql("ALTER TABLE rp REBUCKET 6")
+    // e2 commits NOTHING — its next read alone must observe the new
+    // metadata (bucket count became mutable; a stale k means pruning
+    // under the wrong modulus).
+    assert(e2.table("rp").count() == 100)
+    assert(e2.catalog.state.liveTable("rp").get.buckets == 6,
+      "peer reads must re-align with the published catalog")
+    assert(e2.explainShards(e2.table("rp").filter("k = 7")) ==
+      "Shards: 1/6")
+  }
+
   test("REBUCKET to the same count is a no-op; other ALTER forms " +
       "still reject") {
     val e = freshEngine()
