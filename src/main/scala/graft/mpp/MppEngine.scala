@@ -308,15 +308,31 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   def rebucket(rawName: String, newBuckets: Int): Unit = {
     val name = localKey(rawName)
     val t = info(name)
+    guardNoRelay(t)
     require(newBuckets > 0,
       s"REBUCKET: bucket count must be positive: $newBuckets")
     if (newBuckets == t.buckets) return
+    // Plan (and list) the source BEFORE the relay marker appears: the
+    // marker routes live reads to the pinned manifest, but the relay
+    // itself must read the raw live dirs it is about to rewrite.
     val out = readWithBucket(t)
       .select(userSchema(t).fieldNames.map(col): _*)
       .withColumn(BucketCol,
         pmod(hash(col(t.partitionColumn)), lit(newBuckets)))
     val affected = (0 until math.max(t.buckets, newBuckets)).toSet
     val tNew = t.copy(buckets = newBuckets)
+    // Relay marker (see [[relayMarker]]): present from before the
+    // staging write until after the catalog carries the new k. NOT
+    // deleted on failure — a crashed or aborted relay leaves live
+    // dirs the published metadata cannot describe, and the marker is
+    // what keeps readers on the last committed version and writers
+    // failing loudly until RESTORE converges the layout.
+    val marker = relayMarker(t)
+    val mfs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val mout = mfs.create(marker, true)
+    mout.write(s"""{"from":${t.buckets},"to":$newBuckets}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    mout.close()
     stageAndSwap(tNew, affected, out, shuffle = true,
       sizeHint = affectedBytes(t, (0 until t.buckets).toSet),
       tableTransform = _.copy(buckets = newBuckets),
@@ -329,6 +345,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         tables = s.tables.map(x =>
           if (x.tableOid == t.tableOid) x.copy(buckets = newBuckets)
           else x))))
+    mfs.delete(marker, false)
     BucketPruning.register(dataPath(name), t.partitionColumn, newBuckets)
     graft.sources.ColocatedFileIndex.invalidate(dataPath(name))
     refreshView(info(name))
@@ -490,7 +507,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * in-task row-group skipping. The inner listing rides the same
     * fingerprint-keyed cache as the DSv2 path
     * ([[graft.sources.ColocatedFileIndex]]). */
-  private def readWithBucket(t: TableInfo): DataFrame = {
+  private def readWithBucket(t: TableInfo): DataFrame =
+    relayPinnedRead(t).getOrElse(readLiveDirs(t))
+
+  private def readLiveDirs(t: TableInfo): DataFrame = {
     val full = fullSchema(t)
     val inner = graft.sources.ColocatedFileIndex.get(spark,
       dataPath(t.name), full)
@@ -504,6 +524,100 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         .ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(rel)
       .select(full.fieldNames.map(col): _*)
+  }
+
+  /** REBUCKET relay marker handling (r13 advisor + verdict item 6).
+    *
+    * `.rebucket.json` sits in the table's data root from just before
+    * REBUCKET's staging write until just after its catalog commit —
+    * dot-prefixed, so parquet listings ignore it, while the
+    * [[graft.sources.ColocatedFileIndex]] fingerprint (a listStatus of
+    * the same root) sees it appear/vanish and invalidates. While it is
+    * present the live directories are (or are about to be) relaid
+    * under a bucket modulus the published catalog does not carry, so:
+    *
+    *  - LIVE READS route through the last COMMITTED manifest
+    *    ([[relayPinnedRead]]): a scan during the relay sees exactly
+    *    the pre-rebucket version — the same snapshot semantics every
+    *    other COW statement already gives — instead of the documented
+    *    double/zero-count window; after the commit (marker not yet
+    *    cleared) it sees the new version. Costs one `exists` probe per
+    *    scan assembly, the refresh-on-read class.
+    *  - WRITES fail fast at statement start ([[guardNoRelay]]) rather
+    *    than relaying a doomed statement and aborting at its commit
+    *    (the commit-time layout/contention guards remain as defense in
+    *    depth for writers already past this check).
+    *  - A CRASH between the dir-by-dir swap and the catalog CAS — the
+    *    window where data is relaid under the new k while the catalog
+    *    (and every peer's pruning registry) still carries the old k —
+    *    leaves the marker behind, so a post-crash engine keeps serving
+    *    the last committed version (TT on; its files are archived, the
+    *    manifest resolves them) or fails loudly (TT off: nothing to
+    *    pin to) instead of hash-pruning against the wrong modulus and
+    *    silently returning zero/duplicate rows. `RESTORE TABLE … TO
+    *    VERSION AS OF` converges the layout either way and clears the
+    *    marker.
+    */
+  private def relayMarker(t: TableInfo): Path =
+    new Path(dataPath(t.name), graft.sources.ColocatedFileIndex.RelayMarker)
+
+  private def relayMarkerPresent(t: TableInfo): Boolean = {
+    val m = relayMarker(t)
+    m.getFileSystem(spark.sessionState.newHadoopConf()).exists(m)
+  }
+
+  /** Thrown at the top of every data-mutating statement: writing into
+    * (or rewriting) live dirs whose layout is mid-relay or crashed
+    * mid-relay would route rows under a modulus that does not match
+    * the directories. */
+  private def guardNoRelay(t: TableInfo): Unit =
+    if (relayMarkerPresent(t))
+      throw new IllegalStateException(
+        s"table ${t.name}: a REBUCKET relay is in flight (or crashed " +
+          "mid-relay) — writes are disabled until it completes. If no " +
+          "rebucket is running, recover with RESTORE TABLE " +
+          s"${t.name} TO VERSION AS OF <version>.")
+
+  /** The pinned live-read described on [[relayMarker]]: None when no
+    * relay marker is present (the normal path). Failures to pin are
+    * LAZY — a poisoned frame that throws at execution, not at plan
+    * construction — so engine bootstrap (which builds a view per
+    * table) survives a poisoned table and every actual read of it
+    * still fails loudly. */
+  private def relayPinnedRead(t: TableInfo): Option[DataFrame] = {
+    if (!relayMarkerPresent(t)) return None
+    def poisoned(msg: String): DataFrame = {
+      val rdd = spark.sparkContext.parallelize(Seq(0), 1)
+        .mapPartitions[org.apache.spark.sql.Row](_ =>
+          throw new IllegalStateException(msg))
+      spark.createDataFrame(rdd, fullSchema(t))
+    }
+    Some(try {
+      val files = (if (timeTravelEnabled)
+          catalog.state.tableManifests.get(t.tableOid.toString)
+        else None)
+        .flatMap(m => loadManifest(m))
+        .getOrElse(throw new IllegalStateException(
+          s"table ${t.name}: a REBUCKET relay marker is present but " +
+            "no committed manifest exists to pin reads to (time " +
+            "travel off, or the manifest was swept) — the live " +
+            "layout cannot be trusted and there is no version to " +
+            "serve. Recover with RESTORE TABLE " +
+            s"${t.name} TO VERSION AS OF <version> (requires time " +
+            "travel), or re-create the table."))
+      // No zone maps / bucket pruning on the pinned path: the window
+      // is one relay (or one crashed relay awaiting RESTORE), and
+      // correctness beats scan pruning there. BucketCol is synthesized
+      // under the CATALOG's k — the modulus the pinned manifest's
+      // layout was written with.
+      readSnapshotFiles(userSchema(t),
+        resolveLogicalFiles(t.name, files, catalog.currentVersionOnDisk))
+        .withColumn(BucketCol,
+          pmod(hash(col(t.partitionColumn)), lit(t.buckets)))
+        .select(fullSchema(t).fieldNames.map(col): _*)
+    } catch {
+      case e: IllegalStateException => poisoned(e.getMessage)
+    })
   }
 
   /** User-facing scan: bucket column hidden, pruning via the injected
@@ -676,6 +790,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * metrics — no second scan of the source). */
   def insertInto(name: String, df: DataFrame): Long = {
     val t = info(name)
+    guardNoRelay(t)
     val schema = userSchema(t)
     val byName = df.columns.map(c => c.toLowerCase -> c).toMap
     val aligned = schema.fields.map { f =>
@@ -886,6 +1001,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   def update(name: String, sets: Seq[(String, String)],
       where: Option[String]): Long = {
     val t = info(name)
+    guardNoRelay(t)
     val cond = where.map(expr).getOrElse(lit(true))
     val schema = userSchema(t)
     val setMap = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
@@ -945,6 +1061,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     * rewrite at all — count, then drop every bucket directory. */
   def delete(name: String, where: Option[String]): Long = {
     val t = info(name)
+    guardNoRelay(t)
     where match {
       case None =>
         val n = readWithBucket(t).count()
@@ -1001,6 +1118,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       sortBy: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil): (Int, Int) = {
     val t = info(name)
+    guardNoRelay(t)
     val schema = userSchema(t)
     require(sortBy.isEmpty || zorderBy.isEmpty,
       s"OPTIMIZE ${t.name}: SORT BY and ZORDER BY are exclusive")
@@ -1637,7 +1755,27 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       replacedBuckets: Option[(Set[Int], Vector[String])] = None,
       stateTransform: CatalogState => CatalogState = identity,
       failOnContention: Boolean = false): Unit = {
-    if (!timeTravelEnabled) return
+    if (!timeTravelEnabled) {
+      // Record the OFF interlude (verdict-13 item 7): this statement
+      // mutated data without committing a manifest, so the table's
+      // manifest history is no longer complete — clear its epoch so
+      // stray-sweeping VACUUMs stop trusting "unreferenced" for files
+      // predating the next TT-on commit. One CAS only on the first
+      // OFF statement; later ones see the epoch already gone.
+      val oid = t.tableOid.toString
+      if (catalog.state.manifestEpochs.contains(oid))
+        catalog.mutate(s =>
+          s.copy(manifestEpochs = s.manifestEpochs - oid))
+      return
+    }
+    // Epoch (re-)establishment rides every manifest-committing CAS:
+    // absent (new table, or post-interlude) → set to now. Files
+    // younger than it were written under complete manifest-keeping.
+    val epochOid = t.tableOid.toString
+    val epochNow = System.currentTimeMillis()
+    def withEpoch(s: CatalogState): CatalogState =
+      if (s.manifestEpochs.contains(epochOid)) s
+      else s.copy(manifestEpochs = s.manifestEpochs + (epochOid -> epochNow))
     val incremental =
       spark.conf.get("graft.manifest.incremental", "true").toBoolean
     val checkpointEvery = math.max(1, spark.conf
@@ -1764,11 +1902,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
                   else writeFull(pf ++ fresh)
               }
           }
-          stateTransform(s.copy(
+          withEpoch(stateTransform(s.copy(
             tables = s.tables.map(x =>
               if (x.tableOid == t.tableOid) tableTransform(x) else x),
             tableManifests = s.tableManifests +
-              (t.tableOid.toString -> name)))
+              (t.tableOid.toString -> name))))
         }
       case (_, Some((affected, newFiles0))) if incremental =>
         val newFiles = newFiles0.filterNot { f =>
@@ -1815,24 +1953,43 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
               // List the truth (exactly the pre-round-13 behavior).
               writeFull(fullListing())
           }
-          stateTransform(s.copy(
+          withEpoch(stateTransform(s.copy(
             tables = s.tables.map(x =>
               if (x.tableOid == t.tableOid) tableTransform(x) else x),
             tableManifests = s.tableManifests +
-              (t.tableOid.toString -> name)))
+              (t.tableOid.toString -> name))))
         }
       case _ =>
         catalog.mutate { s =>
           guardLayout(s)
+          // The loud-abort contract must hold with the incremental
+          // manifests OFF too: this fallback's full listing is the
+          // post-swap truth, which excludes a peer's rows the swap
+          // archived — quietly committing it would vanish the peer's
+          // SUCCESSFUL statement exactly as in the incremental arm
+          // (r13 advisor: the documented "both race orderings fail
+          // loudly" guarantee otherwise held only with
+          // graft.manifest.incremental=true).
+          val prevHere = s.tableManifests.get(t.tableOid.toString)
+          if (failOnContention && prevHere.isDefined &&
+              prevHere != baseManifest)
+            throw new IllegalStateException(
+              s"REBUCKET ${t.name}: a concurrent statement committed " +
+                "while the table was being relaid; its rows are " +
+                "archived inside this rebucket's swap and the " +
+                "rebucket is NOT committed. Recover with RESTORE " +
+                s"TABLE ${t.name} TO VERSION AS OF <the concurrent " +
+                "statement's version>, then re-run REBUCKET without " +
+                "concurrent writers.")
           // Written INSIDE the closure so a CAS retry re-lists and
           // re-writes against the freshly loaded state (same rationale
           // as fullListing being a def).
           val name = writeFull(fullListing())
-          stateTransform(s.copy(
+          withEpoch(stateTransform(s.copy(
             tables = s.tables.map(x =>
               if (x.tableOid == t.tableOid) tableTransform(x) else x),
             tableManifests = s.tableManifests +
-              (t.tableOid.toString -> name)))
+              (t.tableOid.toString -> name))))
         }
     }
     // Amortize the sweep: every 16th commit per engine (the window is
@@ -2001,6 +2158,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       val oid = t.tableOid.toString
       if (catalog.state.tableManifests.contains(oid)) {
         val keep = referenced.getOrElse(oid, Set.empty)
+        // Manifest-complete epoch (verdict-13 item 7): strays YOUNGER
+        // than it were written under complete manifest-keeping, so
+        // "no retained manifest references it" is authoritative —
+        // those sweep BY DEFAULT. Strays older than the epoch (or any
+        // stray when the epoch is absent — a TT-off interlude means
+        // the stale manifest could misclassify legitimate live files)
+        // still need the explicit operator assertion.
+        val epoch = catalog.state.manifestEpochs.get(oid)
         val root = new Path(dataPath(t.name))
         val fs = root.getFileSystem(conf)
         if (fs.exists(root)) {
@@ -2019,7 +2184,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
                   f.getModificationTime < cutoff) {
                 strayFiles.increment()
                 strayBytes.add(f.getLen)
-                if (sweepStrays) {
+                if (sweepStrays ||
+                    epoch.exists(f.getModificationTime > _)) {
                   fs.delete(f.getPath, false)
                   filesDeleted.increment()
                   bytesReclaimed.add(f.getLen)
@@ -2120,9 +2286,21 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     logical.map { lf =>
       val live = new Path(root, lf)
       if (fs.exists(live)) live.toString
-      else archIndex.getOrElse(lf, throw new IllegalStateException(
-        s"VERSION AS OF $version: file $lf referenced by the manifest " +
-          "exists neither live nor archived (vacuumed beyond retention?)"))
+      else archIndex.get(lf) match {
+        case Some(p) => p
+        case None =>
+          // Third (transient) location: a COW swap's dot-prefixed
+          // aside dir — mid-swap a bucket's files sit in
+          // `.swap-bucket=k/` between the move-aside and the archive.
+          // Matters to relay-pinned reads racing a REBUCKET's swap
+          // loop; one extra probe, and only on the miss path.
+          val aside = new Path(root, s".swap-$lf")
+          if (fs.exists(aside)) aside.toString
+          else throw new IllegalStateException(
+            s"VERSION AS OF $version: file $lf referenced by the " +
+              "manifest exists neither live nor archived (vacuumed " +
+              "beyond retention?)")
+      }
     }
   }
 
@@ -2235,10 +2413,23 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       .getOrElse(throw new IllegalArgumentException(
         s"RESTORE $name: table did not exist at version $version"))
     val target = manifestFiles(snap, tv.tableOid, version).toSet
-    val live = liveLogicalFiles(cur).toSet
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(dataPath(cur.name))
     val fs = root.getFileSystem(conf)
+    // The live set must cover every bucket dir PHYSICALLY present,
+    // not just the catalog's k: a crashed grow-relay (REBUCKET 4→8
+    // dying between its swap and its commit) leaves live dirs beyond
+    // cur.buckets that this restore must archive out — bounded by
+    // the catalog's k they would survive the restore and every later
+    // scan would read the union of both layouts.
+    val diskBuckets =
+      (if (!fs.exists(root)) Vector.empty[Int]
+       else fs.listStatus(root).toVector
+         .filter(s => s.isDirectory &&
+           s.getPath.getName.startsWith(s"$BucketCol="))
+         .map(_.getPath.getName.stripPrefix(s"$BucketCol=").toInt))
+    val live = liveLogicalFiles(cur,
+      (diskBuckets ++ (0 until cur.buckets)).distinct.sorted).toSet
     // Displaced live files archive out (time travel is on, so the
     // pre-restore state stays reachable — RESTORE is itself undoable).
     val tag = UUID.randomUUID().toString
@@ -2288,6 +2479,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     if (tv.buckets != cur.buckets)
       BucketPruning.register(dataPath(cur.name), cur.partitionColumn,
         tv.buckets)
+    // RESTORE is the documented recovery from a crashed/aborted
+    // REBUCKET relay: the commit above made layout and metadata agree
+    // again, so the relay marker (if any) comes off and live
+    // reads/writes resume.
+    fs.delete(relayMarker(cur), false)
     graft.sources.ColocatedFileIndex.invalidate(dataPath(cur.name))
     refreshView(info(key))
   }
@@ -2412,8 +2608,19 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // content, so no row's before/after copies can cancel across
     // bucket boundaries — every cancellation the global exceptAll
     // performs happens inside one bucket, hence inside one pass.
+    //
+    // UNLESS the interval crosses a REBUCKET: bucket id is pmod(h, k),
+    // and with k_from != k_to a row's before-copy (named under k_old)
+    // and after-copy (named under k_new) can land in DIFFERENT passes,
+    // where they never meet an exceptAll and surface as a spurious
+    // delete+insert pair for an unchanged row — silent wrong CDC
+    // output (r13 advisor). The single-pass global diff is exact under
+    // any layout; a rebucket interval's rewrite volume is the whole
+    // table either way, so the scratch bound the split loses here is
+    // one the full rewrite already exceeded.
     val passes =
       if (!boundScratch) 1
+      else if (tFrom.exists(_.buckets != tTo.buckets)) 1
       else spark.conf.get("graft.changes.bucketPasses", "1").toInt
     if (passes <= 1 || removed.isEmpty || added.isEmpty)
       diff(removed.toVector, added.toVector)
@@ -2513,6 +2720,7 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       notMatched: Seq[MergeWhenNotMatched],
       notBySource: Seq[MergeWhenNotBySource]): Long = {
     val t = info(name)
+    guardNoRelay(t)
     val pc = t.partitionColumn
     val schema = userSchema(t)
     require(matched.nonEmpty || notMatched.nonEmpty || notBySource.nonEmpty,

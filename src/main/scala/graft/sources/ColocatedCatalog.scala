@@ -434,6 +434,23 @@ object ColocatedFileIndex {
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, (String, InMemoryFileIndex)]
 
+  /** REBUCKET relay marker (see MppEngine's relay handling): while it
+    * sits in a table's data root, the live bucket layout is mid-relay
+    * (or a relay crashed before its catalog commit) and direct live
+    * scans can double/zero-count rows or prune under a stale modulus.
+    * The engine's own scans route through the last committed manifest;
+    * this path (DSv2 / co-located reads off the raw dirs) has no
+    * manifest to pin to, so it fails LOUDLY instead. */
+  val RelayMarker = ".rebucket.json"
+
+  private def failRelay(root: String): Nothing =
+    throw new IllegalStateException(
+      s"$root: a REBUCKET relay is in flight (or crashed mid-relay) — " +
+        "direct bucket-directory scans are disabled. Read through the " +
+        "mpp engine (it pins to the last committed version), wait for " +
+        "the relay to finish, or recover with RESTORE TABLE … TO " +
+        "VERSION AS OF <version>.")
+
   /** Writes inside one mtime tick are invisible to the fingerprint: a
     * file landing in a bucket dir in the same tick we already listed
     * would serve a stale index. Any table written to this recently is
@@ -453,16 +470,19 @@ object ColocatedFileIndex {
     * schemes. */
   private val MtimeSchemes = Set("file", "hdfs", "viewfs")
 
-  /** (fingerprint, max dir mtime) from ONE listStatus of the root. */
+  /** (fingerprint, max dir mtime, relay marker present) from ONE
+    * listStatus of the root — the marker check rides the listing the
+    * fingerprint already pays for, zero extra RPCs. */
   private def fingerprint(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): (String, Long) = {
-    if (!fs.exists(p)) ("absent", 0L)
+      p: Path): (String, Long, Boolean) = {
+    if (!fs.exists(p)) ("absent", 0L, false)
     else {
       val dirs = fs.listStatus(p).sortBy(_.getPath.getName)
       (dirs.map(d =>
           s"${d.getPath.getName}:${d.getModificationTime}:${d.getLen}")
         .mkString("|"),
-        if (dirs.isEmpty) 0L else dirs.map(_.getModificationTime).max)
+        if (dirs.isEmpty) 0L else dirs.map(_.getModificationTime).max,
+        dirs.exists(_.getPath.getName == RelayMarker))
     }
   }
 
@@ -476,9 +496,12 @@ object ColocatedFileIndex {
       spark.conf.get(EnabledConf, "true").toBoolean &&
         MtimeSchemes.contains(
           Option(fs.getUri.getScheme).getOrElse("").toLowerCase)
-    if (!cacheable)
+    if (!cacheable) {
+      if (fs.exists(new Path(p, RelayMarker))) failRelay(root)
       return new InMemoryFileIndex(spark, Seq(p), Map.empty, Some(schema))
-    val (fp, lastWrite) = fingerprint(fs, p)
+    }
+    val (fp, lastWrite, relaying) = fingerprint(fs, p)
+    if (relaying) failRelay(root)
     val quiescent =
       System.currentTimeMillis() - lastWrite > FreshnessGuardMs
     cache.get(root) match {

