@@ -37,14 +37,34 @@ object BucketPruning {
 
   def unregister(dataPath: String): Unit = registry.remove(normalize(dataPath))
 
-  private def normalize(p: String): String =
-    p.stripSuffix("/").replaceFirst("^file:", "")
+  /** Scheme/authority-insensitive canonical form: a root registered as
+    * `scheme:/x` must match a file index reporting the QUALIFIED
+    * `scheme:///x` (and the historical bare-`file:` strip). */
+  private def normalize(p: String): String = {
+    val path =
+      try new org.apache.hadoop.fs.Path(p).toUri.getPath
+      catch { case _: IllegalArgumentException => null }
+    (if (path == null || path.isEmpty) p.replaceFirst("^file:", "")
+     else path).stripSuffix("/")
+  }
+
+  /** Registry entry for a scan's file index. Version-keyed listing
+    * indexes (round 14) report the BUCKET DIRS as their root paths —
+    * fall back to the shared parent (the table root). */
+  private def registryFor(
+      location: org.apache.spark.sql.execution.datasources.FileIndex)
+      : Option[(String, Int)] =
+    location.rootPaths.headOption.flatMap { p =>
+      registry.get(normalize(p.toString)).orElse {
+        if (p.getName.startsWith(s"$BucketCol=") && p.getParent != null)
+          registry.get(normalize(p.getParent.toString))
+        else None
+      }
+    }
 
   private def lookup(rel: LogicalRelation): Option[(String, Int)] =
     rel.relation match {
-      case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption
-          .flatMap(p => registry.get(normalize(p.toString)))
+      case fs: HadoopFsRelation => registryFor(fs.location)
       case _ => None
     }
 
@@ -134,11 +154,10 @@ object BucketPruning {
   def shards(df: DataFrame): String = {
     val scans = df.queryExecution.executedPlan.collect {
       case f: FileSourceScanExec
-          if f.relation.location.rootPaths.headOption
-            .exists(p => registry.contains(normalize(p.toString))) => f
+          if registryFor(f.relation.location).isDefined => f
     }
     scans.headOption.map { f =>
-      val n = registry(normalize(f.relation.location.rootPaths.head.toString))._2
+      val n = registryFor(f.relation.location).get._2
       val staticFilters = f.partitionFilters.filterNot(
         _.exists(_.isInstanceOf[PlanExpression[_]]))
       val k = f.relation.location.listFiles(staticFilters, Nil).size

@@ -510,10 +510,40 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
   private def readWithBucket(t: TableInfo): DataFrame =
     relayPinnedRead(t).getOrElse(readLiveDirs(t))
 
+  /** Bucket dirs whose file sets differ between two committed
+    * manifests — the listing cache's incremental-invalidation feed
+    * (correct across JVMs: the diff reads the PUBLISHED manifests, so
+    * a peer's commit invalidates exactly the dirs the peer touched).
+    * None when either side cannot be reconstructed → caller must
+    * invalidate everything. */
+  private[graft] def manifestDirDiff(oldM: String,
+      newM: String): Option[Seq[String]] =
+    (loadManifest(oldM), loadManifest(newM)) match {
+      case (Some(a), Some(b)) =>
+        val as = a.toSet
+        val bs = b.toSet
+        Some(((as diff bs) ++ (bs diff as))
+          .map(f => f.substring(0, f.indexOf('/'))).toSeq.distinct)
+      case _ => None
+    }
+
+  /** The committed manifest pointer as the listing-cache validity key
+    * (round 14): zero-RPC cache checks on ANY scheme — on an S3-class
+    * warehouse the mtime fingerprint must bypass the cache and every
+    * read re-lists O(dirs + files); the pointer advances exactly when
+    * the committed file set changes. TT off → None → the mtime
+    * fingerprint path (the pointer stops advancing on TT-off commits,
+    * so it would serve stale listings as a validity key). */
+  private[graft] def listingVersionKey(t: TableInfo): Option[String] =
+    if (timeTravelEnabled)
+      catalog.state.tableManifests.get(t.tableOid.toString)
+    else None
+
   private def readLiveDirs(t: TableInfo): DataFrame = {
     val full = fullSchema(t)
     val inner = graft.sources.ColocatedFileIndex.get(spark,
-      dataPath(t.name), full)
+      dataPath(t.name), full, listingVersionKey(t), t.buckets,
+      manifestDirDiff)
     val zoned = new graft.sources.ZoneMapFileIndex(inner, spark)
     val dataSchema = org.apache.spark.sql.types.StructType(
       full.filterNot(f => zoned.partitionSchema.fieldNames
@@ -818,7 +848,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // committed before now.
     val manifestBase = catalog.state.tableManifests.get(t.tableOid.toString)
     stagedAppend(t, shaped) { added =>
-      refreshView(t)
       // graft.manifest.incremental=false restores the full-listing
       // commit — kept ONLY so the incremental path's benefit stays
       // A/B-measurable (IngestProbe records both).
@@ -827,6 +856,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           Some(added)
         else None,
         deltaBase = Some(manifestBase))
+      // AFTER the commit: the view's file index is cache-keyed by the
+      // committed manifest pointer — refreshed before the commit it
+      // would capture the PRE-statement index and serve stale rows
+      // until the next refresh (round 14).
+      refreshView(t)
     }
     observedLong(obs)
   }
@@ -1076,13 +1110,14 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
           if (fs.exists(d)) archiveOrDelete(fs, d,
             new Path(archiveDirFor(t, tag), s"$BucketCol=$k"))
         }
-        refreshView(t)
         // Every bucket replaced with nothing: the manifest delta is a
         // constant-size record, zero listing RPCs at any bucket count.
+        // refreshView AFTER the commit (manifest-keyed index cache).
         commitManifest(t,
           replacedBuckets = Some(((0 until t.buckets).toSet,
             Vector.empty[String])),
           deltaBase = Some(manifestBase))
+        refreshView(t)
         n
       case _ =>
         val cond = where.map(expr).getOrElse(lit(true))
@@ -1541,7 +1576,6 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         new Path(archiveDirFor(t, stagingName), s"$BucketCol=$k"))
     }
     fs.delete(new Path(staging), true)
-    refreshView(t)
     // The swap replaced exactly `affected`'s bucket dirs: the manifest
     // delta lists those dirs' new contents (O(affected) RPCs) against
     // the pre-rewrite base — never the whole table.
@@ -1551,6 +1585,10 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       deltaBase = Some(manifestBase),
       stateTransform = stateTransform,
       failOnContention = failOnContention)
+    // AFTER the commit: the view's file index is cache-keyed by the
+    // committed manifest pointer (round 14) — refreshed earlier it
+    // would capture the pre-statement index.
+    refreshView(t)
     // The lease (heartbeat-refreshed) covers write, swap AND commit:
     // it is VACUUM's only authoritative in-flight signal, and the old
     // shape — heartbeat stopped after the staging write, lease deleted
@@ -2133,6 +2171,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
     // operator action, like Delta's VACUUM retention override.
     val strayFiles = new LongAdder
     val strayBytes = new LongAdder
+    val sweptTables =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val sweepStrays =
       spark.conf.get("graft.vacuum.sweepStrays", "false").toBoolean
     // A stray's AGE cannot come from file mtime alone: rename preserves
@@ -2189,6 +2229,8 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
                   fs.delete(f.getPath, false)
                   filesDeleted.increment()
                   bytesReclaimed.add(f.getLen)
+                  sweptTables.add(t.name)
+                  ()
                 }
               }
             }
@@ -2196,6 +2238,11 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
         }
       }
     }
+    // A stray sweep deletes LIVE files without a manifest commit — the
+    // manifest-keyed listing cache (round 14) would keep referencing
+    // them until the table's next commit; invalidate explicitly.
+    sweptTables.forEach(n =>
+      graft.sources.ColocatedFileIndex.invalidate(dataPath(n)))
     VacuumStats(manifestsDeleted, filesDeleted.sum(),
       bytesReclaimed.sum(), filesRetained.sum(), bytesRetained.sum(),
       System.currentTimeMillis() - t0,
@@ -2932,12 +2979,12 @@ final class MppEngine(val spark: SparkSession, val warehouse: String) {
       stagedAppend(t,
         routeToBuckets(enforceNotNull(t, inserts)
           .observe(obs, count(lit(1)).as("n")), affected)) { added =>
-        refreshView(t)
         commitManifest(t, addedFiles =
           if (spark.conf.get("graft.manifest.incremental", "true").toBoolean)
             Some(added)
           else None,
           deltaBase = Some(manifestBase))
+        refreshView(t) // after the commit (manifest-keyed index cache)
       }
       return observedLong(obs)
     }

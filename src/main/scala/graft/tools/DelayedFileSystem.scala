@@ -28,7 +28,10 @@ import org.apache.hadoop.util.Progressable
   * the assertion is true by construction). */
 class DelayedFileSystem extends RawLocalFileSystem {
 
-  private def nap(): Unit = {
+  private def nap(op: String): Unit = {
+    DelayedFileSystem.rpcs.increment()
+    DelayedFileSystem.byOp.computeIfAbsent(op,
+      _ => new java.util.concurrent.atomic.LongAdder).increment()
     val d = getConf.getLong("fs.slowfs.delay.ms", 2L)
     if (d > 0) Thread.sleep(d)
   }
@@ -37,28 +40,56 @@ class DelayedFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("slowfs:///")
 
   override def listStatus(p: Path): Array[FileStatus] = {
-    nap(); super.listStatus(p)
+    nap("listStatus"); super.listStatus(p)
   }
   override def getFileStatus(p: Path): FileStatus = {
-    nap(); super.getFileStatus(p)
+    nap("getFileStatus"); super.getFileStatus(p)
   }
   override def rename(src: Path, dst: Path): Boolean = {
-    nap(); super.rename(src, dst)
+    nap("rename"); super.rename(src, dst)
   }
   override def delete(p: Path, recursive: Boolean): Boolean = {
-    nap(); super.delete(p, recursive)
+    nap("delete"); super.delete(p, recursive)
   }
   override def mkdirs(p: Path, permission: FsPermission): Boolean = {
-    nap(); super.mkdirs(p, permission)
+    nap("mkdirs"); super.mkdirs(p, permission)
   }
   override def open(p: Path, bufferSize: Int): FSDataInputStream = {
-    nap(); super.open(p, bufferSize)
+    nap("open"); super.open(p, bufferSize)
   }
   override def create(p: Path, permission: FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
       blockSize: Long, progress: Progressable): FSDataOutputStream = {
-    nap()
+    nap("create")
     super.create(p, permission, overwrite, bufferSize, replication,
       blockSize, progress)
   }
 }
+
+object DelayedFileSystem {
+  /** Total delayed RPCs since JVM start — the probe diffs this around
+    * each phase to attribute wall time to RPC volume (counted on every
+    * FileSystem instance; Hadoop caches one per scheme+conf but the
+    * counter is global either way). */
+  val rpcs = new java.util.concurrent.atomic.LongAdder
+  /** Same count split by operation, for attribution. */
+  val byOp = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.atomic.LongAdder]
+  def snapshotByOp(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    byOp.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+}
+
+/** The FileContext-API twin (HadoopCatalogIo's atomic replacing
+  * publish goes through `FileContext.rename(OVERWRITE)`, which
+  * resolves `fs.AbstractFileSystem.slowfs.impl`): delegate to the same
+  * delayed filesystem. */
+class DelayedAbstractFs(uri: URI,
+    conf: org.apache.hadoop.conf.Configuration)
+  extends org.apache.hadoop.fs.DelegateToFileSystem(
+    uri, {
+      val fs = new DelayedFileSystem
+      fs.setConf(conf)
+      fs
+    }, conf, "slowfs", false)

@@ -64,6 +64,8 @@ object IngestProbe {
     if (wh.startsWith("slowfs:")) {
       val hc = spark.sparkContext.hadoopConfiguration
       hc.set("fs.slowfs.impl", classOf[DelayedFileSystem].getName)
+      hc.set("fs.AbstractFileSystem.slowfs.impl",
+        classOf[DelayedAbstractFs].getName)
       sys.env.get("GRAFT_SLOWFS_DELAY_MS").foreach(d =>
         hc.set("fs.slowfs.delay.ms", d))
       // The delegate is RawLocalFileSystem: rename/O_EXCL-create ARE
@@ -224,6 +226,13 @@ object IngestProbe {
         "incremental" -> 0.0, "full_listing" -> 0.0)
       val mbytes = scala.collection.mutable.Map(
         "incremental" -> 0L, "full_listing" -> 0L)
+      // FileSystem RPCs per arm (meaningful on a slowfs warehouse):
+      // attributes the wall numbers to request VOLUME — the term a
+      // remote store bills and throttles on.
+      val rpcN = scala.collection.mutable.Map(
+        "incremental" -> 0L, "full_listing" -> 0L)
+      val upRpcN = scala.collection.mutable.Map(
+        "incremental" -> 0L, "full_listing" -> 0L)
       val upWall = scala.collection.mutable.Map(
         "incremental" -> 0.0, "full_listing" -> 0.0)
       val upBytes = scala.collection.mutable.Map(
@@ -238,10 +247,12 @@ object IngestProbe {
           val (tag, conf) = if (i % 2 == 0) ("incremental", "true")
             else ("full_listing", "false")
           spark.conf.set("graft.manifest.incremental", conf)
+          val r0 = DelayedFileSystem.rpcs.sum()
           val t0 = System.nanoTime()
           he.insertInto(ht, hkBatch(i))
           wall(tag) += sec(t0)
           mbytes(tag) += committedManifestLen()
+          rpcN(tag) += DelayedFileSystem.rpcs.sum() - r0
         }
         // COW commit tail at high k: a single-key UPDATE swaps ONE
         // bucket dir; its v2 commit lists that bucket and writes a
@@ -263,21 +274,25 @@ object IngestProbe {
             case org.apache.spark.sql.types.StringType => s"'probe-$i'"
             case _ => i.toString
           }
+          val r0 = DelayedFileSystem.rpcs.sum()
           val t0 = System.nanoTime()
           he.sql(s"UPDATE $ht SET ${setCol.name} = $v WHERE $keyCol = $k")
           upWall(tag) += sec(t0)
           upBytes(tag) += committedManifestLen()
+          upRpcN(tag) += DelayedFileSystem.rpcs.sum() - r0
         }
       } finally spark.conf.unset("graft.manifest.incremental")
       wall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
         report(s"highk_$tag",
           f"${w / 3}%.2f s/statement, ${mbytes(tag) / 3} manifest " +
-            f"bytes/commit (${hkRows} rows, $hk buckets)")
+            f"bytes/commit, ${rpcN(tag) / 3} fs RPCs/statement " +
+            f"(${hkRows} rows, $hk buckets)")
       }
       upWall.toSeq.sortBy(_._1).foreach { case (tag, w) =>
         report(s"highk_update_$tag",
           f"${w / 2}%.2f s/statement, ${upBytes(tag) / 2} manifest " +
-            f"bytes/commit (1-key COW, $hk buckets)")
+            f"bytes/commit, ${upRpcN(tag) / 2} fs RPCs/statement " +
+            s"(1-key COW, $hk buckets)")
       }
       // Phase 2.6 (GRAFT_INGEST_REBUCKET=<k2>): the repair REBUCKET
       // exists for. The high-k arms above show tiny appends paying a

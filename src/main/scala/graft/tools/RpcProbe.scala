@@ -1,0 +1,99 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** One-statement FileSystem-RPC attribution over a `slowfs:` warehouse
+  * (delay 0 — count, don't sleep): runs a single 1-key UPDATE and a
+  * single small INSERT against an existing high-k table and prints the
+  * per-operation RPC counts each performed. Exists because the §24
+  * commit-tail A/B surfaced a per-statement RPC volume of ~4-5× the
+  * table's FILE COUNT — this names the term so it can be engineered,
+  * not guessed at.
+  *
+  * Usage: runMain graft.tools.RpcProbe <slowfs-warehouse> <table>
+  */
+object RpcProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(wh, table) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.slowfs.impl", classOf[DelayedFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.slowfs.impl",
+      classOf[DelayedAbstractFs].getName)
+    hc.set("fs.slowfs.delay.ms", "0")
+    spark.conf.set("graft.catalog.fs.assumeAtomic", "true")
+    val e = new graft.mpp.MppEngine(spark, wh)
+    val t = e.catalog.state.liveTable(table).getOrElse(
+      sys.error(s"no table $table in $wh"))
+    println(s"[rpc-probe] table $table: ${t.buckets} buckets")
+    def phase(tag: String)(body: => Unit): Unit = {
+      val before = DelayedFileSystem.snapshotByOp()
+      val t0 = System.nanoTime()
+      body
+      val secs = (System.nanoTime() - t0) / 1e9
+      val after = DelayedFileSystem.snapshotByOp()
+      val diff = after.map { case (k, v) =>
+        k -> (v - before.getOrElse(k, 0L)) }.filter(_._2 > 0)
+      val total = diff.values.sum
+      println(f"[rpc-probe] $tag: $secs%.1f s, $total RPCs = " +
+        diff.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }
+          .mkString(", "))
+    }
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fields = StructType.fromDDL(t.schemaDdl).fields
+    val keyCol = t.partitionColumn
+    val setCol = fields.find(f => !f.name.equalsIgnoreCase(keyCol) &&
+      f.dataType.isInstanceOf[NumericType]).get.name
+    phase("full_count")(e.table(table).count())
+    phase("second_full_count")(e.table(table).count())
+    // Pruning sanity: the version-keyed index must still expose the
+    // bucket partition column (a silent inference failure turns every
+    // pruned read into a full footer sweep).
+    val shards = e.explainShards(
+      e.table(table).filter(col(keyCol) === 30000000100L))
+    require(shards == s"Shards: 1/${t.buckets}",
+      s"bucket pruning lost on the version-keyed index: $shards")
+    phase("point_read") {
+      e.table(table).filter(col(keyCol) === 30000000100L).count()
+    }
+    // Fresh SET value per run so re-runs still perform a REAL rewrite
+    // (the engine skips no-op updates).
+    val cur = e.table(table).filter(col(keyCol) === 30000000100L)
+      .select(col(setCol).cast("long")).collect()(0).getLong(0)
+    val next = (cur + 1) % 1000000
+    phase("update_1key") {
+      e.sql(s"UPDATE $table SET $setCol = $next " +
+        s"WHERE $keyCol = 30000000100")
+    }
+    val got = e.table(table).filter(col(keyCol) === 30000000100L)
+      .select(col(setCol).cast("long")).collect().map(_.getLong(0))
+    require(got.sameElements(Array(next)),
+      s"update did not land: ${got.mkString(",")} want $next")
+    phase("update_1key_other") {
+      e.sql(s"UPDATE $table SET $setCol = ${(next + 7) % 1000000} " +
+        s"WHERE $keyCol = 30000000101")
+    }
+    phase("insert_1krows") {
+      var df = spark.range(90000000000L, 90000001000L).toDF("__id")
+      fields.foreach { f =>
+        df = df.withColumn(f.name,
+          if (f.name.equalsIgnoreCase(keyCol)) col("__id")
+          else f.dataType match {
+            case StringType => lit("rpcprobe")
+            case DateType => to_date(lit("2024-01-01"))
+            case n: NumericType => (col("__id") % 1000).cast(n)
+            case other => lit(null).cast(other)
+          })
+      }
+      e.insertInto(table, df.select(fields.map(f => col(f.name)): _*))
+    }
+    spark.stop()
+  }
+}

@@ -67,6 +67,47 @@ object GraftSqlBridge {
     * the key; the cost is one re-clone (milliseconds) after any GC
     * that collects an otherwise-unreferenced clone — amortized noise
     * against a per-minute micro-batch cadence. */
+  /** A per-table-root directory-granular [[execution.datasources
+    * .FileStatusCache]] (private[sql] surface — hence built here in
+    * the bridge): handed to `InMemoryFileIndex` with the BUCKET DIRS
+    * as root paths, each dir becomes its own cache entry, so an index
+    * rebuild after a commit re-lists ONLY the dirs that commit
+    * touched (the engine invalidates exactly those) instead of the
+    * whole table — O(statement) metadata RPCs on the data plane, the
+    * twin of the manifest delta log on the catalog plane. */
+  final class GraftFileStatusCache
+      extends execution.datasources.FileStatusCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus]]
+    override def getLeafFiles(path: org.apache.hadoop.fs.Path)
+        : Option[Array[org.apache.hadoop.fs.FileStatus]] =
+      Option(m.get(path))
+    override def putLeafFiles(path: org.apache.hadoop.fs.Path,
+        leafFiles: Array[org.apache.hadoop.fs.FileStatus]): Unit = {
+      m.put(path, leafFiles); ()
+    }
+    def invalidate(path: org.apache.hadoop.fs.Path): Unit = {
+      m.remove(path); ()
+    }
+    override def invalidateAll(): Unit = m.clear()
+    def size: Int = m.size
+  }
+
+  /** InMemoryFileIndex over explicit root paths with a status cache —
+    * the 5-arg constructor is private[sql]-adjacent plumbing. */
+  def fileIndex(spark: SparkSession, roots: Seq[org.apache.hadoop.fs.Path],
+      parameters: Map[String, String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      cache: GraftFileStatusCache)
+      : execution.datasources.InMemoryFileIndex =
+    spark match {
+      case c: classic.SparkSession =>
+        new execution.datasources.InMemoryFileIndex(
+          c, roots, parameters, schema, cache)
+      case other => throw new IllegalStateException(
+        s"expected a classic SparkSession, got ${other.getClass.getName}")
+    }
+
   private val plannerSessions = new java.util.WeakHashMap[
     classic.SparkSession, java.lang.ref.WeakReference[classic.SparkSession]]
   private def plannerFor(c: classic.SparkSession): classic.SparkSession =
