@@ -96,7 +96,7 @@ object OperatorQueries {
   // amortize (no exportBucketed re-write afterwards).
   private val dsv2Cats = TrieMap.empty[String, String]
 
-  private def dsv2Catalog(s: SparkSession, dir: String): String =
+  private[graft] def dsv2Catalog(s: SparkSession, dir: String): String =
     dsv2Cats.getOrElseUpdate(dir, {
       val wh = java.nio.file.Files
         .createTempDirectory(s"graft-dsv2-${dirTag(dir)}")

@@ -135,8 +135,91 @@ object AggFloor {
       ("roll_3_rollup", () => rollFull),
       ("roll_4_full_sorted", () => rollFull
         .orderBy("returnflag", "linestatus")))
+    // Round-14 flagged-row layers (verdict item 2): the five rows that
+    // stayed >2× vs the PAIRED oracle even warmed-isolated
+    // (q_range_join, q5_region_revenue, q3_top_revenue,
+    // q_colocated_dsv2, q_asof_join). Each sequence adds one plan
+    // component so min(v_{i+1}) − min(v_i) prices that component; the
+    // first variant is the row's scan floor, the full row comes from
+    // SparkEntry so the decomposition brackets exactly what the bench
+    // times.
+    def entry(n: String) = graft.SparkEntry.queries(n)(spark, dir)
+    val evd = graft.Tables(spark, dir, "events")
+      .withColumn("t", date_trunc("second", col("ts")))
+    def rjSessions = graft.streaming.EventStreams.sessionizeBatch(
+        evd.filter(col("event_type") === "click")
+          .select(col("user_id"), col("t").as("ts"), col("value")))
+      .select(col("user_id"), col("session_start"), col("session_end"))
+    def ajClicks = evd.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("t"))
+    def ajPurch = evd.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("t"))
+      .agg(round(max(col("value")), 4).as("r_value"))
+    val custf = cust.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ordf = ords.filter(col("o_orderdate") <
+      lit("1998-06-01").cast("timestamp"))
+    val lif = li.filter(col("l_shipdate") >
+      lit("1998-06-01").cast("timestamp"))
+    def q3ordc = ordf.join(custf.hint("shuffle_hash"),
+        ordf("o_custkey") === custf("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+    def q3join = lif.join(q3ordc.hint("shuffle_hash"),
+      lif("l_orderkey") === col("o_orderkey"))
+    def q3agg = q3join
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    val dsv2Cat = graft.queries.OperatorQueries.dsv2Catalog(spark, dir)
+    def dsv2Join = spark.table(s"$dsv2Cat.cust")
+      .join(spark.table(s"$dsv2Cat.ord"), "custkey")
+    val flagged: Seq[(String, () => DataFrame)] = Seq(
+      // -- q3_top_revenue layers --
+      ("q3_1_li_filtered_scan", () => lif.select(col("l_orderkey"),
+        col("l_extendedprice"), col("l_discount"))),
+      ("q3_2_ord_cust_join", () => q3ordc),
+      ("q3_3_li_join", () => q3join.select(col("l_orderkey"),
+        col("o_orderdate"), col("l_extendedprice"), col("l_discount"))),
+      ("q3_4_agg", () => q3agg),
+      ("q3_5_full", () => entry("q3_top_revenue")),
+      // -- q5_region_revenue layers --
+      ("q5_1_li_scan", () => li.select(col("l_orderkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_discount"))),
+      ("q5_2_full", () => entry("q5_region_revenue")),
+      // -- q_range_join layers --
+      ("rj_1_events_scan", () => evd.select(col("user_id"),
+        col("event_type"), col("t"), col("value"))),
+      ("rj_2_sessionize", () => rjSessions),
+      ("rj_3_full", () => entry("q_range_join")),
+      // -- q_asof_join layers --
+      ("aj_1_events_scans", () => ajClicks
+        .select(ajClicks.columns.map(c => col(c).cast("string")): _*)
+        .unionAll(ajPurch
+          .select(ajPurch.columns.map(c => col(c).cast("string")): _*))),
+      ("aj_2_asof", () => graft.operators.AsofJoin.asof(
+        ajClicks, ajPurch, "user_id", "t")),
+      ("aj_3_full", () => entry("q_asof_join")),
+      // -- q_colocated_dsv2 layers --
+      ("co_1_dsv2_scans", () => {
+        val c0 = spark.table(s"$dsv2Cat.cust")
+        val o0 = spark.table(s"$dsv2Cat.ord")
+          .select(col("custkey"), col("o_totalprice"), col("o_orderkey"))
+        c0.select(c0.columns.take(2).map(c => col(c).cast("string")): _*)
+          .unionAll(o0.select(o0.columns.take(2).map(c =>
+            col(c).cast("string")): _*))
+      }),
+      ("co_2_join", () => dsv2Join.select(col("custkey"))),
+      ("co_3_agg", () => dsv2Join.groupBy(col("custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total"))),
+      ("co_4_full", () => entry("q_colocated_dsv2")))
     println("variant,rep,sec")
-    (if (set == "crossover") crossover else variants).foreach {
+    (set match {
+      case "crossover" => crossover
+      case "flagged" => flagged
+      case _ => variants
+    }).foreach {
       case (name, f) =>
       f().queryExecution.toRdd.count() // warm
       (1 to reps).foreach { rep =>
