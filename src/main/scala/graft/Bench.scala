@@ -301,12 +301,32 @@ object Bench {
     // alphabetically. Per-row numbers stay comparable across rounds;
     // only the execution order moved.
     val heavyTail = Seq("q_span_dedup", "q_span_dedup_winnow")
+    // GRAFT_BENCH_QUERIES: optional comma-separated allowlist — the
+    // scale-regime runs (sf30) time a chosen subset (the flagged rows
+    // + the substantive surface) rather than the full 103-row
+    // protocol; the artifact's queries_expected reflects the subset
+    // so a filtered run can never read as a full one.
+    val allow = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSet
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(n => allow.isEmpty || allow.contains(n._1))
     val names = sorted.filterNot(n => heavyTail.contains(n._1)) ++
       heavyTail.flatMap(h => sorted.find(_._1 == h))
+    // GRAFT_WARM_TABLES → graft.warm.tables: bounds which warehouse
+    // tables MppQueries.warm builds (the sf30 subset runs need no DML
+    // warehouse; building one at that scale would dwarf the bench).
+    sys.env.get("GRAFT_WARM_TABLES")
+      .foreach(v => spark.conf.set("graft.warm.tables", v))
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val (cold, steady, errors) = phase(spark, sfDir, names)
+    // GRAFT_BENCH_SKIP_BASE=1 skips the sf0.1 phase (scale-regime
+    // runs: the scaled phase's own warm pass provides the JIT state,
+    // and multi-second rows are not JIT-bound).
+    val skipBase = sys.env.getOrElse("GRAFT_BENCH_SKIP_BASE", "0") == "1"
+    val (cold, steady, errors) =
+      if (skipBase) (Seq.empty[(String, Double)],
+        Seq.empty[(String, Double)], Map.empty[String, String])
+      else phase(spark, sfDir, names)
     val total = steady.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     def fmtErr(es: Map[String, String]) = es
@@ -423,12 +443,32 @@ object Bench {
             isoSrc.exists(_._1 == n))
         isolatedPhase(names, isoDir)
       }
+    // Per-row regression VERDICTS (round-14 verdict item 4): the
+    // artifact already holds the evidence that separates a plan
+    // regression from context/GC/host debt — the same-round
+    // warmed-isolated number — but the label wasn't emitted, so 16
+    // partial-drift rows could read as 16 plan regressions. A row
+    // whose fresh-JVM isolated time is at or below its previous
+    // CONTEXT time (within the same 25% noise band the trigger uses)
+    // is context debt by construction: the plan, run alone, is as
+    // fast as it ever was. Only "regressed" verdicts are real
+    // plan-chase work (`regressed_real` counts them).
+    val isoMap = isolated.toMap
+    def verdictOf(n: String, prev: Double): String =
+      isoMap.get(n) match {
+        case Some(iso) if iso <= prev * 1.25 => "context_debt"
+        case Some(_) => "regressed"
+        case None if hostDrift => "suspected_drift"
+        case None => "unisolated"
+      }
     val regJson = regressed.map { case (n, p, c) =>
-      s"""\"$n\":[$p,$c]""" }.mkString("{", ",", "}")
+      s"""\"$n\":[$p,$c,\"${verdictOf(n, p)}\"]""" }.mkString("{", ",", "}")
+    val regReal = regressed.count { case (n, p, _) =>
+      verdictOf(n, p) == "regressed" }
     val isoJson =
       s""","isolated":${fmt(isolated)},"isolated_dir":"$isoDir","regressed_vs_prev":$regJson""" +
-        s""","host_drift":{"suspected":$hostDrift,"comparable":$comparable,"regressed":${regressed.size}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled$isoJson$oracleJson,"sf":"$sfDir"}"""
+        s""","host_drift":{"suspected":$hostDrift,"comparable":$comparable,"regressed":${regressed.size},"regressed_real":$regReal}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","mode":"steady-state (per-query min of 2 warm runs; cold_* = first run)","queries":${fmt(steady)},"errors":${fmtErr(errors)},"queries_ok":${steady.size},"queries_expected":${if (skipBase) 0 else names.size},"cold_total":$coldTotal,"cold_queries":${fmt(cold)}$scaled$isoJson$oracleJson,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the tail of the stdout line; the COMPLETE
     // artifact goes to a repo file so every dict survives for diffing.

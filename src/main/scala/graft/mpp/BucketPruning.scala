@@ -37,15 +37,28 @@ object BucketPruning {
 
   def unregister(dataPath: String): Unit = registry.remove(normalize(dataPath))
 
-  /** Scheme/authority-insensitive canonical form: a root registered as
-    * `scheme:/x` must match a file index reporting the QUALIFIED
-    * `scheme:///x` (and the historical bare-`file:` strip). */
-  private def normalize(p: String): String = {
-    val path =
-      try new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Scheme-insensitive, AUTHORITY-KEEPING canonical form
+    * (`authority/path`): a root registered as `scheme:/x` must match a
+    * file index reporting the QUALIFIED `scheme:///x` (and the
+    * historical bare-`file:` strip) — but two tables at the same path
+    * under DIFFERENT authorities (`s3://a/wh/t` vs `s3://b/wh/t`, two
+    * namenodes) must NOT collide: a collision would prune one scan
+    * under the other table's bucket count and silently drop rows
+    * (round-14 advisor). Scheme is still dropped (s3/s3a/s3n aliases
+    * of one store); an empty authority (`file:/x`, `slowfs:///x`,
+    * default-fs `hdfs:/x`) canonicalizes to the bare path. Register
+    * and scan must agree on qualification for a NON-empty authority:
+    * both sides derive from the same warehouse string, which carries
+    * the authority whenever one exists. */
+  private[mpp] def normalize(p: String): String = {
+    val uri =
+      try new org.apache.hadoop.fs.Path(p).toUri
       catch { case _: IllegalArgumentException => null }
+    val path = if (uri == null) null else uri.getPath
+    val auth =
+      if (uri == null) "" else Option(uri.getAuthority).getOrElse("")
     (if (path == null || path.isEmpty) p.replaceFirst("^file:", "")
-     else path).stripSuffix("/")
+     else auth + path).stripSuffix("/")
   }
 
   /** Registry entry for a scan's file index. Version-keyed listing

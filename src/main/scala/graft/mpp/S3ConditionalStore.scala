@@ -54,7 +54,13 @@ private[mpp] object SigV4 {
   /** Signed headers for one request: returns (headerName -> value)
     * including `x-amz-date`, `x-amz-content-sha256` and
     * `Authorization`. `query` must be the already-sorted
-    * canonical-encoded query string ("" when none). */
+    * canonical-encoded query string ("" when none). `path` must be
+    * the WIRE path, already RFC-3986-encoded exactly once — for the
+    * s3 service the canonical URI is that single-encoded path
+    * verbatim (S3 is the one AWS service that must NOT double-encode;
+    * re-encoding here would turn any key with a character outside the
+    * unreserved set into SignatureDoesNotMatch against a real
+    * endpoint — round-14 advisor). */
   def headers(method: String, host: String, path: String, query: String,
       payloadSha: String, region: String, access: String,
       secret: String, extraSigned: Seq[(String, String)] = Nil,
@@ -70,7 +76,7 @@ private[mpp] object SigV4 {
     val canonicalHeaders =
       sortedHdrs.map { case (k, v) => s"$k:$v\n" }.mkString
     val signedHeaderNames = sortedHdrs.map(_._1).mkString(";")
-    val canonical = Seq(method, uriEncode(path, keepSlash = true), query,
+    val canonical = Seq(method, path, query,
       canonicalHeaders, signedHeaderNames, payloadSha).mkString("\n")
     val scope = s"$shortDate/$region/s3/aws4_request"
     val toSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
@@ -221,22 +227,41 @@ final class S3ConditionalStore(endpoint: String, bucket: String,
         r.statusCode() != 404) fail("DELETE", r)
   }
 
+  /** ListObjectsV2 pages at 1000 keys: a single-response parse would
+    * SILENTLY truncate any catalog dir pushed past 1000 objects
+    * (accumulated .tmp- leftovers), and retainedVersions / VACUUM's
+    * referenced-set ride this listing — a dropped page would let the
+    * stray sweep delete still-referenced files (round-14 advisor).
+    * Loop on NextContinuationToken until IsTruncated=false. */
   override def list(prefix: String): Seq[(String, Long)] = {
     val p = keyOf(prefix)
     val pfx = if (p.isEmpty || p.endsWith("/")) p else p + "/"
-    val r = request("GET", "", Seq("list-type" -> "2",
-      "prefix" -> pfx, "delimiter" -> "/"), null, Nil)
-    if (r.statusCode() != 200) fail("LIST", r)
-    val xml = new String(r.body(), StandardCharsets.UTF_8)
     val entry = ("(?s)<Contents>.*?<Key>(.*?)</Key>.*?" +
       "<LastModified>(.*?)</LastModified>.*?</Contents>").r
-    entry.findAllMatchIn(xml).map { m =>
-      val key = m.group(1)
-      val name = key.substring(key.lastIndexOf('/') + 1)
-      val mtime = try Instant.parse(m.group(2)).toEpochMilli
-        catch { case _: Exception => 0L }
-      (name, mtime)
-    }.filter(_._1.nonEmpty).toVector
+    val truncatedRe = "<IsTruncated>\\s*true\\s*</IsTruncated>".r
+    val tokenRe =
+      "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+    val out = Vector.newBuilder[(String, Long)]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq("list-type" -> "2", "prefix" -> pfx,
+        "delimiter" -> "/") ++
+        token.map("continuation-token" -> _).toSeq
+      val r = request("GET", "", q, null, Nil)
+      if (r.statusCode() != 200) fail("LIST", r)
+      val xml = new String(r.body(), StandardCharsets.UTF_8)
+      entry.findAllMatchIn(xml).foreach { m =>
+        val key = m.group(1)
+        val name = key.substring(key.lastIndexOf('/') + 1)
+        val mtime = try Instant.parse(m.group(2)).toEpochMilli
+          catch { case _: Exception => 0L }
+        if (name.nonEmpty) out += ((name, mtime))
+      }
+      token = tokenRe.findFirstMatchIn(xml).map(_.group(1))
+      more = truncatedRe.findFirstIn(xml).isDefined && token.isDefined
+    }
+    out.result()
   }
 
   override def mtimeMs(key: String): Long = {
@@ -297,7 +322,8 @@ final class HttpStoreProvider extends ConditionalStoreProvider {
   * store's job; the client still produces them so the signing path
   * runs). Optional fixed per-request delay emulates remote RPC
   * latency for the delta-log tail measurements. */
-final class MiniObjectStoreServer(port: Int, delayMs: Long = 0L) {
+final class MiniObjectStoreServer(port: Int, delayMs: Long = 0L,
+    listPageSize: Int = 1000) {
 
   private case class Obj(bytes: Array[Byte], etag: String, mtime: Long)
   private val store = scala.collection.mutable.HashMap.empty[String, Obj]
@@ -350,20 +376,40 @@ final class MiniObjectStoreServer(port: Int, delayMs: Long = 0L) {
       method match {
         case "GET" if params.get("list-type").contains("2") =>
           val pfx = params.getOrElse("prefix", "")
-          val objs = lock.synchronized {
+          // Paged like the real API: max-keys (default 1000) keys per
+          // response in key order; `continuation-token` is start-after
+          // (the last key of the previous page — opaque to clients,
+          // which must pass it back verbatim). Exists so the client's
+          // IsTruncated loop is exercised against a server that
+          // actually truncates, not just documented.
+          val maxKeys = params.get("max-keys").map(_.toInt)
+            .getOrElse(listPageSize)
+          val after = params.get("continuation-token")
+          val all = lock.synchronized {
             store.toVector.filter { case (k, _) =>
               k.startsWith(pfx) && !k.substring(pfx.length).contains('/')
             }
+          }.sortBy(_._1)
+          val fromTok = after match {
+            case Some(t) => all.dropWhile(_._1 <= t)
+            case None => all
           }
+          val page = fromTok.take(maxKeys)
+          val truncated = fromTok.size > page.size
           val xml = new StringBuilder(
             "<?xml version=\"1.0\"?><ListBucketResult>")
-          objs.sortBy(_._1).foreach { case (k, o) =>
+          page.foreach { case (k, o) =>
             xml.append("<Contents><Key>").append(k)
               .append("</Key><LastModified>")
               .append(Instant.ofEpochMilli(o.mtime).toString)
               .append("</LastModified><ETag>").append(o.etag)
               .append("</ETag></Contents>")
           }
+          xml.append("<IsTruncated>").append(truncated)
+            .append("</IsTruncated>")
+          if (truncated)
+            xml.append("<NextContinuationToken>").append(page.last._1)
+              .append("</NextContinuationToken>")
           xml.append("</ListBucketResult>")
           respond(200, xml.toString.getBytes(StandardCharsets.UTF_8),
             Seq("Content-Type" -> "application/xml"))

@@ -32,6 +32,21 @@ class DelayedFileSystem extends RawLocalFileSystem {
     DelayedFileSystem.rpcs.increment()
     DelayedFileSystem.byOp.computeIfAbsent(op,
       _ => new java.util.concurrent.atomic.LongAdder).increment()
+    // Attribution mode (`fs.slowfs.stacks=true`): additionally key the
+    // count by the first NON-filesystem caller frame, so a probe can
+    // name the code paths behind an RPC count instead of guessing
+    // (used to decompose the round-14 INSERT publish constant).
+    if (getConf.getBoolean("fs.slowfs.stacks", false)) {
+      val frame = Thread.currentThread().getStackTrace.iterator
+        .map(_.toString)
+        .find(f => !f.contains("DelayedFileSystem") &&
+          !f.contains("java.lang.Thread") &&
+          !f.contains("org.apache.hadoop.fs.") &&
+          !f.contains("ChecksumF"))
+        .getOrElse("?")
+      DelayedFileSystem.byStack.computeIfAbsent(s"$op @ $frame",
+        _ => new java.util.concurrent.atomic.LongAdder).increment()
+    }
     val d = getConf.getLong("fs.slowfs.delay.ms", 2L)
     if (d > 0) Thread.sleep(d)
   }
@@ -74,6 +89,10 @@ object DelayedFileSystem {
   val rpcs = new java.util.concurrent.atomic.LongAdder
   /** Same count split by operation, for attribution. */
   val byOp = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.atomic.LongAdder]
+  /** op @ first-caller-frame counts (populated under
+    * `fs.slowfs.stacks=true`). */
+  val byStack = new java.util.concurrent.ConcurrentHashMap[String,
     java.util.concurrent.atomic.LongAdder]
   def snapshotByOp(): Map[String, Long] = {
     import scala.jdk.CollectionConverters._

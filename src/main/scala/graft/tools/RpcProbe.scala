@@ -27,13 +27,21 @@ object RpcProbe {
     hc.set("fs.AbstractFileSystem.slowfs.impl",
       classOf[DelayedAbstractFs].getName)
     hc.set("fs.slowfs.delay.ms", "0")
+    val stacks = sys.env.getOrElse("GRAFT_RPC_STACKS", "0") == "1"
+    if (stacks) hc.set("fs.slowfs.stacks", "true")
     spark.conf.set("graft.catalog.fs.assumeAtomic", "true")
     val e = new graft.mpp.MppEngine(spark, wh)
     val t = e.catalog.state.liveTable(table).getOrElse(
       sys.error(s"no table $table in $wh"))
     println(s"[rpc-probe] table $table: ${t.buckets} buckets")
+    def snapStacks(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      DelayedFileSystem.byStack.asScala
+        .map { case (k, v) => k -> v.sum() }.toMap
+    }
     def phase(tag: String)(body: => Unit): Unit = {
       val before = DelayedFileSystem.snapshotByOp()
+      val beforeS = if (stacks) snapStacks() else Map.empty[String, Long]
       val t0 = System.nanoTime()
       body
       val secs = (System.nanoTime() - t0) / 1e9
@@ -44,6 +52,12 @@ object RpcProbe {
       println(f"[rpc-probe] $tag: $secs%.1f s, $total RPCs = " +
         diff.toSeq.sortBy(-_._2).map { case (k, v) => s"$k=$v" }
           .mkString(", "))
+      if (stacks) {
+        val sdiff = snapStacks().map { case (k, v) =>
+          k -> (v - beforeS.getOrElse(k, 0L)) }.filter(_._2 > 0)
+        sdiff.toSeq.sortBy(-_._2).take(12).foreach { case (k, v) =>
+          println(s"[rpc-probe]   $v  $k") }
+      }
     }
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

@@ -281,9 +281,12 @@ class RebucketSpec extends SparkTestBase {
     (0 until 6).foreach { b =>
       java.nio.file.Files.createDirectories(root.resolve(s"bucket=$b"))
     }
-    // The relaid copies: same parquet files, shifted dirs — a raw scan
-    // would see all 300 rows in WRONG buckets (silent mispruning, the
-    // r13-advisor failure mode this machinery closes).
+    // The relaid copies: the same row content under FRESH file names
+    // in shifted dirs — faithful to a real crashed relay, whose live
+    // dirs hold the rebucket job's own staged files (new job UUID, so
+    // names never collide with the manifest's pre-rebucket entries).
+    // A raw scan would see all 300 rows in WRONG buckets (silent
+    // mispruning, the r13-advisor failure mode this machinery closes).
     bucketDirs.foreach { d =>
       val oldB = d.getFileName.toString.stripPrefix("bucket=").toInt
       val newB = (oldB + 1) % 6
@@ -291,7 +294,8 @@ class RebucketSpec extends SparkTestBase {
         .iterator().asScala.filter(p =>
           !p.getFileName.toString.startsWith(".")).foreach { f =>
           java.nio.file.Files.copy(f,
-            root.resolve(s"bucket=$newB").resolve(f.getFileName.toString))
+            root.resolve(s"bucket=$newB")
+              .resolve(s"relaid-${f.getFileName}"))
         }
     }
     java.nio.file.Files.write(root.resolve(".rebucket.json"),
@@ -422,5 +426,38 @@ class RebucketSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       e.rebucket("rs", 0)
     }
+  }
+
+  test("a REBUCKET that fails BEFORE its first bucket swap clears the " +
+      "relay marker — the layout is untouched, so writes resume with " +
+      "no RESTORE (a mid-swap crash still keeps the marker: the " +
+      "crashed-relay case above)") {
+    val e = freshEngine()
+    e.sql("CREATE TABLE rbf(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+      "WITH BUCKETS 4")
+    e.insertInto("rbf", spark.range(0, 100).toDF("k")
+      .withColumn("v", col("k") * 1.0))
+    // Fail the relay in its STAGING phase (before any live-dir
+    // rename): stageAndSwap parses this knob before writing anything.
+    spark.conf.set("graft.optimize.taskBytes", "bogus")
+    try intercept[NumberFormatException] {
+      e.sql("ALTER TABLE rbf REBUCKET 8")
+    } finally spark.conf.unset("graft.optimize.taskBytes")
+    val marker = java.nio.file.Paths.get(
+      e.warehouse, "data", "rbf", ".rebucket.json")
+    assert(!java.nio.file.Files.exists(marker),
+      "a pre-swap REBUCKET failure must remove the relay marker")
+    assert(e.catalog.state.liveTable("rbf").get.buckets == 4)
+    assert(e.table("rbf").count() == 100)
+    // Writes resume immediately — the round-14 shape required a
+    // manual RESTORE for this no-op failure.
+    e.insertInto("rbf", spark.range(100, 110).toDF("k")
+      .withColumn("v", lit(1.0)))
+    assert(e.table("rbf").count() == 110)
+    // And the repaired statement completes normally.
+    e.sql("ALTER TABLE rbf REBUCKET 8")
+    assert(e.catalog.state.liveTable("rbf").get.buckets == 8)
+    assert(e.table("rbf").count() == 110)
+    assert(e.explainShards(e.table("rbf").filter("k = 7")) == "Shards: 1/8")
   }
 }
