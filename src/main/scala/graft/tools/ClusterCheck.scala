@@ -484,6 +484,73 @@ object ClusterCheck {
       }
     }
 
+    check("engine DML battery on a FORKED HTTP filesystem: every DATA " +
+        "RPC — list/status/create/rename/ranged read — leaves the " +
+        "process over TCP (round-14 verdict item 8: the data-plane " +
+        "twin of the forked object store)") {
+      // slowfs measures remote latency but its calls never leave the
+      // JVM; graftfs: puts REAL wire RPCs under the scan, the staged
+      // write, the COW swap and the catalog — server-side-atomic
+      // rename/exclusive-create in ANOTHER PROCESS, executors doing
+      // byte-ranged parquet reads over HTTP.
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val proc = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.tools.MiniFsServer", "0")
+        .redirectErrorStream(true).start()
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val ready = Iterator.continually(reader.readLine())
+        .takeWhile(_ != null)
+        .find(_.startsWith("MINIFS READY"))
+        .getOrElse(sys.error("MiniFsServer did not start"))
+      val port = ready.split("port=")(1).trim.toInt
+      val local = java.nio.file.Files
+        .createTempDirectory("graft-cluster-minifs").toString
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graftfs.impl", classOf[HttpDataFileSystem].getName)
+      hc.set("fs.AbstractFileSystem.graftfs.impl",
+        classOf[HttpDataAbstractFs].getName)
+      spark.conf.set("graft.catalog.fs.assumeAtomic", "true")
+      try {
+        val before = HttpDataFileSystem.rpcs.sum()
+        val wh = s"graftfs://127.0.0.1:$port$local"
+        val e = new graft.mpp.MppEngine(spark, wh)
+        e.sql("CREATE TABLE mf(k BIGINT, v DOUBLE) PARTITION BY (k) " +
+          "WITH BUCKETS 8")
+        e.insertInto("mf", spark.range(0, 20000, 1, 8).toDF("k")
+          .withColumn("v", col("k") * 1.0))
+        val v1 = e.catalog.currentVersionOnDisk
+        e.sql("UPDATE mf SET v = v + 0.5 WHERE k % 10 = 3")
+        e.sql("DELETE FROM mf WHERE k % 1000 = 999")
+        import spark.implicits._
+        Seq((5L, -5.0), (90000L, 1.0)).toDF("k", "v")
+          .createOrReplaceTempView("mf_batch")
+        e.sql("MERGE INTO mf t USING (SELECT * FROM mf_batch) s " +
+          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+          "WHEN NOT MATCHED THEN INSERT *")
+        val exp = (0L until 20000L).filter(_ % 1000 != 999)
+          .map(k => if (k % 10 == 3) k + 0.5 else k.toDouble)
+          .map(v => if (v == 5.0) -5.0 else v).sum + 1.0
+        val got = e.table("mf").agg(count(lit(1)), sum("v")).head()
+        assert(got.getLong(0) == 20000 - 20 + 1, got.toString)
+        assert(math.abs(got.getDouble(1) - exp) < 1e-6,
+          s"sum ${got.getDouble(1)} != $exp")
+        // Time travel resolves archived files over the same wire.
+        assert(e.tableAsOf("mf", v1).count() == 20000)
+        // Pruned point read stays pruned on this scheme (the
+        // version-keyed listing cache path).
+        assert(e.explainShards(e.table("mf").filter(col("k") === 77L))
+          == "Shards: 1/8")
+        println(s"[cluster-check]   graftfs driver-side RPCs: " +
+          s"${HttpDataFileSystem.rpcs.sum() - before}")
+      } finally {
+        spark.conf.unset("graft.catalog.fs.assumeAtomic")
+        proc.destroyForcibly()
+        ()
+      }
+    }
+
     check("executor JVM killed mid-query: tasks retry on the survivor " +
         "and the result is exact") {
       def q: DataFrame = spark.range(0, 40000000L, 1, 96)
