@@ -214,6 +214,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_WARM_TABLES → graft.warm.tables: bounds which warehouse
+    // tables MppQueries.warm builds. Set here (not in main) so the
+    // fresh-JVM --one children honor it too — an isolated fork at a
+    // deep-scale mirror must not build the full DML warehouse to time
+    // one parquet-only row.
+    sys.env.get("GRAFT_WARM_TABLES")
+      .foreach(v => spark.conf.set("graft.warm.tables", v))
     spark
   }
 
@@ -318,11 +325,6 @@ object Bench {
       .filter(n => allow.isEmpty || allow.contains(n._1))
     val names = sorted.filterNot(n => heavyTail.contains(n._1)) ++
       heavyTail.flatMap(h => sorted.find(_._1 == h))
-    // GRAFT_WARM_TABLES → graft.warm.tables: bounds which warehouse
-    // tables MppQueries.warm builds (the sf30 subset runs need no DML
-    // warehouse; building one at that scale would dwarf the bench).
-    sys.env.get("GRAFT_WARM_TABLES")
-      .foreach(v => spark.conf.set("graft.warm.tables", v))
     def fmt(rs: Seq[(String, Double)]) = rs
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // GRAFT_BENCH_SKIP_BASE=1 skips the sf0.1 phase (scale-regime

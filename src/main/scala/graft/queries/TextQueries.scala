@@ -90,10 +90,18 @@ object TextQueries {
   /** Global token frequency: the classic explode → count pipeline
     * (map-side partial aggregation keeps the shuffle tiny at 100 TB). */
   def qTokenFreq(s: SparkSession, dir: String): DataFrame =
+    // Per-doc (token, tf) pairs from the fused byte kernel, then
+    // sum(tf) — the map side explodes one row per DISTINCT token per
+    // document instead of one per occurrence, and the extraction is a
+    // single byte pass instead of regex split + array materialization
+    // (round-15: measured 0.87 → 0.72 s clean-JVM at sf30; the same
+    // kernel q_tfidf's driver-verified plan rides, so tokenization
+    // parity with the string_split oracle is already pinned).
     docs(s, dir)
-      .select(explode(toks).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("cnt"))
+      .select(explode(graft.functions.TextFunctions
+        .tokenTfPairs(s, col("text"))).as("p"))
+      .groupBy(col("p.token").as("token"))
+      .agg(sum(col("p.tf")).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(50)
 

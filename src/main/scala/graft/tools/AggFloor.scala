@@ -214,10 +214,65 @@ object AggFloor {
         .agg(count(col("o_orderkey")).as("n_orders"),
           round(sum(col("o_totalprice")), 4).as("total"))),
       ("co_4_full", () => entry("q_colocated_dsv2")))
+    // Round-15 flagged-row layers (verdict item 2): the FOUR rows that
+    // stayed >2× vs the paired oracle AT SF30 (BENCH_sf30_r15 — the
+    // other seven of r14's flagged eleven dropped under 2× at scale
+    // and closed as sub-second-regime artifacts). Same discipline:
+    // each variant adds one plan component; the full row comes from
+    // SparkEntry so the chain brackets exactly what the bench times.
+    val docs = graft.Tables(spark, dir, "documents")
+    val liq1 = li.filter(col("l_shipdate") <=
+        lit("2001-09-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+    def q1agg = liq1.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    val openOrd = ords.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    def antiJoined = cust
+      .join(openOrd, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+    def exactFp = docs.select(md5(col("text")).as("fp"), col("doc_id"))
+    def exactAgg = exactFp.groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+    val li2col = li.select(col("l_returnflag"), col("l_suppkey"))
+    val flagged15: Seq[(String, () => DataFrame)] = Seq(
+      // -- q1_pricing_summary layers --
+      ("p1_1_filtered_scan", () => liq1),
+      ("p1_2_agg8", () => q1agg),
+      ("p1_3_full_sorted", () => entry("q1_pricing_summary")),
+      // -- q_anti_join layers --
+      ("aj15_1_orders_scan", () => openOrd),
+      ("aj15_2_cust_scan", () => cust.select(col("c_custkey"),
+        col("c_name"))),
+      ("aj15_3_anti_join", () => antiJoined),
+      ("aj15_4_full_sorted", () => entry("q_anti_join")),
+      // -- q_dedup_exact layers --
+      ("de_1_docs_scan", () => docs.select(col("doc_id"),
+        length(col("text")).as("l"))),
+      ("de_2_md5", () => exactFp),
+      ("de_3_agg", () => exactAgg),
+      ("de_4_full_sorted", () => entry("q_dedup_exact")),
+      // -- q_skew_salted_agg layers --
+      ("sa_1_scan2col", () => li2col),
+      ("sa_2_distinct", () => li2col.distinct()),
+      ("sa_3_full_sorted", () => entry("q_skew_salted_agg")))
     println("variant,rep,sec")
     (set match {
       case "crossover" => crossover
       case "flagged" => flagged
+      case "flagged15" => flagged15
       case _ => variants
     }).foreach {
       case (name, f) =>
