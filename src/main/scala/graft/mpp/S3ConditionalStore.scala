@@ -475,10 +475,18 @@ final class MiniObjectStoreServer(port: Int, delayMs: Long = 0L,
         if (!e.isInstanceOf[Exception]) throw e
     }
   })
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+  // Daemon pool, shut down on stop() — a non-daemon pool outlives
+  // stop() and pins the hosting JVM (see MiniFsServer).
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(16,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-ministore")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
 
   def start(): MiniObjectStoreServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 /** Forked-process entry (`runMain graft.mpp.MiniObjectStoreServer

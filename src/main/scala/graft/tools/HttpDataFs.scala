@@ -65,6 +65,8 @@ class HttpDataFileSystem extends FileSystem {
       params: Seq[(String, String)], body: Array[Byte] = null)
       : HttpResponse[Array[Byte]] = {
     HttpDataFileSystem.rpcs.increment()
+    HttpDataFileSystem.byOp.computeIfAbsent(op,
+      _ => new java.util.concurrent.atomic.LongAdder).increment()
     val q = (("op" -> op) +: params)
       .map { case (k, v) => s"$k=${enc(v)}" }.mkString("&")
     val b = HttpRequest.newBuilder(URI.create(s"$base/fs?$q"))
@@ -218,6 +220,14 @@ object HttpDataFileSystem {
   private val client = HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofSeconds(20)).build()
   val rpcs = new java.util.concurrent.atomic.LongAdder
+  /** Per-operation counts (probe attribution — RpcProbe's graftfs
+    * mode diffs this around each phase). */
+  val byOp = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.concurrent.atomic.LongAdder]
+  def snapshotByOp(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    byOp.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
 }
 
 /** FileContext twin (the catalog's atomic replacing publish resolves
@@ -393,10 +403,19 @@ final class MiniFsServer(port: Int, delayMs: Long = 0L) {
         if (!e.isInstanceOf[Exception]) throw e
     }
   })
-  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32))
+  // Daemon pool, shut down on stop(): a plain fixed pool keeps the
+  // hosting JVM alive after stop() (non-daemon worker threads), which
+  // hangs probe mains that embed the server in-process.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(32,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-minifs")
+      t.setDaemon(true)
+      t
+    })
+  server.setExecutor(pool)
 
   def start(): MiniFsServer = { server.start(); this }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
 
 /** Forked-process entry (`runMain graft.tools.MiniFsServer <port>

@@ -13,7 +13,88 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.tools.RpcProbe <slowfs-warehouse> <table>
   */
 object RpcProbe {
+
+  /** `--wire <buckets> <rows> [delayMs]`: the same statement-shape RPC
+    * attribution, but over `graftfs:` — a REAL TCP filesystem
+    * ([[MiniFsServer]], in-process listener, optional per-request
+    * latency) — so the §25.1 publish-constant numbers are
+    * cross-validated with genuine wire semantics AND genuine wall
+    * latency, not an instrumented local delegate. In local[n] the
+    * executors share the JVM, so the client counters see EVERY
+    * filesystem RPC including the task-side ranged parquet reads. */
+  private def wireMain(args: Array[String]): Unit = {
+    val k = args(0).toInt
+    val rows = args(1).toLong
+    val delayMs = args.lift(2).map(_.toLong).getOrElse(0L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftfs.impl", classOf[HttpDataFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.graftfs.impl",
+      classOf[HttpDataAbstractFs].getName)
+    spark.conf.set("graft.catalog.fs.assumeAtomic", "true")
+    val server = new MiniFsServer(0, delayMs).start()
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-wireprobe").toString
+    try {
+      val wh = s"graftfs://127.0.0.1:${server.boundPort}$local"
+      val e = new graft.mpp.MppEngine(spark, wh)
+      import org.apache.spark.sql.functions._
+      def phase(tag: String)(body: => Unit): Unit = {
+        val before = HttpDataFileSystem.snapshotByOp()
+        val t0 = System.nanoTime()
+        body
+        val secs = (System.nanoTime() - t0) / 1e9
+        val diff = HttpDataFileSystem.snapshotByOp().map { case (kk, v) =>
+          kk -> (v - before.getOrElse(kk, 0L)) }.filter(_._2 > 0)
+        println(f"[rpc-probe/wire] $tag: $secs%.1f s, ${diff.values.sum} " +
+          "RPCs = " + diff.toSeq.sortBy(-_._2)
+            .map { case (kk, v) => s"$kk=$v" }.mkString(", "))
+      }
+      println(s"[rpc-probe/wire] k=$k rows=$rows delayMs=$delayMs")
+      phase("build(create+insert)") {
+        e.createDistributedTable("owire",
+          "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+          "o_orderkey", k)
+        e.insertInto("owire", spark.range(0L, rows, 1, 32).toDF("o_orderkey")
+          .withColumn("o_custkey", col("o_orderkey") % 1000)
+          .withColumn("o_totalprice", (col("o_orderkey") % 997) * 1.0))
+      }
+      phase("full_count")(e.table("owire").count())
+      phase("second_full_count")(e.table("owire").count())
+      val shards = e.explainShards(
+        e.table("owire").filter(col("o_orderkey") === 12345L))
+      require(shards == s"Shards: 1/$k",
+        s"bucket pruning lost on the wire scheme: $shards")
+      phase("point_read") {
+        e.table("owire").filter(col("o_orderkey") === 12345L).count()
+      }
+      phase("update_1key") {
+        e.sql("UPDATE owire SET o_totalprice = -1 WHERE o_orderkey = 777")
+      }
+      phase("insert_1krows") {
+        e.insertInto("owire",
+          spark.range(rows, rows + 1000L).toDF("o_orderkey")
+            .withColumn("o_custkey", col("o_orderkey") % 1000)
+            .withColumn("o_totalprice", lit(1.0)))
+      }
+      phase("post_insert_count")(e.table("owire").count())
+    } finally {
+      server.stop()
+      spark.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--wire")) {
+      wireMain(args.drop(1)); return
+    }
     val Array(wh, table) = args.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
