@@ -37,63 +37,35 @@ object Scratch {
       println(f"[scratch] $label: min=${times.min}%.3f  ${times.map(x => f"$x%.2f").mkString(",")}")
     }
 
-    val ords = Tables(spark, dir, "orders")
-    val cust = Tables(spark, dir, "customer")
-    val open = ords.filter(col("o_orderstatus") === "O")
-      .select(col("o_custkey"))
-
-    def current = cust
-      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
-
-    // Eager distinct below the anti join: the build side collapses to
-    // distinct keys BEFORE the exchange (map-side partial agg), so the
-    // shuffle moves |distinct custkeys| rows instead of |open orders|.
-    def reduced = cust
-      .join(open.distinct(), col("c_custkey") === col("o_custkey"),
-        "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
-
-    def hinted = cust
-      .join(open.hint("shuffle_hash"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
-
-    def reducedHinted = cust
-      .join(open.distinct().hint("shuffle_hash"),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
-
-    val docs = Tables(spark, dir, "documents")
-    def tfCurrent = docs
-      .select(explode(split(col("text"), " ")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(50)
-    def tfKernel = docs
-      .select(explode(graft.functions.TextFunctions
-        .tokenTfPairs(spark, col("text"))).as("p"))
-      .groupBy(col("p.token").as("token"))
-      .agg(sum(col("p.tf")).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(50)
-    val d5 = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.shingleKText(spark, col("text"), 5)
-        .as("g"))
-      .filter(size(col("g")) >= 1)
-    val grams5 = d5.select(col("doc_id"), explode(col("g")).as("h"))
-    def hot5 = grams5.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 5).select("h")
-    t("bp_1_kernel_scan")(d5.select(col("doc_id"), size(col("g")).as("n")))
-    t("bp_2_explode")(grams5)
-    t("bp_3_df_agg_hot")(hot5)
-    t("bp_4_semi_count")(grams5.join(hot5, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler")))
-    t("bp_5_full")(graft.SparkEntry.queries("q_boilerplate")(spark, dir))
-    println("[scratch] hot size = " + hot5.count() +
-      " grams = " + grams5.count())
+    // Bulk-insert shape A/B (round 15): REBALANCE write shuffle vs
+    // task-per-bucket, 2M-row batches - the IngestProbe statement
+    // shape - at k=64 and k=512.
+    spark.conf.set("graft.catalog.fs.assumeAtomic", "true")
+    val wh = java.nio.file.Files.createTempDirectory("graft-ingestab").toString
+    val e = new graft.mpp.MppEngine(spark, wh)
+    def src(n: Long, seed: Long) = spark.range(seed, seed + n, 1, 32)
+      .toDF("o_orderkey")
+      .withColumn("o_custkey", col("o_orderkey") % 1000)
+      .withColumn("o_totalprice", (col("o_orderkey") % 997) * 1.0)
+    for (k <- Seq(64, 512)) {
+      val tbl = s"ab_$k"
+      e.createDistributedTable(tbl,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+        "o_orderkey", k)
+      e.insertInto(tbl, src(2000000, 0)) // warm (JIT, dirs exist)
+      for (mode <- Seq("rebalance", "taskPerBucket")) {
+        spark.conf.set("graft.insert.taskPerBucket",
+          (mode == "taskPerBucket").toString)
+        val times = (1 to 3).map { i =>
+          val t0 = System.nanoTime()
+          e.insertInto(tbl, src(2000000, 10000000L * i + k))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[scratch] bulk_insert k=$k $mode: min=${times.min}%.2f  " +
+          times.map(x => f"$x%.2f").mkString(","))
+      }
+      spark.conf.unset("graft.insert.taskPerBucket")
+    }
     spark.stop()
   }
 }
